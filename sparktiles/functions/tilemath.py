@@ -187,9 +187,10 @@ def quadkey_expr(z, x, y) -> Column:
             .bitwiseOR(F.shiftleft(F.shiftright(yy, i).bitwiseAND(F.lit(1)), 2 * i))
         )
     # left-align to zoom 15 so keys are prefix-comparable, then append z
-    return F.shiftleft(m.cast("long"), (F.lit(15) - z.cast("int")) * F.lit(2)).bitwiseOR(
-        z.cast("long")
+    shifted = F.call_function(
+        "shiftleft", m.cast("long"), (F.lit(15) - z.cast("int")) * F.lit(2)
     )
+    return F.call_function("shiftleft", shifted, F.lit(5)).bitwiseOR(z.cast("long"))
 
 
 def cell_id(z: int, x: int, y: int) -> int:

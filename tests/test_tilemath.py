@@ -44,7 +44,7 @@ def test_deg2num():
 
 def test_mercator_roundtrip_and_tiles():
     x, y = TM.lonlat_to_mercator(14.42, 50.08)
-    assert x == pytest.approx(1605223.9, abs=1.0)
+    assert x == pytest.approx(1605227.04, abs=1.0)
     # mercator->tile equals deg2num
     import math
     n = 2**14
@@ -109,14 +109,12 @@ def test_quadkey_prefix_alignment(spark):
     r = df.select("z", TM.quadkey_expr(F.col("z"), F.col("x"), F.col("y")).alias("qk")).collect()
     parent = [x.qk for x in r if x.z == 5][0]
     kids = [x.qk for x in r if x.z == 6]
-    pbits = (parent >> 1) >> (2 * (15 - 5))  # strip z, align
+    assert (parent & 31) == 5
+    # layout: [morton left-aligned to z15][z:5 bits]; parent morton must
+    # prefix every child's morton after alignment
+    p_aligned = parent >> 5
     for k in kids:
-        assert (k >> 1) >> (2 * (15 - 6)) >> 2 == pbits >> 1 or True  # structural check below
-    # direct structural check: morton(z6 child)>>2 == morton(z5 parent)
-    def morton(x, y):
-        m = 0
-        for i in range(15):
-            m |= ((x >> i) & 1) << (2 * i + 1) | ((y >> i) & 1) << (2 * i)
-        return m
-    for x, y in [(20, 40), (21, 40), (20, 41), (21, 41)]:
-        assert morton(x, y) >> 2 == morton(10, 20)
+        assert (k & 31) == 6
+        assert (k >> 5) >> (2 * (15 - 5)) == p_aligned >> (2 * (15 - 5))
+    # children of one parent are contiguous under the quadkey sort
+    assert max(kids) - min(kids) < (1 << 5) * (1 << (2 * (15 - 6) + 2))
