@@ -1,0 +1,277 @@
+"""MVT aggregation operators — the engine's two custom "UDAFs".
+
+Reproduces the reference tile query spine (openmaptiles/sqltomvt.py):
+
+  per layer:  ST_AsMVTGeom(geom, TileBBox(z,x,y), extent, buffer, true)
+              + ST_AsMVT(rows, layer_id, extent, 'mvtgeometry')
+              (sqltomvt.py:160-224)                      -> encode_layer_df
+  per tile:   STRING_AGG(mvtl, '' ORDER BY _layer_index)
+              [+ GZIP(...)] + md5(mvt) AS key
+              (sqltomvt.py:104-140)                      -> assemble_tiles
+
+Both are grouped pandas UDFs (Arrow batches); geometry math is numpy.
+Determinism: features are sorted by feature_id within each (tile, layer)
+group before dictionary encoding, so tile bytes and md5 tile_ids are
+stable across shuffles (ST_AsMVT relies on query ORDER BY; an unordered
+Spark shuffle would otherwise produce unstable bytes).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sparktiles.functions import geom as G
+from sparktiles.functions import mvtcodec as C
+from sparktiles.functions.tilemath import tile_bbox
+
+DEFAULT_EXTENT = 4096
+
+
+# ------------------------------------------------------------- asmvtgeom
+
+def as_mvt_geom_points(
+    mx: np.ndarray, my: np.ndarray, z: int, tx: int, ty: int,
+    extent: int = DEFAULT_EXTENT, buffer_px: int = 0,
+):
+    """Vectorized point transform: mercator -> integer tile-local coords
+    (y-down), keep mask for points within extent+buffer.
+    Returns (ix, iy, keep)."""
+    xmin, ymin, xmax, ymax = tile_bbox(z, tx, ty)
+    scale = extent / (xmax - xmin)
+    ix = np.rint((mx - xmin) * scale)
+    iy = np.rint((ymax - my) * scale)
+    keep = (ix >= -buffer_px) & (ix <= extent + buffer_px) & \
+           (iy >= -buffer_px) & (iy <= extent + buffer_px)
+    return ix.astype(np.int64), iy.astype(np.int64), keep
+
+
+def _dedupe_consecutive(arr: np.ndarray) -> np.ndarray:
+    if len(arr) < 2:
+        return arr
+    keep = np.ones(len(arr), dtype=bool)
+    keep[1:] = (arr[1:] != arr[:-1]).any(axis=1)
+    return arr[keep]
+
+
+def as_mvt_geom(
+    geom, z: int, tx: int, ty: int,
+    extent: int = DEFAULT_EXTENT, buffer_px: int = 0, clip: bool = True,
+):
+    """ST_AsMVTGeom analog for one geometry (reference use:
+    sqltomvt.py:202-207). Transform to tile-local y-down coords scaled
+    to `extent`, clip to extent+buffer, snap to integers, drop
+    degenerate output (-> None). Returns (mvt_gtype, parts)."""
+    if geom is None or G.is_empty(geom):
+        return None
+    xmin, ymin, xmax, ymax = tile_bbox(z, tx, ty)
+    scale = extent / (xmax - xmin)
+
+    def tf(arr):
+        arr = np.asarray(arr, dtype=float)
+        out = np.empty_like(arr)
+        out[:, 0] = (arr[:, 0] - xmin) * scale
+        out[:, 1] = (ymax - arr[:, 1]) * scale
+        return out
+
+    lo, hi = -float(buffer_px), float(extent + buffer_px)
+    gtype, coords = geom
+
+    if gtype in ("Point", "MultiPoint"):
+        pts = np.asarray([coords] if gtype == "Point" else coords, dtype=float)
+        t = tf(pts)
+        if clip:
+            m = (t[:, 0] >= lo) & (t[:, 0] <= hi) & (t[:, 1] >= lo) & (t[:, 1] <= hi)
+            t = t[m]
+        if len(t) == 0:
+            return None
+        return (C.GEOM_POINT, [np.rint(t).astype(np.int64)])
+
+    if gtype in ("LineString", "MultiLineString"):
+        lines = [coords] if gtype == "LineString" else coords
+        out = []
+        for ls in lines:
+            t = tf(ls)
+            parts = G.clip_line_rect(t, lo, lo, hi, hi) if clip else [t]
+            for p in parts:
+                snapped = _dedupe_consecutive(np.rint(p).astype(np.int64))
+                if len(snapped) >= 2:
+                    out.append(snapped)
+        if not out:
+            return None
+        return (C.GEOM_LINESTRING, out)
+
+    if gtype in ("Polygon", "MultiPolygon"):
+        polys = [coords] if gtype == "Polygon" else coords
+        out = []
+        for rings in polys:
+            fixed_rings = []
+            for k, ring in enumerate(rings):
+                t = tf(ring)
+                r = G.clip_ring_rect(t, lo, lo, hi, hi) if clip else t
+                if r is None:
+                    if k == 0:
+                        fixed_rings = []
+                        break
+                    continue
+                snapped = _dedupe_consecutive(np.rint(r).astype(np.int64))
+                if len(snapped) > 0 and (snapped[0] != snapped[-1]).any():
+                    snapped = np.vstack([snapped, snapped[:1]])
+                if len(snapped) < 4:
+                    if k == 0:
+                        fixed_rings = []
+                        break
+                    continue
+                a = G.ring_area(snapped.astype(float))
+                if a == 0:
+                    if k == 0:
+                        fixed_rings = []
+                        break
+                    continue
+                # MVT spec winding: exterior rings have positive surveyor
+                # area computed on tile coords as-is (y-down => screen-CW);
+                # interior rings negative.
+                want_pos = (k == 0)
+                if (a > 0) != want_pos:
+                    snapped = snapped[::-1]
+                fixed_rings.append(snapped)
+            out.extend(fixed_rings and [fixed_rings] or [])
+        if not out:
+            return None
+        flat = [r for rings in out for r in rings]
+        return (C.GEOM_POLYGON, flat)
+
+    return None
+
+
+# ------------------------------------------------------------- layer encode
+
+@dataclass
+class LayerSpec:
+    """What encode_layer_df needs to know about one layer.
+
+    attr_fields: column name -> MVT logical type 'string'|'number'|'bool'
+    (the reference's declared-field model, tileset.py:48-77 +
+    pgutils.py:115-130: unknown types are dropped with a warning).
+    """
+    layer_id: str
+    index: int
+    attr_fields: dict = field(default_factory=dict)
+    key_field: str | None = "feature_id"   # MVT feature id (sqltomvt.py:176-179)
+    buffer_px: int = 0                     # layer buffer in 256px-tile pixels
+    extent: int = DEFAULT_EXTENT
+    geometry_kind: str = "point"           # 'point' (px/py cols) or 'wkb'
+
+
+def _attr_value(v, kind: str):
+    if v is None or (isinstance(v, float) and np.isnan(v)):
+        return None
+    if kind == "bool":
+        return bool(v)
+    if kind == "number":
+        f = float(v)
+        return int(f) if f.is_integer() and abs(f) < 2**53 else f
+    return str(v)
+
+
+def encode_layer_df(features: DataFrame, spec: LayerSpec) -> DataFrame:
+    """features: z int, x long, y long, feature_id long, px/py double or
+    geom binary(WKB), + attr columns per spec. Output: one row per
+    (z,x,y): layer_index int, mvtl binary (possibly empty layer skipped).
+
+    This is the ST_AsMVT equivalent (A1): groupBy(z,x,y) ->
+    applyInPandas encoding one MVT layer message per tile.
+    """
+    attr_items = list(spec.attr_fields.items())
+    extent, buffer_px = spec.extent, spec.buffer_px
+    # tile buffer in MVT extent units (sqltomvt.py:199):
+    mvt_buffer = int(extent * buffer_px / 256)
+    layer_id, layer_index = spec.layer_id, spec.index
+    key_field = spec.key_field
+    kind = spec.geometry_kind
+
+    def encode(pdf: pd.DataFrame) -> pd.DataFrame:
+        z = int(pdf["z"].iloc[0]); tx = int(pdf["x"].iloc[0]); ty = int(pdf["y"].iloc[0])
+        pdf = pdf.sort_values("feature_id", kind="mergesort")
+        feats = []
+        if kind == "point":
+            mx = pdf["px"].to_numpy(dtype=float)
+            my = pdf["py"].to_numpy(dtype=float)
+            ix, iy, keep = as_mvt_geom_points(mx, my, z, tx, ty, extent, mvt_buffer)
+            idxs = np.nonzero(keep)[0]
+            for i in idxs:
+                row = pdf.iloc[i]
+                attrs = {k: _attr_value(row[k], t) for k, t in attr_items}
+                fid = int(row[key_field]) if key_field else None
+                geom = C.encode_geometry(
+                    C.GEOM_POINT, [np.array([[ix[i], iy[i]]], dtype=np.int64)]
+                )
+                feats.append((fid, attrs, C.GEOM_POINT, geom))
+        else:
+            for _, row in pdf.iterrows():
+                g = G.wkb_loads(bytes(row["geom"])) if row["geom"] is not None else None
+                mg = as_mvt_geom(g, z, tx, ty, extent, mvt_buffer, clip=True)
+                if mg is None:
+                    continue
+                attrs = {k: _attr_value(row[k], t) for k, t in attr_items}
+                fid = int(row[key_field]) if key_field else None
+                feats.append((fid, attrs, mg[0], C.encode_geometry(mg[0], mg[1])))
+        if not feats:
+            return pd.DataFrame(
+                {"z": pd.Series([], dtype="int32"), "x": pd.Series([], dtype="int64"),
+                 "y": pd.Series([], dtype="int64"),
+                 "layer_index": pd.Series([], dtype="int32"),
+                 "mvtl": pd.Series([], dtype=object)}
+            )
+        blob = C.encode_layer(layer_id, feats, extent)
+        return pd.DataFrame(
+            {"z": [z], "x": [tx], "y": [ty], "layer_index": [layer_index],
+             "mvtl": [blob]}
+        )
+
+    return features.groupBy("z", "x", "y").applyInPandas(
+        encode, "z int, x long, y long, layer_index int, mvtl binary"
+    )
+
+
+# ------------------------------------------------------------- tile assembly
+
+def assemble_tiles(layer_blobs: DataFrame, gzip_level: int | None = None) -> DataFrame:
+    """STRING_AGG(mvtl, '' ORDER BY _layer_index) [+ GZIP] + md5 key
+    (reference sqltomvt.py:104-140). Input: z,x,y,layer_index,mvtl.
+    Output: z,x,y,mvt binary,tile_id string (md5 hex)."""
+
+    def concat(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("layer_index", kind="mergesort")
+        blob = b"".join(bytes(b) for b in pdf["mvtl"])
+        if gzip_level is not None:
+            blob = C.gzip_blob(blob, gzip_level)
+        return pd.DataFrame({
+            "z": [int(pdf["z"].iloc[0])], "x": [int(pdf["x"].iloc[0])],
+            "y": [int(pdf["y"].iloc[0])], "mvt": [blob],
+            "tile_id": [hashlib.md5(blob).hexdigest()],
+        })
+
+    return layer_blobs.groupBy("z", "x", "y").applyInPandas(
+        concat, "z int, x long, y long, mvt binary, tile_id string"
+    )
+
+
+def dedup_tiles(tiles: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """mbtiles normalization (reference mbtile_tools.py:555-571):
+    tile_map(z,x,y,tile_id) + tile_images(tile_id, tile_data) distinct."""
+    tile_map = tiles.select(
+        F.col("z").alias("zoom_level"),
+        F.col("x").alias("tile_column"),
+        F.col("y").alias("tile_row"),
+        "tile_id",
+    )
+    images = tiles.select("tile_id", F.col("mvt").alias("tile_data")).dropDuplicates(
+        ["tile_id"]
+    )
+    return tile_map, images

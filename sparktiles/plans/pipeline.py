@@ -1,0 +1,259 @@
+"""End-to-end tile build: features -> layers -> MVT tiles -> store.
+
+Reproduces the reference driver loop (bin/generate-tiles:88-117):
+  z <= MID_ZOOM : generate every tile of the pyramid ('pyramid' scheme)
+  z >  MID_ZOOM : impute from z-1 (children of duplicate/'empty-ish'
+                  tiles inherit the parent tile_id without generation,
+                  mbtile_tools.py:106-196), generate only the remaining
+                  list ('list' scheme)
+
+Each zoom is a checkpoint barrier: tile_map/tile_images for the zoom are
+written to the store (parquet partitioned by zoom — the Iceberg-snapshot
+stand-in in this sandbox), a lineage/metrics row is recorded, and a
+manifest marks the zoom complete so a re-run resumes after the last
+finished zoom (north_rule: resumable from checkpoint with per-partition
+lineage + metrics).
+
+Scale notes: the feature->tile fan-out is map-side; the only wide
+shuffles are the per-(z,x,y[,layer]) groupBys, which AQE re-balances
+(skew-split on hot cells). Tile rows are quadkey-local because the
+grouping key embeds (x, y) morton order via repartitioning on (z,x,y).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparktiles.functions import mvtcodec as C
+from sparktiles.operators.mvt import LayerSpec, assemble_tiles, encode_layer_df
+from sparktiles.operators.pyramid import (
+    assign_point_tiles,
+    dup_tile_ids,
+    impute_children,
+    tile_pyramid,
+)
+from sparktiles.plans.config import TilesetDef
+
+MAP_SCHEMA = "zoom_level int, tile_column long, tile_row long, tile_id string"
+
+
+def empty_tile_blob(gzip_level: int | None) -> bytes:
+    """A tile with zero features: every layer contributes '' (reference
+    COALESCE(ST_AsMVT(...),''), sqltomvt.py:176-179) so the tile blob is
+    empty (gzip'd when gzip is on)."""
+    blob = b""
+    if gzip_level is not None:
+        blob = C.gzip_blob(blob, gzip_level)
+    return blob
+
+
+@dataclass
+class BuildConfig:
+    store_dir: str
+    minzoom: int = 0
+    maxzoom: int = 8
+    mid_zoom: int = 4
+    gzip_level: int | None = None
+    bounds_lonlat: tuple | None = None
+    languages: list = field(default_factory=list)
+
+
+class TileBuild:
+    """Drives the per-zoom build loop over a prepared feature DataFrame.
+
+    layer_frames: list of (LayerSpec, features DataFrame). Each features
+    DataFrame must carry: feature_id long, x double, y double (mercator)
+    for point layers or geom binary for wkb layers, plus the attr
+    columns named in LayerSpec.attr_fields.
+    """
+
+    def __init__(self, spark: SparkSession, layer_frames, cfg: BuildConfig):
+        self.spark = spark
+        self.layer_frames = layer_frames
+        self.cfg = cfg
+        self.store = Path(cfg.store_dir)
+        self.store.mkdir(parents=True, exist_ok=True)
+        self.manifest_path = self.store / "_manifest.json"
+        self.metrics: list[dict] = []
+
+    # ------------------------------------------------------------ store
+
+    def _load_manifest(self) -> dict:
+        if self.manifest_path.exists():
+            return json.loads(self.manifest_path.read_text())
+        return {"zooms": {}}
+
+    def _mark_zoom(self, z: int, stats: dict):
+        m = self._load_manifest()
+        m["zooms"][str(z)] = {"status": "complete", **stats}
+        self.manifest_path.write_text(json.dumps(m, indent=1))
+
+    def _zoom_done(self, z: int) -> bool:
+        return self._load_manifest()["zooms"].get(str(z), {}).get("status") == "complete"
+
+    def _map_path(self, z: int) -> str:
+        return str(self.store / "tile_map" / f"z={z}")
+
+    def _img_path(self, z: int) -> str:
+        return str(self.store / "tile_images" / f"z={z}")
+
+    def read_tile_map(self, z: int | None = None) -> DataFrame:
+        if z is not None:
+            return self.spark.read.schema(MAP_SCHEMA).parquet(self._map_path(z))
+        zooms = sorted(int(k) for k in self._load_manifest()["zooms"])
+        dfs = [self.spark.read.schema(MAP_SCHEMA).parquet(self._map_path(z)) for z in zooms]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
+
+    def read_tile_images(self) -> DataFrame:
+        zooms = sorted(int(k) for k in self._load_manifest()["zooms"])
+        dfs = [self.spark.read.parquet(self._img_path(z)) for z in zooms]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out.dropDuplicates(["tile_id"])
+
+    # ------------------------------------------------------------ build
+
+    def _generate_tiles_at(self, z: int, only_tiles: DataFrame | None) -> DataFrame:
+        """Run the layer pipelines for zoom z -> z,x,y,mvt,tile_id for
+        every NON-EMPTY tile (optionally restricted to only_tiles)."""
+        blobs = None
+        for spec, feats in self.layer_frames:
+            assigned = assign_point_tiles(feats, z, buffer_px=spec.buffer_px)
+            if only_tiles is not None:
+                assigned = assigned.join(only_tiles, ["z", "x", "y"], "left_semi")
+            lb = encode_layer_df(assigned, spec)
+            blobs = lb if blobs is None else blobs.unionByName(lb)
+        return assemble_tiles(blobs, self.cfg.gzip_level)
+
+    def build(self) -> dict:
+        """Run the full z loop; returns summary metrics."""
+        cfg = self.cfg
+        empty_blob = empty_tile_blob(cfg.gzip_level)
+        empty_id = hashlib.md5(empty_blob).hexdigest()
+        t_start = time.time()
+        total_tiles = 0
+
+        for z in range(cfg.minzoom, cfg.maxzoom + 1):
+            if self._zoom_done(z):
+                continue
+            t0 = time.time()
+            if z <= cfg.mid_zoom or z == cfg.minzoom:
+                # pyramid scheme: every tile of the zoom
+                universe = tile_pyramid(self.spark, z, z, cfg.bounds_lonlat)
+                tiles = self._generate_tiles_at(z, None)
+                gen_map = tiles.select(
+                    F.col("z").alias("zoom_level"),
+                    F.col("x").alias("tile_column"),
+                    F.col("y").alias("tile_row"),
+                    "tile_id",
+                )
+                empties = universe.join(
+                    tiles.select("z", "x", "y"), ["z", "x", "y"], "left_anti"
+                ).select(
+                    F.col("z").alias("zoom_level"),
+                    F.col("x").alias("tile_column"),
+                    F.col("y").alias("tile_row"),
+                    F.lit(empty_id).alias("tile_id"),
+                )
+                map_rows = gen_map.unionByName(empties)
+                imputed_count = 0
+            else:
+                parents = self.read_tile_map(z - 1)
+                dups = dup_tile_ids(parents, z - 1)
+                imputed, gen_list = impute_children(parents, dups)
+                tiles = self._generate_tiles_at(z, gen_list)
+                gen_map = tiles.select(
+                    F.col("z").alias("zoom_level"),
+                    F.col("x").alias("tile_column"),
+                    F.col("y").alias("tile_row"),
+                    "tile_id",
+                )
+                gen_empties = gen_list.join(
+                    tiles.select("z", "x", "y"), ["z", "x", "y"], "left_anti"
+                ).select(
+                    F.col("z").alias("zoom_level"),
+                    F.col("x").alias("tile_column"),
+                    F.col("y").alias("tile_row"),
+                    F.lit(empty_id).alias("tile_id"),
+                )
+                map_rows = imputed.unionByName(gen_map).unionByName(gen_empties)
+                imputed_count = 0
+
+            # checkpoint barrier: persist this zoom (AQE coalesces output
+            # partitions; at cluster scale this is an Iceberg snapshot)
+            map_rows.write.mode("overwrite").parquet(self._map_path(z))
+            images = tiles.select("tile_id", F.col("mvt").alias("tile_data")) \
+                .dropDuplicates(["tile_id"])
+            images = images.unionByName(
+                self.spark.createDataFrame(
+                    [(empty_id, bytearray(empty_blob))], "tile_id string, tile_data binary"
+                )
+            )
+            images.write.mode("overwrite").parquet(self._img_path(z))
+
+            persisted = self.read_tile_map(z)
+            n_tiles = persisted.count()
+            stats = {
+                "z": z,
+                "n_tiles": n_tiles,
+                "n_nonempty": persisted.where(F.col("tile_id") != empty_id).count(),
+                "wall_s": round(time.time() - t0, 3),
+            }
+            self.metrics.append(stats)
+            self._mark_zoom(z, stats)
+            total_tiles += n_tiles
+
+        wall = time.time() - t_start
+        summary = {
+            "tiles": total_tiles,
+            "wall_s": round(wall, 3),
+            "tiles_per_s": round(total_tiles / wall, 2) if wall > 0 else None,
+            "zooms": self.metrics,
+        }
+        (self.store / "metrics.json").write_text(json.dumps(summary, indent=1))
+        return summary
+
+
+def make_point_layer_frames(features: DataFrame, tileset: TilesetDef):
+    """Build (LayerSpec, frame) pairs for point layers from a tileset
+    definition: compiles each layer's enum field mappings and name
+    projections into the feature frame (what layer_to_query +
+    FIELD_MAPPING expansion does in the reference, sqltomvt.py:188-224
+    + sql.py:252-280)."""
+    from sparktiles.functions import scalars as S
+
+    frames = []
+    for idx, layer in enumerate(tileset.topo_order()):
+        df = features
+        attr_fields: dict[str, str] = {}
+        for fd in layer.fields:
+            e = fd.expr()
+            if e is not None:
+                df = df.withColumn(fd.name, e)
+            attr_fields[fd.name] = fd.mvt_type
+        if tileset.languages and "tags" in df.columns:
+            for lang in tileset.languages:
+                col = f"name:{lang}"
+                df = df.withColumn(col, S.tag_field("tags", col))
+                attr_fields[col] = "string"
+        spec = LayerSpec(
+            layer_id=layer.id,
+            index=idx,
+            attr_fields=attr_fields,
+            key_field="feature_id",
+            buffer_px=layer.resolved_buffer(tileset),
+            geometry_kind=layer.geometry_kind,
+        )
+        frames.append((spec, df))
+    return frames

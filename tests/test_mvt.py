@@ -1,0 +1,125 @@
+"""MVT codec + asmvtgeom round-trip tests (decoder mirrors the
+semantics of reference openmaptiles/utils.py:294-373 print_tile)."""
+
+import hashlib
+
+import numpy as np
+import pytest
+
+from sparktiles.functions import geom as G
+from sparktiles.functions import mvtcodec as C
+from sparktiles.functions.tilemath import tile_bbox
+from sparktiles.operators.mvt import as_mvt_geom, as_mvt_geom_points
+
+
+def test_varint_zigzag():
+    assert C._varint(0) == b"\x00"
+    assert C._varint(300) == b"\xac\x02"
+    assert C._zigzag(0) == 0 and C._zigzag(-1) == 1 and C._zigzag(1) == 2
+    assert C._unzigzag(C._zigzag(-12345)) == -12345
+
+
+def test_value_roundtrip():
+    for v in ["hello", 42, -7, 3.5, True, False, ""]:
+        got = C.decode_value(C.encode_value(v))
+        assert got == v and type(got) is type(v)
+
+
+def test_layer_roundtrip_point():
+    geom = C.encode_geometry(C.GEOM_POINT, [np.array([[100, 200]])])
+    blob = C.encode_layer(
+        "place", [(7, {"name": "X", "rank": 3}, C.GEOM_POINT, geom)], 4096
+    )
+    tile = C.decode_tile(blob)
+    lyr = tile["place"]
+    assert lyr["version"] == 2 and lyr["extent"] == 4096
+    f = lyr["features"][0]
+    assert f["id"] == 7 and f["attrs"] == {"name": "X", "rank": 3}
+    assert f["type"] == C.GEOM_POINT
+    assert f["parts"][0].tolist() == [[100, 200]]
+
+
+def test_layer_dictionary_encoding_first_seen():
+    g = C.encode_geometry(C.GEOM_POINT, [np.array([[0, 0]])])
+    feats = [
+        (1, {"a": "x", "b": "y"}, C.GEOM_POINT, g),
+        (2, {"b": "y", "a": "z"}, C.GEOM_POINT, g),
+    ]
+    blob = C.encode_layer("l", feats)
+    t = C.decode_tile(blob)["l"]
+    assert t["features"][0]["attrs"] == {"a": "x", "b": "y"}
+    assert t["features"][1]["attrs"] == {"b": "y", "a": "z"}
+    # deterministic bytes
+    assert hashlib.md5(blob).hexdigest() == hashlib.md5(C.encode_layer("l", feats)).hexdigest()
+
+
+def test_geometry_roundtrip_polygon():
+    ring = np.array([[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]])
+    enc = C.encode_geometry(C.GEOM_POLYGON, [ring])
+    parts = C.decode_geometry(C.GEOM_POLYGON, enc)
+    assert len(parts) == 1
+    assert parts[0].tolist() == ring.tolist()
+
+
+def test_geometry_roundtrip_multiline():
+    l1 = np.array([[0, 0], [5, 5]])
+    l2 = np.array([[10, 10], [20, 10], [20, 20]])
+    enc = C.encode_geometry(C.GEOM_LINESTRING, [l1, l2])
+    parts = C.decode_geometry(C.GEOM_LINESTRING, enc)
+    assert [p.tolist() for p in parts] == [l1.tolist(), l2.tolist()]
+
+
+def test_gzip_roundtrip():
+    data = b"sparktiles" * 100
+    gz = C.gzip_blob(data, 6)
+    assert gz[:2] == b"\x1f\x8b"
+    assert C.gunzip_blob(gz) == data
+
+
+def test_as_mvt_geom_points():
+    # center of tile z1 (1,0): bbox x in [0, max], y in [0, max]
+    xmin, ymin, xmax, ymax = tile_bbox(1, 1, 0)
+    cx, cy = (xmin + xmax) / 2, (ymin + ymax) / 2
+    ix, iy, keep = as_mvt_geom_points(
+        np.array([cx, xmin - 1e7]), np.array([cy, cy]), 1, 1, 0, 4096, 0
+    )
+    assert keep.tolist() == [True, False]
+    assert ix[0] == 2048 and iy[0] == 2048
+
+
+def test_as_mvt_geom_polygon_clip_and_winding():
+    # polygon covering the whole right half of tile z0 + spill: clipped
+    xmin, ymin, xmax, ymax = tile_bbox(0, 0, 0)
+    w = xmax - xmin
+    poly = ("Polygon", [np.array([
+        [xmin + w / 2, ymin - w], [xmax + w, ymin - w],
+        [xmax + w, ymax + w], [xmin + w / 2, ymax + w],
+        [xmin + w / 2, ymin - w]], dtype=float)])
+    out = as_mvt_geom(poly, 0, 0, 0, 4096, 0)
+    assert out is not None and out[0] == C.GEOM_POLYGON
+    ring = out[1][0].astype(float)
+    # surveyor area positive (exterior), covers right half of extent
+    assert G.ring_area(ring) == pytest.approx(4096 * 4096 / 2, rel=1e-6) or \
+        G.ring_area(ring) == pytest.approx(2048 * 4096, rel=1e-6)
+    assert G.ring_area(ring) > 0
+    assert ring[:, 0].min() == 2048 and ring[:, 0].max() == 4096
+
+
+def test_as_mvt_geom_outside_returns_none():
+    xmin, ymin, xmax, ymax = tile_bbox(2, 0, 0)
+    far = ("Polygon", [np.array([
+        [xmax + 1e6, ymax + 1e6], [xmax + 2e6, ymax + 1e6],
+        [xmax + 2e6, ymax + 2e6], [xmax + 1e6, ymax + 1e6]], dtype=float)])
+    assert as_mvt_geom(far, 2, 0, 0) is None
+
+
+def test_as_mvt_geom_buffer():
+    # a point just outside the tile is kept when buffer allows
+    xmin, ymin, xmax, ymax = tile_bbox(5, 10, 10)
+    eps = (xmax - xmin) * 0.005  # ~20 extent units outside
+    _, _, keep0 = as_mvt_geom_points(
+        np.array([xmin - eps]), np.array([(ymin + ymax) / 2]), 5, 10, 10, 4096, 0)
+    _, _, keep64 = as_mvt_geom_points(
+        np.array([xmin - eps]), np.array([(ymin + ymax) / 2]), 5, 10, 10, 4096, 64)
+    assert keep0.tolist() == [False]
+    assert keep64.tolist() == [True]
