@@ -1,38 +1,80 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship: sf0.001 documents -> synthetic page corpus ->
+                 geoparse -> z0-z5 tile pyramid -> per-zoom tile stats.
+queries()      — one callable per implemented operator (SURVEY.md §2),
+                 defined in sparktiles/queries.py.
+oracle_sql()   — matching DuckDB SQL (ANSI) per query; entries without
+                 SQL get the driver's weaker rows-only check.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: build a z0-z5 tile pyramid from pages derived from the
+    sf0.001 documents table; return per-zoom tile statistics."""
+    import tempfile
+
+    from sparktiles.sources.geoparse import build_features
+    from sparktiles.plans.config import FieldDef, LayerDef, TilesetDef
+    from sparktiles.plans.pipeline import BuildConfig, TileBuild, make_point_layer_frames
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # deterministic page corpus from documents: embed one place mention
+    # per ~200 chars of text, derived from doc_id (no external data)
+    pid = (F.col("doc_id") * 7 + 1) % 10000
+    lon = ((pid * 37).cast("double") % 344) - 172.0 + 0.1234567
+    lat = ((pid * 13).cast("double") % 136) - 68.0 + 0.0891011
+    mention = F.format_string("Name_%d (%.5f; %.5f)", pid, lat, lon)
+    pages = docs.select(
+        F.format_string("https://example.org/doc/%d", F.col("doc_id")).alias("url"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        F.encode(F.concat(F.col("text"), F.lit(" "), mention), "utf-8").alias("html"),
+        F.concat(F.col("text"), F.lit(" "), mention).alias("text"),
+        F.col("lang"),
+    )
+    feats = build_features(pages)
+    tileset = TilesetDef(
+        name="flagship",
+        layers=[LayerDef(id="place", fields=[FieldDef("name")], buffer_size=8)],
+        minzoom=0, maxzoom=5,
+    )
+    frames = make_point_layer_frames(feats, tileset)
+    store = tempfile.mkdtemp(prefix="sparktiles_entry_")
+    build = TileBuild(spark, frames, BuildConfig(
+        store_dir=store, minzoom=0, maxzoom=5, mid_zoom=2))
+    build.build()
+    tm = build.read_tile_map()
+    imgs = build.read_tile_images()
+    return (
+        tm.join(imgs, "tile_id")
+        .groupBy("zoom_level")
+        .agg(
+            F.count("*").alias("n_tiles"),
+            F.countDistinct("tile_id").alias("n_unique"),
+            F.sum(F.length("tile_data")).alias("bytes"),
+        )
+        .orderBy("zoom_level")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from sparktiles.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from sparktiles.queries import ORACLES
+
+    return dict(ORACLES)

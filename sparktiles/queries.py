@@ -1,0 +1,867 @@
+"""Operator showcase queries with DuckDB-oracle parity.
+
+Each entry here is one operator family from SURVEY.md §2 expressed twice:
+- a Spark DataFrame callable (spark, sf_dir) -> DataFrame
+- an equivalent ANSI-SQL string DuckDB runs on the same parquet views
+
+Cross-engine determinism rules used throughout:
+- doubles rounded to 4 decimals and aliased identically on both sides
+- md5() (identical hex in both engines) is the portable hash for
+  dedup/minhash/fingerprint operators
+- coordinates derived arithmetically from integer keys with
+  irrational-ish offsets so floor() never lands on a tile boundary
+- Spark floor() returns BIGINT -> oracle casts floor to BIGINT
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from sparktiles.functions.tilemath import (
+    TILEBBOX_MAX,
+    WORLD_MERC_WIDTH,
+    Z0_SCALE_DENOMINATOR,
+)
+from sparktiles.plans.config import compile_field_mapping
+
+HALF = 20037508.34278925
+PI = 3.141592653589793
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# Derived point geometry shared by several queries: deterministic lon/lat
+# from an integer key (same formula in SQL below).
+def _lon(key):
+    return (key * 37 % 344).cast("double") - 172.0 + 0.1234567
+
+
+def _lat(key):
+    return (key * 13 % 136).cast("double") - 68.0 + 0.0891011
+
+
+# CAST the integer part to DOUBLE first so DuckDB follows the exact
+# double-arithmetic order Spark uses (decimal literals would otherwise
+# keep DuckDB in DECIMAL arithmetic and change ROUND output types)
+_LON_SQL = "CAST((({k}) * 37) % 344 AS DOUBLE) - 172.0 + 0.1234567"
+_LAT_SQL = "CAST((({k}) * 13) % 136 AS DOUBLE) - 68.0 + 0.0891011"
+
+# mercator y in meters from lat (identical formula both engines)
+_MERCY_SQL = "ln(tan((90.0 + ({lat})) * {pi} / 360.0)) / {pi} * {half}"
+
+
+def _merc_y(lat_col):
+    return F.log(F.tan((F.lit(90.0) + lat_col) * F.lit(PI / 360.0))) / F.lit(PI) * F.lit(HALF)
+
+
+def _merc_x(lon_col):
+    return lon_col / F.lit(180.0) * F.lit(HALF)
+
+
+QUERIES = {}
+ORACLES = {}
+
+
+def q(name, sql=None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+    return deco
+
+
+# ===================================================================
+# G1/G2 — ZRes / Z scalar tile math
+# ===================================================================
+
+@q("tilemath_zres_z", f"""
+SELECT
+  n_nationkey AS zoom,
+  ROUND({WORLD_MERC_WIDTH!r} / (256.0 * POW(2.0, n_nationkey % 15)), 4) AS zres,
+  CAST(ROUND(LOG2({Z0_SCALE_DENOMINATOR!r} / ({Z0_SCALE_DENOMINATOR!r} / POW(2.0, n_nationkey % 15)))) AS INT) AS z_back
+FROM nation
+ORDER BY zoom
+""")
+def tilemath_zres_z(spark, sf_dir):
+    n = _t(spark, sf_dir, "nation")
+    zz = F.col("n_nationkey") % 15
+    sd = F.lit(Z0_SCALE_DENOMINATOR) / F.pow(F.lit(2.0), zz)
+    return n.select(
+        F.col("n_nationkey").alias("zoom"),
+        F.round(F.lit(WORLD_MERC_WIDTH) / (F.lit(256.0) * F.pow(F.lit(2.0), zz)), 4).alias("zres"),
+        F.round(F.log2(F.lit(Z0_SCALE_DENOMINATOR) / sd)).cast("int").alias("z_back"),
+    ).orderBy("zoom")
+
+
+# ===================================================================
+# G12/J1 — slippy tile assignment + per-tile counts (the spatial join)
+# ===================================================================
+
+_TILE_ASSIGN_SQL = f"""
+WITH pts AS (
+  SELECT c_custkey AS key,
+         {_LON_SQL.format(k='c_custkey')} AS lon,
+         {_LAT_SQL.format(k='c_custkey')} AS lat
+  FROM customer
+), m AS (
+  SELECT key, lon / 180.0 * {HALF!r} AS mx,
+         {_MERCY_SQL.format(lat='lat', pi=PI, half=HALF)} AS my
+  FROM pts
+)
+SELECT CAST(FLOOR((mx + {HALF!r}) / {WORLD_MERC_WIDTH!r} * 256.0) AS BIGINT) AS tile_x,
+       CAST(FLOOR(({HALF!r} - my) / {WORLD_MERC_WIDTH!r} * 256.0) AS BIGINT) AS tile_y,
+       COUNT(*) AS n_points
+FROM m
+GROUP BY tile_x, tile_y
+"""
+
+
+@q("tile_assign_points", _TILE_ASSIGN_SQL)
+def tile_assign_points(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    key = F.col("c_custkey")
+    mx = _merc_x(_lon(key))
+    my = _merc_y(_lat(key))
+    n = F.lit(256.0)  # zoom 8
+    return (
+        c.select(
+            F.floor((mx + F.lit(HALF)) / F.lit(WORLD_MERC_WIDTH) * n).alias("tile_x"),
+            F.floor((F.lit(HALF) - my) / F.lit(WORLD_MERC_WIDTH) * n).alias("tile_y"),
+        )
+        .groupBy("tile_x", "tile_y")
+        .agg(F.count("*").alias("n_points"))
+    )
+
+
+# ===================================================================
+# J2 — broadcast point-in-polygon join (axis-aligned admin cells)
+# ===================================================================
+
+_PIP_SQL = f"""
+WITH polys AS (
+  SELECT n_nationkey AS poly_id,
+         (n_nationkey % 5) * 70.0 - 175.0 AS xmin,
+         (CAST(FLOOR(n_nationkey / 5) AS INT) % 5) * 35.0 - 87.5 AS ymin,
+         (n_nationkey % 5) * 70.0 - 175.0 + 70.0 AS xmax,
+         (CAST(FLOOR(n_nationkey / 5) AS INT) % 5) * 35.0 - 87.5 + 35.0 AS ymax
+  FROM nation
+), pts AS (
+  SELECT c_custkey AS key,
+         {_LON_SQL.format(k='c_custkey')} AS lon,
+         {_LAT_SQL.format(k='c_custkey')} AS lat
+  FROM customer
+)
+SELECT p.poly_id AS poly_id, COUNT(*) AS n_inside
+FROM pts t JOIN polys p
+  ON t.lon >= p.xmin AND t.lon < p.xmax AND t.lat >= p.ymin AND t.lat < p.ymax
+GROUP BY p.poly_id
+"""
+
+
+@q("pip_join_broadcast", _PIP_SQL)
+def pip_join_broadcast(spark, sf_dir):
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    nk = F.col("n_nationkey")
+    polys = nation.select(
+        nk.alias("poly_id"),
+        ((nk % 5).cast("double") * 70.0 - 175.0).alias("xmin"),
+        (F.floor(nk / 5).cast("int") % 5).cast("double").alias("_r"),
+    ).withColumn("ymin", F.col("_r") * 35.0 - 87.5).drop("_r")
+    polys = polys.withColumn("xmax", F.col("xmin") + 70.0).withColumn(
+        "ymax", F.col("ymin") + 35.0)
+    pts = cust.select(
+        _lon(F.col("c_custkey")).alias("lon"), _lat(F.col("c_custkey")).alias("lat")
+    )
+    j = pts.join(
+        F.broadcast(polys),
+        (F.col("lon") >= F.col("xmin")) & (F.col("lon") < F.col("xmax"))
+        & (F.col("lat") >= F.col("ymin")) & (F.col("lat") < F.col("ymax")),
+        "inner",
+    )
+    return j.groupBy("poly_id").agg(F.count("*").alias("n_inside"))
+
+
+# ===================================================================
+# J8 — kNN join (k nearest suppliers per customer sample)
+# ===================================================================
+
+_KNN_SQL = f"""
+WITH q AS (
+  SELECT c_custkey AS qid,
+         {_LON_SQL.format(k='c_custkey')} AS qx,
+         {_LAT_SQL.format(k='c_custkey')} AS qy
+  FROM customer WHERE c_custkey % 50 = 0
+), s AS (
+  SELECT s_suppkey AS sid,
+         {_LON_SQL.format(k='s_suppkey * 7 + 3')} AS sx,
+         {_LAT_SQL.format(k='s_suppkey * 7 + 3')} AS sy
+  FROM supplier
+), d AS (
+  SELECT qid, sid,
+         ROUND((qx - sx) * (qx - sx) + (qy - sy) * (qy - sy), 4) AS dist2,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY ROUND((qx - sx) * (qx - sx) + (qy - sy) * (qy - sy), 4), sid) AS rn
+  FROM q CROSS JOIN s
+)
+SELECT qid, sid, dist2, CAST(rn AS INT) AS rank
+FROM d WHERE rn <= 3
+"""
+
+
+@q("knn_join", _KNN_SQL)
+def knn_join(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_custkey") % 50 == 0)
+    supp = _t(spark, sf_dir, "supplier")
+    qdf = cust.select(
+        F.col("c_custkey").alias("qid"),
+        _lon(F.col("c_custkey")).alias("qx"),
+        _lat(F.col("c_custkey")).alias("qy"),
+    )
+    skey = F.col("s_suppkey") * 7 + 3
+    sdf = supp.select(
+        F.col("s_suppkey").alias("sid"),
+        _lon(skey).alias("sx"),
+        _lat(skey).alias("sy"),
+    )
+    d2 = F.round(
+        (F.col("qx") - F.col("sx")) * (F.col("qx") - F.col("sx"))
+        + (F.col("qy") - F.col("sy")) * (F.col("qy") - F.col("sy")), 4
+    )
+    j = qdf.crossJoin(F.broadcast(sdf)).withColumn("dist2", d2)
+    w = Window.partitionBy("qid").orderBy(F.col("dist2"), F.col("sid"))
+    return (
+        j.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 3)
+        .select("qid", "sid", "dist2", "rank")
+    )
+
+
+# ===================================================================
+# P4 — enum field mapping (FieldExpander semantics)
+# ===================================================================
+
+_ENUM_VALUES = {
+    "activity": {"event_type": ["click", "view"]},
+    "conversion": {"event_type": ["purchase", "sign%"]},
+    "problem": [
+        {"__AND__": {"event_type": "error", "big": "yes"}},
+        {"event_type": ["crash"]},
+    ],
+}
+
+_ENUM_SQL = """
+SELECT CASE
+    WHEN event_type IN ('click', 'view') THEN 'activity'
+    WHEN event_type = 'purchase' OR event_type LIKE 'sign%' THEN 'conversion'
+    WHEN (event_type = 'error' AND (CASE WHEN value > 100 THEN 'yes' ELSE 'no' END) = 'yes')
+         OR event_type = 'crash' THEN 'problem'
+  END AS class,
+  COUNT(*) AS n
+FROM events
+GROUP BY class
+"""
+
+
+@q("enum_field_mapping", _ENUM_SQL)
+def enum_field_mapping(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "big", F.when(F.col("value") > 100, "yes").otherwise("no")
+    )
+    cls = compile_field_mapping(_ENUM_VALUES)
+    return ev.select(cls.alias("class")).groupBy("class").agg(F.count("*").alias("n"))
+
+
+# ===================================================================
+# P8 — CleanNumeric / omt_as_numeric over dirty strings
+# ===================================================================
+
+_CLEAN_SQL = """
+WITH dirty AS (
+  SELECT l_orderkey, CASE
+      WHEN l_orderkey % 7 = 0 THEN 'a' || CAST(l_quantity AS VARCHAR)
+      WHEN l_orderkey % 7 = 1 THEN '  ' || CAST(l_quantity AS VARCHAR) || '  '
+      WHEN l_orderkey % 7 = 2 THEN '.'
+      WHEN l_orderkey % 7 = 3 THEN CAST(l_quantity AS VARCHAR) || 'e2'
+      WHEN l_orderkey % 7 = 4 THEN ''
+      ELSE CAST(l_quantity AS VARCHAR)
+    END AS s
+  FROM lineitem
+), parsed AS (
+  SELECT CASE WHEN regexp_full_match(s, '\\s*[-+]?(\\d+\\.?\\d*|\\.\\d+)([Ee][-+]?\\d+)?\\s*')
+              THEN CAST(trim(s) AS DOUBLE) END AS v
+  FROM dirty
+)
+SELECT COUNT(*) AS n_rows,
+       COUNT(v) AS n_parsed,
+       ROUND(SUM(COALESCE(v, -1)), 2) AS sum_as_numeric
+FROM parsed
+"""
+
+
+@q("clean_numeric", _CLEAN_SQL)
+def clean_numeric_q(spark, sf_dir):
+    from sparktiles.functions.scalars import clean_numeric, omt_as_numeric
+
+    li = _t(spark, sf_dir, "lineitem")
+    k = F.col("l_orderkey") % 7
+    qty = F.col("l_quantity").cast("string")
+    s = (
+        F.when(k == 0, F.concat(F.lit("a"), qty))
+        .when(k == 1, F.concat(F.lit("  "), qty, F.lit("  ")))
+        .when(k == 2, F.lit("."))
+        .when(k == 3, F.concat(qty, F.lit("e2")))
+        .when(k == 4, F.lit(""))
+        .otherwise(qty)
+    )
+    d = li.select(s.alias("s"))
+    return d.agg(
+        F.count("*").alias("n_rows"),
+        F.count(clean_numeric("s")).alias("n_parsed"),
+        F.round(F.sum(omt_as_numeric("s")), 2).alias("sum_as_numeric"),
+    )
+
+
+# ===================================================================
+# W1 — LabelGrid density limiting (DISTINCT ON per grid cell)
+# ===================================================================
+
+_LABELGRID_SQL = f"""
+WITH pts AS (
+  SELECT s_suppkey AS id, s_acctbal AS importance,
+         ({_LON_SQL.format(k='s_suppkey')}) / 180.0 * {HALF!r} AS mx,
+         {_MERCY_SQL.format(lat=_LAT_SQL.format(k='s_suppkey'), pi=PI, half=HALF)} AS my
+  FROM supplier
+), g AS (
+  SELECT id, importance,
+         ROUND((mx - 500000.0) / 1000000.0) * 1000000.0 + 500000.0 AS gx,
+         ROUND((my - 500000.0) / 1000000.0) * 1000000.0 + 500000.0 AS gy,
+         ROW_NUMBER() OVER (
+           PARTITION BY ROUND((mx - 500000.0) / 1000000.0),
+                        ROUND((my - 500000.0) / 1000000.0)
+           ORDER BY importance DESC, id) AS rn
+  FROM pts
+)
+SELECT CAST(gx AS BIGINT) AS gx, CAST(gy AS BIGINT) AS gy, id AS best_id,
+       ROUND(importance, 2) AS importance
+FROM g WHERE rn = 1
+"""
+
+
+@q("label_grid_rank", _LABELGRID_SQL)
+def label_grid_rank(spark, sf_dir):
+    from sparktiles.functions.scalars import label_grid_exprs
+
+    supp = _t(spark, sf_dir, "supplier")
+    key = F.col("s_suppkey")
+    pts = supp.select(
+        key.alias("id"),
+        F.col("s_acctbal").alias("importance"),
+        _merc_x(_lon(key)).alias("mx"),
+        _merc_y(_lat(key)).alias("my"),
+    )
+    gs = 1_000_000.0
+    gx, gy = label_grid_exprs("mx", "my", gs)
+    w = Window.partitionBy("gx", "gy").orderBy(F.desc("importance"), F.col("id"))
+    return (
+        pts.withColumn("gx", gx).withColumn("gy", gy)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("gx").cast("long").alias("gx"),
+            F.col("gy").cast("long").alias("gy"),
+            F.col("id").alias("best_id"),
+            F.round("importance", 2).alias("importance"),
+        )
+    )
+
+
+# ===================================================================
+# P6 — LineLabel zoom gating
+# ===================================================================
+
+_LINELABEL_SQL = """
+WITH lines AS (
+  SELECT event_id, CAST(event_id % 21 AS INT) AS zoom,
+         repeat('x', CAST(event_id % 12 AS INT)) AS label,
+         value * 40.0 AS glen
+  FROM events
+)
+SELECT zoom, COUNT(*) AS n,
+       CAST(SUM(CASE WHEN zoom > 20 OR glen = 0
+                OR (length(label) BETWEEN 1 AND glen / POW(2.0, 20 - zoom))
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM lines GROUP BY zoom
+"""
+
+
+@q("line_label_filter", _LINELABEL_SQL)
+def line_label_filter(spark, sf_dir):
+    from sparktiles.functions.scalars import line_label
+
+    ev = _t(spark, sf_dir, "events")
+    lines = ev.select(
+        (F.col("event_id") % 21).cast("int").alias("zoom"),
+        F.repeat(F.lit("x"), (F.col("event_id") % 12).cast("int")).alias("label"),
+        (F.col("value") * 40.0).alias("glen"),
+    )
+    kept = line_label(F.col("zoom"), "label", "glen")
+    return lines.groupBy("zoom").agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(kept, 1).otherwise(0)).alias("n_kept"),
+    )
+
+
+# ===================================================================
+# A6 — duplicate-tile finder (md5 content dedup)
+# ===================================================================
+
+_DUPFINDER_SQL = """
+WITH tiles AS (
+  SELECT event_id, md5(event_type || '-' || CAST(user_id % 3 AS VARCHAR)) AS tile_id
+  FROM events
+)
+SELECT tile_id, COUNT(*) AS cnt
+FROM tiles GROUP BY tile_id HAVING COUNT(*) >= 20
+"""
+
+
+@q("dup_tile_finder", _DUPFINDER_SQL)
+def dup_tile_finder(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    tiles = ev.select(
+        F.md5(
+            F.concat(F.col("event_type"), F.lit("-"), (F.col("user_id") % 3).cast("string"))
+        ).alias("tile_id")
+    )
+    return tiles.groupBy("tile_id").agg(F.count("*").alias("cnt")).where(F.col("cnt") >= 20)
+
+
+# ===================================================================
+# A7/A8 — zoom-range stats over a derived tile_map
+# ===================================================================
+
+_ZOOMSTATS_SQL = """
+WITH map AS (
+  SELECT CAST(event_id % 15 AS INT) AS zoom_level,
+         CAST(user_id % 100 AS BIGINT) AS tile_column,
+         CAST(event_id % 100 AS BIGINT) AS tile_row
+  FROM events
+)
+SELECT zoom_level, COUNT(*) AS cnt,
+       MIN(tile_column) AS min_x, MAX(tile_column) AS max_x,
+       MIN(tile_row) AS min_y, MAX(tile_row) AS max_y
+FROM map GROUP BY zoom_level
+"""
+
+
+@q("zoom_range_stats", _ZOOMSTATS_SQL)
+def zoom_range_stats(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    m = ev.select(
+        (F.col("event_id") % 15).cast("int").alias("zoom_level"),
+        (F.col("user_id") % 100).alias("tile_column"),
+        (F.col("event_id") % 100).alias("tile_row"),
+    )
+    return m.groupBy("zoom_level").agg(
+        F.count("*").alias("cnt"),
+        F.min("tile_column").alias("min_x"), F.max("tile_column").alias("max_x"),
+        F.min("tile_row").alias("min_y"), F.max("tile_row").alias("max_y"),
+    )
+
+
+# ===================================================================
+# A4/A5 — frequency + variance stats (layer-stats)
+# ===================================================================
+
+@q("freq_stats", """
+SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY event_type ORDER BY event_type
+""")
+def freq_stats(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type").agg(F.count("*").alias("cnt")).orderBy("event_type")
+    )
+
+
+@q("variance_stats", """
+SELECT l_returnflag,
+       COUNT(*) AS cnt,
+       ROUND(MIN(l_extendedprice), 2) AS min_price,
+       ROUND(MAX(l_extendedprice), 2) AS max_price,
+       ROUND(AVG(l_extendedprice), 2) AS avg_price,
+       ROUND(STDDEV(l_extendedprice), 2) AS std_price
+FROM lineitem GROUP BY l_returnflag
+""")
+def variance_stats(spark, sf_dir):
+    return _t(spark, sf_dir, "lineitem").groupBy("l_returnflag").agg(
+        F.count("*").alias("cnt"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+        F.round(F.stddev("l_extendedprice"), 2).alias("std_price"),
+    )
+
+
+# ===================================================================
+# A13/O3 — top-k longest distinct values
+# ===================================================================
+
+@q("toplength", """
+SELECT p_type AS val, CAST(length(p_type) AS INT) AS len
+FROM (SELECT DISTINCT p_type FROM part WHERE length(p_type) > 0)
+ORDER BY len DESC, val LIMIT 10
+""")
+def toplength(spark, sf_dir):
+    p = _t(spark, sf_dir, "part").select("p_type").distinct()
+    return (
+        p.where(F.length("p_type") > 0)
+        .select(F.col("p_type").alias("val"), F.length("p_type").cast("int").alias("len"))
+        .orderBy(F.desc("len"), "val").limit(10)
+    )
+
+
+# ===================================================================
+# A12/O2 — DISTINCT wikidata-style id union
+# ===================================================================
+
+@q("wikidata_id_union", """
+SELECT DISTINCT id FROM (
+  SELECT 'Q' || CAST(c_custkey AS VARCHAR) AS id FROM customer WHERE c_custkey % 3 = 0
+  UNION ALL
+  SELECT 'Q' || CAST(s_suppkey * 2 AS VARCHAR) AS id FROM supplier
+) WHERE regexp_full_match(id, 'Q[1-9][0-9]{0,18}')
+""")
+def wikidata_id_union(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").where(F.col("c_custkey") % 3 == 0).select(
+        F.concat(F.lit("Q"), F.col("c_custkey").cast("string")).alias("id"))
+    s = _t(spark, sf_dir, "supplier").select(
+        F.concat(F.lit("Q"), (F.col("s_suppkey") * 2).cast("string")).alias("id"))
+    return c.unionByName(s).where(F.col("id").rlike("^Q[1-9][0-9]{0,18}$")).distinct()
+
+
+# ===================================================================
+# J3 — lookup join (merge_wiki_names shape: broadcast dim + conditional)
+# ===================================================================
+
+@q("wiki_lookup_join", """
+SELECT c.c_custkey AS key,
+       CASE WHEN n.n_name IS NOT NULL AND c.c_acctbal > 0
+            THEN n.n_name ELSE c.c_name END AS merged_name
+FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+""")
+def wiki_lookup_join(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    j = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "left")
+    return j.select(
+        F.col("c_custkey").alias("key"),
+        F.when(
+            F.col("n_name").isNotNull() & (F.col("c_acctbal") > 0), F.col("n_name")
+        ).otherwise(F.col("c_name")).alias("merged_name"),
+    )
+
+
+# ===================================================================
+# J6 — left-semi tile-copy join
+# ===================================================================
+
+@q("tilecopy_semi_join", """
+WITH map AS (SELECT DISTINCT o_custkey AS ref FROM orders WHERE o_totalprice > 100000)
+SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey IN (SELECT ref FROM map)
+""")
+def tilecopy_semi_join(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 100000) \
+        .select(F.col("o_custkey").alias("ref")).distinct()
+    c = _t(spark, sf_dir, "customer")
+    return c.join(o, c.c_custkey == o.ref, "left_semi").select("c_custkey", "c_mktsegment")
+
+
+# ===================================================================
+# T5 — tile_multiplier (changed-tile fanout across zooms)
+# ===================================================================
+
+_TILEMULT_SQL = """
+WITH changed AS (
+  SELECT DISTINCT CAST(6 AS INT) AS z,
+         CAST(user_id % 64 AS BIGINT) AS x,
+         CAST(event_id % 64 AS BIGINT) AS y
+  FROM events WHERE event_type = 'purchase'
+), levels AS (
+  SELECT c.z, c.x, c.y, tz FROM changed c, (SELECT UNNEST(range(4, 9)) AS tz)
+), parents AS (
+  SELECT CAST(tz AS INT) AS z, x // CAST(POW(2, z - tz) AS BIGINT) AS x,
+         y // CAST(POW(2, z - tz) AS BIGINT) AS y
+  FROM levels WHERE tz <= z
+), down AS (
+  SELECT CAST(tz AS INT) AS tz, x, y, CAST(POW(2, tz - z) AS BIGINT) AS k
+  FROM levels WHERE tz > z
+), children AS (
+  SELECT d.tz AS z, xx.cx AS x, yy.cy AS y
+  FROM down d,
+       LATERAL (SELECT UNNEST(range(d.x * d.k, (d.x + 1) * d.k)) AS cx) xx,
+       LATERAL (SELECT UNNEST(range(d.y * d.k, (d.y + 1) * d.k)) AS cy) yy
+)
+SELECT DISTINCT z, x, y FROM (
+  SELECT * FROM parents UNION ALL SELECT * FROM children
+)
+"""
+
+
+@q("tile_multiplier_fanout", _TILEMULT_SQL)
+def tile_multiplier_fanout(spark, sf_dir):
+    from sparktiles.operators.pyramid import tile_multiplier
+
+    ev = _t(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    changed = ev.select(
+        F.lit(6).cast("int").alias("z"),
+        (F.col("user_id") % 64).alias("x"),
+        (F.col("event_id") % 64).alias("y"),
+    ).distinct()
+    return tile_multiplier(changed, 4, 8)
+
+
+# ===================================================================
+# Dedup suite over documents
+# ===================================================================
+
+@q("dedup_exact", """
+SELECT md5(text) AS content_hash, MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
+FROM documents GROUP BY md5(text)
+""")
+def dedup_exact(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy(F.md5(F.col("text")).alias("content_hash")).agg(
+        F.min("doc_id").alias("canonical_id"), F.count("*").alias("n_copies"))
+
+
+_MINHASH_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+), idx AS (
+  SELECT doc_id, t, UNNEST(range(1, len(t) - 1)) AS i FROM toks
+), shingles AS (
+  SELECT DISTINCT doc_id,
+         t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] || ' ' || t[CAST(i AS INT) + 2] AS s
+  FROM idx
+), sigs AS (
+  SELECT doc_id,
+         MIN(md5('0' || s)) AS h0, MIN(md5('1' || s)) AS h1,
+         MIN(md5('2' || s)) AS h2, MIN(md5('3' || s)) AS h3
+  FROM shingles GROUP BY doc_id
+)
+SELECT h0 || h1 AS band0, h2 || h3 AS band1,
+       COUNT(*) AS bucket_size, MIN(doc_id) AS canonical_id
+FROM sigs GROUP BY band0, band1
+"""
+
+
+@q("dedup_minhash_lsh", _MINHASH_SQL)
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup buckets: 3-token shingles -> 4 portable
+    minhashes (lexicographic min of seeded md5) -> 2 band signatures ->
+    bucket table. Docs sharing a band signature are near-dup candidates
+    (the bucket-join side of the classic shingle->minhash->band->bucket
+    pipeline)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    base = d.select("doc_id", toks.alias("t")).where(F.size("t") >= 3)
+    sh = base.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 2),
+                lambda i: F.concat(
+                    F.element_at(F.col("t"), i), F.lit(" "),
+                    F.element_at(F.col("t"), i + 1), F.lit(" "),
+                    F.element_at(F.col("t"), i + 2),
+                ),
+            )
+        ).alias("s"),
+    ).distinct()
+    sigs = sh.groupBy("doc_id").agg(
+        *[F.min(F.md5(F.concat(F.lit(str(i)), F.col("s")))).alias(f"h{i}") for i in range(4)]
+    )
+    return sigs.groupBy(
+        F.concat("h0", "h1").alias("band0"),
+        F.concat("h2", "h3").alias("band1"),
+    ).agg(F.count("*").alias("bucket_size"), F.min("doc_id").alias("canonical_id"))
+
+
+_NGRAM_JACCARD_SQL = """
+WITH toks AS (
+  SELECT doc_id, lang, n_chars, list_distinct(string_split(text, ' ')) AS ts
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       ROUND(CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE) /
+             (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))), 4) AS jaccard
+FROM toks a JOIN toks b
+  ON a.lang = b.lang AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id
+"""
+
+
+@q("dedup_ngram_jaccard", _NGRAM_JACCARD_SQL)
+def dedup_ngram_jaccard(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", "n_chars",
+        F.array_distinct(F.split(F.col("text"), " ")).alias("ts"),
+    )
+    a = toks.alias("a")
+    b = toks.alias("b")
+    j = a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.n_chars") == F.col("b.n_chars"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    inter = F.size(F.array_intersect(F.col("a.ts"), F.col("b.ts")))
+    union = F.size(F.col("a.ts")) + F.size(F.col("b.ts")) - inter
+    return j.select(
+        F.col("a.doc_id").alias("id_a"),
+        F.col("b.doc_id").alias("id_b"),
+        F.round(inter.cast("double") / union, 4).alias("jaccard"),
+    )
+
+
+# ===================================================================
+# Text analysis suite
+# ===================================================================
+
+_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with"]
+
+_QUALITY_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang, length(text) AS n_char,
+         len(string_split(text, ' ')) AS n_tok,
+         len(list_filter(string_split(text, ' '),
+             x -> list_contains({_STOPWORDS!r}, x))) AS n_stop
+  FROM documents
+)
+SELECT doc_id, lang, n_char, CAST(n_tok AS BIGINT) AS n_tok,
+       ROUND(CAST(n_stop AS DOUBLE) / n_tok, 4) AS stopword_ratio,
+       ROUND(CAST(n_char AS DOUBLE) / n_tok, 4) AS avg_token_len
+FROM t
+"""
+
+
+@q("text_quality_score", _QUALITY_SQL)
+def text_quality_score(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    stop = F.array(*[F.lit(s) for s in _STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop, x)))
+    return d.select(
+        "doc_id", "lang",
+        F.length("text").cast("long").alias("n_char"),
+        F.size(toks).cast("long").alias("n_tok"),
+        F.round(n_stop.cast("double") / F.size(toks), 4).alias("stopword_ratio"),
+        F.round(F.length("text").cast("double") / F.size(toks), 4).alias("avg_token_len"),
+    )
+
+
+@q("token_count", """
+SELECT lang,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+       CAST(SUM(len(regexp_extract_all(text, '[A-Za-z0-9]+'))) AS BIGINT) AS word_tokens
+FROM documents GROUP BY lang
+""")
+def token_count(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.sum(F.size(F.split(F.col("text"), " "))).alias("ws_tokens"),
+        F.sum(F.size(F.regexp_extract_all(F.col("text"), F.lit("[A-Za-z0-9]+"), F.lit(0)))).alias("word_tokens"),
+    )
+
+
+@q("doc_fingerprint", """
+SELECT doc_id, MIN(md5(substr(text, CAST(i AS INT), 16))) AS fingerprint
+FROM documents, (SELECT UNNEST(range(1, 200, 8)) AS i)
+WHERE CAST(i AS INT) + 16 <= length(text) + 1
+GROUP BY doc_id
+""")
+def doc_fingerprint(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    idx = F.explode(F.sequence(F.lit(1), F.lit(193), F.lit(8))).alias("i")
+    e = d.select("doc_id", F.length("text").alias("L"), "text").select(
+        "doc_id", "L", "text", idx
+    ).where(F.col("i") + 16 <= F.col("L") + 1)
+    return e.groupBy("doc_id").agg(
+        F.min(F.md5(F.expr("substr(text, i, 16)"))).alias("fingerprint")
+    )
+
+
+# ===================================================================
+# ANN — brute-force cosine top-k over embeddings
+# ===================================================================
+
+_ANN_SQL = """
+WITH e AS (
+  SELECT vec_id, embedding,
+         sqrt((SELECT SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+               FROM UNNEST(embedding) AS u(x))) AS nrm
+  FROM embeddings
+), q AS (SELECT vec_id AS qid, embedding AS qv, nrm AS qn FROM e WHERE vec_id % 100 = 0),
+base AS (SELECT vec_id AS bid, embedding AS bv, nrm AS bn FROM e),
+pairs AS (
+  SELECT qid, bid, qn, bn,
+    (SELECT SUM(CAST(qv[CAST(i AS INT)] AS DOUBLE) * CAST(bv[CAST(i AS INT)] AS DOUBLE))
+     FROM UNNEST(range(1, 65)) AS r(i)) AS dot
+  FROM q CROSS JOIN base WHERE qid <> bid
+), ranked AS (
+  SELECT qid, bid, ROUND(dot / (qn * bn), 4) AS cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY ROUND(dot / (qn * bn), 4) DESC, bid) AS rn
+  FROM pairs
+)
+SELECT qid, bid, cos_sim, CAST(rn AS INT) AS rank FROM ranked WHERE rn <= 5
+"""
+
+
+@q("ann_cosine_topk", _ANN_SQL)
+def ann_cosine_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = emb.select(F.col("vec_id").alias("bid"), v.alias("bv"))
+    qs = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"), v.alias("qv"))
+    pairs = qs.crossJoin(F.broadcast(base)).where(F.col("qid") != F.col("bid"))
+    dot = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("bv"), lambda a, b: a * b),
+        F.lit(0.0), lambda acc, x: acc + x)
+    nq = F.sqrt(F.aggregate(F.col("qv"), F.lit(0.0), lambda a, x: a + x * x))
+    nb = F.sqrt(F.aggregate(F.col("bv"), F.lit(0.0), lambda a, x: a + x * x))
+    p = pairs.withColumn("cos_sim", F.round(dot / (nq * nb), 4))
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.col("bid"))
+    return (
+        p.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 5).select("qid", "bid", "cos_sim", "rank")
+    )
+
+
+# ===================================================================
+# events time windows (batch incremental analog)
+# ===================================================================
+
+@q("event_time_windows", """
+SELECT CAST(date_part('year', ts) AS INT) AS y,
+       CAST(date_part('month', ts) AS INT) AS m,
+       CAST(date_part('day', ts) AS INT) AS d,
+       CAST(date_part('hour', ts) AS INT) AS h,
+       event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS total
+FROM events GROUP BY y, m, d, h, event_type
+""")
+def event_time_windows(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.year("ts").alias("y"), F.month("ts").alias("m"),
+        F.dayofmonth("ts").alias("d"), F.hour("ts").alias("h"),
+        "event_type",
+    ).agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
