@@ -1,0 +1,128 @@
+"""Benchmark harness — prints ONE JSON line with per-query seconds.
+
+Headline metrics (BASELINE.json): tiles/sec over a z0-z8 pyramid build
+from a geoparsed page corpus, and spatial-join rows/sec (feature->tile
+assignment join across zooms). Plus representative operator queries
+from the __spark_entry__ suite.
+
+env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS   (default 32),
+     BENCH_MAXZOOM      (default 8)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+MAXZOOM = int(os.environ.get("BENCH_MAXZOOM", "8"))
+
+
+def derive_pages(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pid = (F.col("doc_id") * 7 + 1) % 10000
+    lon = ((pid * 37).cast("double") % 344) - 172.0 + 0.1234567
+    lat = ((pid * 13).cast("double") % 136) - 68.0 + 0.0891011
+    pid2 = (F.col("doc_id") * 13 + 5) % 10000
+    lon2 = ((pid2 * 37).cast("double") % 344) - 172.0 + 0.1234567
+    lat2 = ((pid2 * 13).cast("double") % 136) - 68.0 + 0.0891011
+    m1 = F.format_string("Name_%d (%.5f; %.5f)", pid, lat, lon)
+    m2 = F.format_string("Name_%d (%.5f; %.5f)", pid2, lat2, lon2)
+    text = F.concat(F.col("text"), F.lit(" "), m1, F.lit(" near "), m2)
+    return docs.select(
+        F.format_string("https://example.org/doc/%d", F.col("doc_id")).alias("url"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        F.encode(text, "utf-8").alias("html"),
+        text.alias("text"),
+        F.col("lang"),
+    )
+
+
+def main():
+    from sparktiles.session import get_spark
+    from sparktiles.sources.geoparse import build_features
+    from sparktiles.operators.pyramid import assign_point_tiles_multi
+    from sparktiles.plans.config import FieldDef, LayerDef, TilesetDef
+    from sparktiles.plans.pipeline import BuildConfig, TileBuild, make_point_layer_frames
+    import sparktiles.queries as Q
+
+    spark = get_spark("sparktiles-bench", cpus=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    timings: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    # ---- geoparse + feature build (cached once, like the import stage)
+    t0 = time.time()
+    feats = build_features(derive_pages(spark, SF_DIR))
+    n_feats = feats.count()
+    feats = feats.cache()
+    feats.count()
+    timings["geoparse"] = round(time.time() - t0, 3)
+
+    # ---- spatial join: feature -> tile assignment across z0..MAXZOOM
+    t0 = time.time()
+    joined = assign_point_tiles_multi(feats, 0, MAXZOOM, buffer_px=8)
+    join_rows = joined.count()
+    dt = time.time() - t0
+    timings["spatial_join"] = round(dt, 3)
+    extra["spatial_join_rows_per_s"] = round(join_rows / dt, 1)
+    extra["spatial_join_rows"] = join_rows
+
+    # ---- full tile pyramid build z0..MAXZOOM with impute
+    tileset = TilesetDef(
+        name="bench",
+        layers=[LayerDef(id="place", fields=[FieldDef("name")], buffer_size=8)],
+        minzoom=0, maxzoom=MAXZOOM,
+    )
+    frames = make_point_layer_frames(feats, tileset)
+    store = tempfile.mkdtemp(prefix="sparktiles_bench_")
+    try:
+        t0 = time.time()
+        build = TileBuild(spark, frames, BuildConfig(
+            store_dir=store, minzoom=0, maxzoom=MAXZOOM,
+            mid_zoom=min(5, MAXZOOM)))
+        summary = build.build()
+        dt = time.time() - t0
+        timings["tile_pyramid"] = round(dt, 3)
+        extra["tiles"] = summary["tiles"]
+        extra["tiles_per_s"] = round(summary["tiles"] / dt, 1)
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+
+    # ---- representative operator queries
+    for name in [
+        "tile_assign_points", "pip_join_broadcast", "knn_join",
+        "dedup_exact", "dedup_minhash_lsh", "ann_cosine_topk",
+        "text_quality_score", "variance_stats",
+    ]:
+        fn = Q.QUERIES[name]
+        t0 = time.time()
+        fn(spark, SF_DIR).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "sparktiles_bench_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "cpus": CPUS,
+        "maxzoom": MAXZOOM,
+        "n_features": n_feats,
+        **extra,
+    }))
+
+
+if __name__ == "__main__":
+    main()
