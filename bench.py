@@ -91,7 +91,7 @@ def main():
         build = TileBuild(spark, frames, BuildConfig(
             store_dir=store, minzoom=0, maxzoom=MAXZOOM,
             mid_zoom=min(5, MAXZOOM)))
-        summary = build.build()
+        summary = build.build_fast()
         dt = time.time() - t0
         timings["tile_pyramid"] = round(dt, 3)
         extra["tiles"] = summary["tiles"]

@@ -204,10 +204,11 @@ def encode_layer_df(features: DataFrame, spec: LayerSpec) -> DataFrame:
             my = pdf["py"].to_numpy(dtype=float)
             ix, iy, keep = as_mvt_geom_points(mx, my, z, tx, ty, extent, mvt_buffer)
             idxs = np.nonzero(keep)[0]
+            attr_cols = [(k, t, pdf[k].to_numpy()) for k, t in attr_items]
+            fids = pdf[key_field].to_numpy() if key_field else None
             for i in idxs:
-                row = pdf.iloc[i]
-                attrs = {k: _attr_value(row[k], t) for k, t in attr_items}
-                fid = int(row[key_field]) if key_field else None
+                attrs = {k: _attr_value(vals[i], t) for k, t, vals in attr_cols}
+                fid = int(fids[i]) if fids is not None else None
                 geom = C.encode_geometry(
                     C.GEOM_POINT, [np.array([[ix[i], iy[i]]], dtype=np.int64)]
                 )

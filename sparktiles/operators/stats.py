@@ -1,0 +1,136 @@
+"""Statistics / reporting operators (SURVEY.md §2.4, A4-A13).
+
+Reference counterparts:
+- layer_stats frequency/variance/toplength -> bin/layer-stats:101-131
+- tile summary (decoded MVT per-layer stats) -> openmaptiles/utils.py:311-373
+- perf bucketing (ntile histogram)          -> openmaptiles/performance.py:216-252
+- min/max zoom + per-zoom tile ranges       -> mbtile_tools.py:219-233,353-356
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def frequency_stats(df: DataFrame, cols: list[str]) -> DataFrame:
+    """A4: SELECT cols, count(*) GROUP BY cols ORDER BY cols."""
+    return df.groupBy(*cols).agg(F.count("*").alias("cnt")).orderBy(*cols)
+
+
+def variance_stats(df: DataFrame, col: str, by: list[str] | None = None) -> DataFrame:
+    """A5: COUNT/MIN/MAX/AVG/STDDEV/VARIANCE per group."""
+    aggs = [
+        F.count(col).alias("cnt"),
+        F.min(col).alias("min"),
+        F.max(col).alias("max"),
+        F.avg(col).alias("avg"),
+        F.stddev(col).alias("stddev"),
+        F.variance(col).alias("variance"),
+    ]
+    return df.groupBy(*(by or [])).agg(*aggs)
+
+
+def toplength(df: DataFrame, col: str, n: int = 30) -> DataFrame:
+    """A13: DISTINCT values by length desc, top n (TakeOrderedAndProject)."""
+    return (
+        df.select(col).distinct()
+        .where(F.length(col) > 0)
+        .select(F.col(col).alias("val"), F.length(col).alias("len"))
+        .orderBy(F.desc("len"), "val")
+        .limit(n)
+    )
+
+
+def min_max_zoom(tile_map: DataFrame) -> DataFrame:
+    """A7: auto-minmax metadata (mbtile_tools.py:353-356)."""
+    return tile_map.agg(
+        F.min("zoom_level").alias("minzoom"), F.max("zoom_level").alias("maxzoom")
+    )
+
+
+def zoom_range_stats(tile_map: DataFrame) -> DataFrame:
+    """A8: per-zoom tile counts + coordinate extents."""
+    return tile_map.groupBy("zoom_level").agg(
+        F.count("*").alias("cnt"),
+        F.min("tile_column").alias("min_x"), F.max("tile_column").alias("max_x"),
+        F.min("tile_row").alias("min_y"), F.max("tile_row").alias("max_y"),
+    ).orderBy("zoom_level")
+
+
+def size_buckets(tiles: DataFrame, size_col: str = "size", buckets: int = 10) -> DataFrame:
+    """A10: sort by size, split into <=N ntile buckets, per-bucket
+    count/sum/min/max (performance.py:216-252)."""
+    w = Window.orderBy(F.col(size_col))
+    b = tiles.withColumn("bucket", F.ntile(buckets).over(w))
+    return b.groupBy("bucket").agg(
+        F.count("*").alias("cnt"),
+        F.sum(size_col).alias("total"),
+        F.min(size_col).alias("smallest"),
+        F.max(size_col).alias("largest"),
+    ).orderBy("bucket")
+
+
+def tile_summary(tile_images: DataFrame) -> DataFrame:
+    """A9: decode MVT blobs -> per-layer feature counts, geom-type
+    histogram, attr presence. Runs the pure-python decoder in
+    mapInPandas (the test/debug path, not the hot path — reference
+    debug-mvt / print_tile)."""
+    from sparktiles.functions import mvtcodec as C
+
+    def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                blob = bytes(r["tile_data"])
+                if not blob:
+                    continue
+                try:
+                    layers = C.decode_tile(blob)
+                except Exception:
+                    continue
+                for name, lyr in layers.items():
+                    feats = lyr["features"]
+                    type_hist = {}
+                    n_attr = 0
+                    for f in feats:
+                        type_hist[f["type"]] = type_hist.get(f["type"], 0) + 1
+                        n_attr += len(f["attrs"])
+                    rows.append({
+                        "tile_id": r["tile_id"],
+                        "layer": name,
+                        "n_features": len(feats),
+                        "n_points": type_hist.get(1, 0),
+                        "n_lines": type_hist.get(2, 0),
+                        "n_polys": type_hist.get(3, 0),
+                        "n_attrs": n_attr,
+                        "blob_bytes": len(blob),
+                    })
+            yield pd.DataFrame(rows, columns=[
+                "tile_id", "layer", "n_features", "n_points", "n_lines",
+                "n_polys", "n_attrs", "blob_bytes",
+            ]) if rows else pd.DataFrame({
+                "tile_id": pd.Series([], dtype=str),
+                "layer": pd.Series([], dtype=str),
+                "n_features": pd.Series([], dtype="int64"),
+                "n_points": pd.Series([], dtype="int64"),
+                "n_lines": pd.Series([], dtype="int64"),
+                "n_polys": pd.Series([], dtype="int64"),
+                "n_attrs": pd.Series([], dtype="int64"),
+                "blob_bytes": pd.Series([], dtype="int64"),
+            })
+
+    return tile_images.mapInPandas(
+        summarize,
+        "tile_id string, layer string, n_features long, n_points long, "
+        "n_lines long, n_polys long, n_attrs long, blob_bytes long",
+    )
+
+
+def find_duplicate_ids(df: DataFrame, id_col: str) -> DataFrame:
+    """O7: ids appearing more than once (validation, utils.py:197-200)."""
+    return df.groupBy(id_col).agg(F.count("*").alias("cnt")).where(F.col("cnt") > 1)

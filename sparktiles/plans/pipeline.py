@@ -136,6 +136,130 @@ class TileBuild:
             blobs = lb if blobs is None else blobs.unionByName(lb)
         return assemble_tiles(blobs, self.cfg.gzip_level)
 
+    def build_fast(self) -> dict:
+        """Two-phase build with identical output to build():
+
+        Phase 1 — ONE wide job: every layer's features are exploded to
+        all zooms (assign_point_tiles_multi), grouped once by (z,x,y)
+        into MVT blobs, and written partitioned by z. This replaces
+        per-zoom generation; valid because a tile that the impute loop
+        would generate gets exactly the same features either way (a
+        feature inside a child's buffered bbox is inside its parent's).
+
+        Phase 2 — per-zoom bookkeeping only (no geometry/MVT work):
+        the reference impute walk over map rows — children of duplicate
+        ('empty-ish') parents inherit tile_id; generated/empty rows for
+        the rest. Small-row joins; wall clock ∝ map rows, not tiles.
+        """
+        from sparktiles.operators.pyramid import assign_point_tiles_multi
+
+        cfg = self.cfg
+        empty_blob = empty_tile_blob(cfg.gzip_level)
+        empty_id = hashlib.md5(empty_blob).hexdigest()
+        t_start = time.time()
+        tiles_all_path = str(self.store / "tiles_all")
+
+        if not (self.store / "tiles_all" / "_SUCCESS").exists():
+            blobs = None
+            for spec, feats in self.layer_frames:
+                assigned = assign_point_tiles_multi(
+                    feats, cfg.minzoom, cfg.maxzoom, buffer_px=spec.buffer_px
+                )
+                lb = encode_layer_df(assigned, spec)
+                blobs = lb if blobs is None else blobs.unionByName(lb)
+            tiles = assemble_tiles(blobs, cfg.gzip_level)
+            tiles.write.mode("overwrite").partitionBy("z").parquet(tiles_all_path)
+
+        total_tiles = 0
+        for z in range(cfg.minzoom, cfg.maxzoom + 1):
+            if self._zoom_done(z):
+                continue
+            t0 = time.time()
+            tiles = (
+                self.spark.read.option("basePath", tiles_all_path)
+                .parquet(f"{tiles_all_path}/z={z}")
+                .select("z", "x", "y", "mvt", "tile_id")
+            )
+            gen_map = tiles.select(
+                F.col("z").alias("zoom_level"),
+                F.col("x").alias("tile_column"),
+                F.col("y").alias("tile_row"),
+                "tile_id",
+            )
+            if z <= cfg.mid_zoom or z == cfg.minzoom:
+                universe = tile_pyramid(self.spark, z, z, cfg.bounds_lonlat)
+                empties = universe.join(
+                    tiles.select("z", "x", "y"), ["z", "x", "y"], "left_anti"
+                ).select(
+                    F.col("z").alias("zoom_level"),
+                    F.col("x").alias("tile_column"),
+                    F.col("y").alias("tile_row"),
+                    F.lit(empty_id).alias("tile_id"),
+                )
+                map_rows = gen_map.unionByName(empties)
+                kept_tiles = tiles
+            else:
+                parents = self.read_tile_map(z - 1)
+                dups = dup_tile_ids(parents, z - 1)
+                imputed, gen_list = impute_children(parents, dups)
+                gen_map = gen_map.join(
+                    gen_list.select(
+                        F.col("z").alias("zoom_level"),
+                        F.col("x").alias("tile_column"),
+                        F.col("y").alias("tile_row"),
+                    ),
+                    ["zoom_level", "tile_column", "tile_row"],
+                    "left_semi",
+                )
+                gen_empties = gen_list.join(
+                    tiles.select("z", "x", "y"), ["z", "x", "y"], "left_anti"
+                ).select(
+                    F.col("z").alias("zoom_level"),
+                    F.col("x").alias("tile_column"),
+                    F.col("y").alias("tile_row"),
+                    F.lit(empty_id).alias("tile_id"),
+                )
+                map_rows = imputed.unionByName(gen_map).unionByName(gen_empties)
+                kept_tiles = tiles.join(
+                    gen_map.select(
+                        F.col("zoom_level").alias("z"),
+                        F.col("tile_column").alias("x"),
+                        F.col("tile_row").alias("y"),
+                    ),
+                    ["z", "x", "y"],
+                    "left_semi",
+                )
+
+            map_rows.write.mode("overwrite").parquet(self._map_path(z))
+            images = kept_tiles.select("tile_id", F.col("mvt").alias("tile_data")) \
+                .dropDuplicates(["tile_id"])
+            images = images.unionByName(
+                self.spark.createDataFrame(
+                    [(empty_id, bytearray(empty_blob))], "tile_id string, tile_data binary"
+                )
+            )
+            images.write.mode("overwrite").parquet(self._img_path(z))
+
+            agg = self.read_tile_map(z).agg(
+                F.count("*").alias("n"),
+                F.sum((F.col("tile_id") != empty_id).cast("int")).alias("ne"),
+            ).first()
+            stats = {"z": z, "n_tiles": agg["n"], "n_nonempty": agg["ne"] or 0,
+                     "wall_s": round(time.time() - t0, 3)}
+            self.metrics.append(stats)
+            self._mark_zoom(z, stats)
+            total_tiles += agg["n"]
+
+        wall = time.time() - t_start
+        summary = {
+            "tiles": total_tiles,
+            "wall_s": round(wall, 3),
+            "tiles_per_s": round(total_tiles / wall, 2) if wall > 0 else None,
+            "zooms": self.metrics,
+        }
+        (self.store / "metrics.json").write_text(json.dumps(summary, indent=1))
+        return summary
+
     def build(self) -> dict:
         """Run the full z loop; returns summary metrics."""
         cfg = self.cfg

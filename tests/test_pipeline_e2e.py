@@ -208,6 +208,28 @@ def test_impute_equals_direct(spark, pages, tileset, tmp_path):
     assert m1.exceptAll(m2).count() == 0
 
 
+def test_fast_build_equals_loop_build(spark, pages, tileset, tmp_path):
+    """build_fast (one-shot blob generation + per-zoom bookkeeping)
+    must produce the identical tile_map AND identical image bytes as
+    the faithful per-zoom loop."""
+    feats = build_features(pages).cache()
+    frames = make_point_layer_frames(feats, tileset)
+    slow = TileBuild(spark, frames, BuildConfig(
+        store_dir=str(tmp_path / "slow"), minzoom=0, maxzoom=4, mid_zoom=2))
+    fast = TileBuild(spark, frames, BuildConfig(
+        store_dir=str(tmp_path / "fast"), minzoom=0, maxzoom=4, mid_zoom=2))
+    slow.build()
+    fast.build_fast()
+    m1, m2 = slow.read_tile_map(), fast.read_tile_map()
+    assert m1.count() == m2.count()
+    assert m1.exceptAll(m2).count() == 0
+    i1 = {r.tile_id: bytes(r.tile_data) for r in slow.read_tile_images().collect()}
+    i2 = {r.tile_id: bytes(r.tile_data) for r in fast.read_tile_images().collect()}
+    used = {r.tile_id for r in m2.select("tile_id").distinct().collect()}
+    for tid in used:
+        assert i1[tid] == i2[tid]
+
+
 def test_resume_skips_completed_zooms(spark, pages, tileset, tmp_path):
     feats = build_features(pages).cache()
     frames = make_point_layer_frames(feats, tileset)
