@@ -115,8 +115,10 @@ class TileBuild:
         return out
 
     def read_tile_images(self) -> DataFrame:
-        zooms = sorted(int(k) for k in self._load_manifest()["zooms"])
-        dfs = [self.spark.read.parquet(self._img_path(z)) for z in zooms]
+        # per-zoom dirs (faithful loop) and/or the bulk dir (fast build)
+        root = self.store / "tile_images"
+        paths = [str(p) for p in sorted(root.iterdir()) if p.is_dir()]
+        dfs = [self.spark.read.parquet(p) for p in paths]
         out = dfs[0]
         for d in dfs[1:]:
             out = out.unionByName(d)
@@ -144,12 +146,18 @@ class TileBuild:
         into MVT blobs, and written partitioned by z. This replaces
         per-zoom generation; valid because a tile that the impute loop
         would generate gets exactly the same features either way (a
-        feature inside a child's buffered bbox is inside its parent's).
+        feature inside a child's buffered bbox is inside its parent's
+        buffered bbox — buffers double in meters per zoom step down).
 
-        Phase 2 — per-zoom bookkeeping only (no geometry/MVT work):
-        the reference impute walk over map rows — children of duplicate
-        ('empty-ish') parents inherit tile_id; generated/empty rows for
-        the rest. Small-row joins; wall clock ∝ map rows, not tiles.
+        Phase 2 — bookkeeping only, batched for job-count:
+        (a) zooms [min..mid] have no inter-zoom dependency: all their
+            map rows (generated + empty-universe) are written in ONE
+            job;
+        (b) zooms (mid..max] run the reference impute walk (children
+            of duplicate parents inherit tile_id, the rest generate) —
+            inherently sequential, one small-row job per zoom;
+        (c) ONE final job materializes tile_images (tiles_all semi-join
+            on the tile_ids the map references) and per-zoom stats.
         """
         from sparktiles.operators.pyramid import assign_point_tiles_multi
 
@@ -159,6 +167,15 @@ class TileBuild:
         t_start = time.time()
         tiles_all_path = str(self.store / "tiles_all")
 
+        def as_map(df):
+            return df.select(
+                F.col("z").alias("zoom_level"),
+                F.col("x").alias("tile_column"),
+                F.col("y").alias("tile_row"),
+                "tile_id",
+            )
+
+        # ---- phase 1: all non-empty tiles, one shuffle
         if not (self.store / "tiles_all" / "_SUCCESS").exists():
             blobs = None
             for spec, feats in self.layer_frames:
@@ -170,85 +187,101 @@ class TileBuild:
             tiles = assemble_tiles(blobs, cfg.gzip_level)
             tiles.write.mode("overwrite").partitionBy("z").parquet(tiles_all_path)
 
-        total_tiles = 0
-        for z in range(cfg.minzoom, cfg.maxzoom + 1):
-            if self._zoom_done(z):
-                continue
-            t0 = time.time()
-            tiles = (
+        def tiles_at(z):
+            return (
                 self.spark.read.option("basePath", tiles_all_path)
                 .parquet(f"{tiles_all_path}/z={z}")
                 .select("z", "x", "y", "mvt", "tile_id")
             )
-            gen_map = tiles.select(
+
+        def tiles_range(z0, z1):
+            return (
+                self.spark.read.option("basePath", tiles_all_path)
+                .parquet(tiles_all_path)
+                .where((F.col("z") >= z0) & (F.col("z") <= z1))
+                .select("z", "x", "y", "mvt", "tile_id")
+            )
+
+        # ---- phase 2a: zooms [min..mid] in one job
+        mid = min(cfg.mid_zoom, cfg.maxzoom)
+        low_done = all(self._zoom_done(z) for z in range(cfg.minzoom, mid + 1))
+        if not low_done:
+            low = tiles_range(cfg.minzoom, mid)
+            universe = tile_pyramid(self.spark, cfg.minzoom, mid, cfg.bounds_lonlat)
+            empties = universe.join(
+                low.select("z", "x", "y"), ["z", "x", "y"], "left_anti"
+            ).select(
                 F.col("z").alias("zoom_level"),
                 F.col("x").alias("tile_column"),
                 F.col("y").alias("tile_row"),
-                "tile_id",
+                F.lit(empty_id).alias("tile_id"),
             )
-            if z <= cfg.mid_zoom or z == cfg.minzoom:
-                universe = tile_pyramid(self.spark, z, z, cfg.bounds_lonlat)
-                empties = universe.join(
-                    tiles.select("z", "x", "y"), ["z", "x", "y"], "left_anti"
-                ).select(
-                    F.col("z").alias("zoom_level"),
-                    F.col("x").alias("tile_column"),
-                    F.col("y").alias("tile_row"),
-                    F.lit(empty_id).alias("tile_id"),
-                )
-                map_rows = gen_map.unionByName(empties)
-                kept_tiles = tiles
-            else:
-                parents = self.read_tile_map(z - 1)
-                dups = dup_tile_ids(parents, z - 1)
-                imputed, gen_list = impute_children(parents, dups)
-                gen_map = gen_map.join(
-                    gen_list.select(
-                        F.col("z").alias("zoom_level"),
-                        F.col("x").alias("tile_column"),
-                        F.col("y").alias("tile_row"),
-                    ),
-                    ["zoom_level", "tile_column", "tile_row"],
-                    "left_semi",
-                )
-                gen_empties = gen_list.join(
-                    tiles.select("z", "x", "y"), ["z", "x", "y"], "left_anti"
-                ).select(
-                    F.col("z").alias("zoom_level"),
-                    F.col("x").alias("tile_column"),
-                    F.col("y").alias("tile_row"),
-                    F.lit(empty_id).alias("tile_id"),
-                )
-                map_rows = imputed.unionByName(gen_map).unionByName(gen_empties)
-                kept_tiles = tiles.join(
-                    gen_map.select(
-                        F.col("zoom_level").alias("z"),
-                        F.col("tile_column").alias("x"),
-                        F.col("tile_row").alias("y"),
-                    ),
-                    ["z", "x", "y"],
-                    "left_semi",
-                )
+            low_map = as_map(low).unionByName(empties)
+            low_map.write.mode("overwrite").parquet(self._map_path(-1))
+            # split the bulk write into the per-zoom layout expected by
+            # read_tile_map / resume (cheap: one read + per-zoom write)
+            bulk = self.spark.read.schema(MAP_SCHEMA).parquet(self._map_path(-1))
+            for z in range(cfg.minzoom, mid + 1):
+                bulk.where(F.col("zoom_level") == z).write.mode("overwrite").parquet(
+                    self._map_path(z))
+                self._mark_zoom(z, {"z": z})
 
+        # ---- phase 2b: impute walk for zooms (mid..max]
+        for z in range(mid + 1, cfg.maxzoom + 1):
+            if self._zoom_done(z):
+                continue
+            parents = self.read_tile_map(z - 1)
+            dups = dup_tile_ids(parents, z - 1)
+            imputed, gen_list = impute_children(parents, dups)
+            tiles = tiles_at(z)
+            gen_map = as_map(tiles).join(
+                gen_list.select(
+                    F.col("z").alias("zoom_level"),
+                    F.col("x").alias("tile_column"),
+                    F.col("y").alias("tile_row"),
+                ),
+                ["zoom_level", "tile_column", "tile_row"],
+                "left_semi",
+            )
+            gen_empties = gen_list.join(
+                tiles.select("z", "x", "y"), ["z", "x", "y"], "left_anti"
+            ).select(
+                F.col("z").alias("zoom_level"),
+                F.col("x").alias("tile_column"),
+                F.col("y").alias("tile_row"),
+                F.lit(empty_id).alias("tile_id"),
+            )
+            map_rows = imputed.unionByName(gen_map).unionByName(gen_empties)
             map_rows.write.mode("overwrite").parquet(self._map_path(z))
-            images = kept_tiles.select("tile_id", F.col("mvt").alias("tile_data")) \
-                .dropDuplicates(["tile_id"])
-            images = images.unionByName(
-                self.spark.createDataFrame(
-                    [(empty_id, bytearray(empty_blob))], "tile_id string, tile_data binary"
-                )
-            )
-            images.write.mode("overwrite").parquet(self._img_path(z))
+            self._mark_zoom(z, {"z": z})
 
-            agg = self.read_tile_map(z).agg(
+        # ---- phase 2c: images + per-zoom stats, one job each
+        all_map = self.read_tile_map()
+        used_ids = all_map.select("tile_id").distinct()
+        images = (
+            tiles_range(cfg.minzoom, cfg.maxzoom)
+            .select("tile_id", F.col("mvt").alias("tile_data"))
+            .join(used_ids, "tile_id", "left_semi")
+            .dropDuplicates(["tile_id"])
+            .unionByName(self.spark.createDataFrame(
+                [(empty_id, bytearray(empty_blob))],
+                "tile_id string, tile_data binary"))
+        )
+        images.write.mode("overwrite").parquet(str(self.store / "tile_images" / "all"))
+        zstats = {
+            int(r.zoom_level): r
+            for r in all_map.groupBy("zoom_level").agg(
                 F.count("*").alias("n"),
                 F.sum((F.col("tile_id") != empty_id).cast("int")).alias("ne"),
-            ).first()
-            stats = {"z": z, "n_tiles": agg["n"], "n_nonempty": agg["ne"] or 0,
-                     "wall_s": round(time.time() - t0, 3)}
+            ).collect()
+        }
+        total_tiles = 0
+        for z in range(cfg.minzoom, cfg.maxzoom + 1):
+            r = zstats.get(z)
+            stats = {"z": z, "n_tiles": int(r.n), "n_nonempty": int(r.ne or 0)}
             self.metrics.append(stats)
             self._mark_zoom(z, stats)
-            total_tiles += agg["n"]
+            total_tiles += int(r.n)
 
         wall = time.time() - t_start
         summary = {
