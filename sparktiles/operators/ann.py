@@ -1,0 +1,158 @@
+"""Approximate-nearest-neighbor search over embedding columns.
+
+- brute_force_topk: exact cosine top-k — broadcast the query side,
+  dot products via zip_with/aggregate (JVM higher-order functions,
+  no Python), window top-k. The correctness baseline.
+- lsh_topk: random-hyperplane LSH — embeddings bucketed by the sign
+  pattern of h deterministic pseudo-random hyperplanes; candidates =
+  bucket collisions across b bands; exact re-rank inside candidates.
+  The scale path: shuffle ∝ candidates, not |Q|x|B|.
+- ivf_topk: IVF-style coarse quantization — k-means-free variant using
+  deterministic seed centroids (sampled rows), assign to nearest
+  centroid, probe the p nearest centroids per query, exact re-rank.
+
+Hyperplanes/centroids derive from xxhash64 arithmetic — deterministic,
+no RNG, cluster-reproducible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0),
+                       lambda acc, v: acc + v)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def brute_force_topk(
+    queries: DataFrame, base: DataFrame, k: int,
+    qid: str = "qid", bid: str = "bid",
+    qvec: str = "qv", bvec: str = "bv",
+) -> DataFrame:
+    """Exact cosine top-k; query side broadcast (typical: few queries
+    against a huge base — the base never shuffles, one scan)."""
+    pairs = base.crossJoin(F.broadcast(queries)).where(F.col(qid) != F.col(bid))
+    qv, bv = _as_double(F.col(qvec)), _as_double(F.col(bvec))
+    cos = _dot(qv, bv) / (_norm(qv) * _norm(bv))
+    w = Window.partitionBy(qid).orderBy(F.desc("cos_sim"), F.col(bid))
+    return (
+        pairs.withColumn("cos_sim", cos)
+        .withColumn("ann_rank", F.row_number().over(w))
+        .where(F.col("ann_rank") <= k)
+        .select(qid, bid, "cos_sim", "ann_rank")
+    )
+
+
+def _hyperplane(dim: int, plane: int, band: int):
+    """Deterministic pseudo-random unit-ish hyperplane as an array
+    column: component j = hash-derived value in [-1, 1)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: (
+            F.pmod(F.xxhash64(F.lit(plane * 7919 + band * 104729), j), F.lit(2_000_000))
+            .cast("double") / F.lit(1_000_000.0) - F.lit(1.0)
+        ),
+    )
+
+
+def lsh_signature(vec, dim: int, planes: int, band: int):
+    """Sign pattern of `planes` hyperplane projections packed into a long."""
+    sig = F.lit(0).cast("long")
+    for p in range(planes):
+        h = _hyperplane(dim, p, band)
+        proj = _dot(vec, h)
+        sig = sig + F.when(proj >= 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0))
+    return sig
+
+
+def lsh_topk(
+    queries: DataFrame, base: DataFrame, k: int, dim: int,
+    planes: int = 8, bands: int = 4,
+    qid: str = "qid", bid: str = "bid", qvec: str = "qv", bvec: str = "bv",
+) -> DataFrame:
+    """Random-hyperplane LSH: candidates = same (band, signature) in any
+    band; exact cosine re-rank within candidates. Recall grows with
+    `bands`; shuffle cost ∝ collisions."""
+    qv, bv = _as_double(F.col(qvec)), _as_double(F.col(bvec))
+    qsig = queries.select(
+        qid, qvec,
+        *[lsh_signature(qv, dim, planes, b).alias(f"sig{b}") for b in range(bands)],
+    )
+    bsig = base.select(
+        bid, bvec,
+        *[lsh_signature(bv, dim, planes, b).alias(f"sig{b}") for b in range(bands)],
+    )
+    cand = None
+    for b in range(bands):
+        qb = qsig.select(qid, qvec, F.col(f"sig{b}").alias("sig"), F.lit(b).alias("band"))
+        bb = bsig.select(bid, bvec, F.col(f"sig{b}").alias("sig"), F.lit(b).alias("band"))
+        j = qb.join(bb, ["band", "sig"]).drop("band", "sig")
+        cand = j if cand is None else cand.unionByName(j)
+    cand = cand.dropDuplicates([qid, bid]).where(F.col(qid) != F.col(bid))
+    cos = _dot(_as_double(F.col(qvec)), _as_double(F.col(bvec))) / (
+        _norm(_as_double(F.col(qvec))) * _norm(_as_double(F.col(bvec))))
+    w = Window.partitionBy(qid).orderBy(F.desc("cos_sim"), F.col(bid))
+    return (
+        cand.withColumn("cos_sim", cos)
+        .withColumn("ann_rank", F.row_number().over(w))
+        .where(F.col("ann_rank") <= k)
+        .select(qid, bid, "cos_sim", "ann_rank")
+    )
+
+
+def ivf_topk(
+    queries: DataFrame, base: DataFrame, k: int,
+    n_centroids: int = 16, n_probe: int = 4,
+    qid: str = "qid", bid: str = "bid", qvec: str = "qv", bvec: str = "bv",
+) -> DataFrame:
+    """IVF-style: centroids = deterministic sample of base rows (ids with
+    the smallest xxhash64 — reproducible); every base vector assigned to
+    its nearest centroid (one broadcast pass); each query probes its
+    `n_probe` nearest centroids; exact re-rank within probed cells."""
+    cents = (
+        base.withColumn("_h", F.xxhash64(F.col(bid)))
+        .orderBy("_h").limit(n_centroids)
+        .select(F.col(bid).alias("cid"), F.col(bvec).alias("cv"))
+    )
+    bv = _as_double(F.col(bvec))
+    cv = _as_double(F.col("cv"))
+    cos_bc = _dot(bv, cv) / (_norm(bv) * _norm(cv))
+    w_assign = Window.partitionBy(bid).orderBy(F.desc("_sim"), F.col("cid"))
+    assigned = (
+        base.crossJoin(F.broadcast(cents))
+        .withColumn("_sim", cos_bc)
+        .withColumn("_r", F.row_number().over(w_assign))
+        .where(F.col("_r") == 1)
+        .select(bid, bvec, "cid")
+    )
+    qv = _as_double(F.col(qvec))
+    cos_qc = _dot(qv, cv) / (_norm(qv) * _norm(cv))
+    w_probe = Window.partitionBy(qid).orderBy(F.desc("_sim"), F.col("cid"))
+    probes = (
+        queries.crossJoin(F.broadcast(cents))
+        .withColumn("_sim", cos_qc)
+        .withColumn("_r", F.row_number().over(w_probe))
+        .where(F.col("_r") <= n_probe)
+        .select(qid, qvec, "cid")
+    )
+    cand = probes.join(assigned, "cid").where(F.col(qid) != F.col(bid))
+    cos = _dot(_as_double(F.col(qvec)), _as_double(F.col(bvec))) / (
+        _norm(_as_double(F.col(qvec))) * _norm(_as_double(F.col(bvec))))
+    w = Window.partitionBy(qid).orderBy(F.desc("cos_sim"), F.col(bid))
+    return (
+        cand.withColumn("cos_sim", cos)
+        .withColumn("ann_rank", F.row_number().over(w))
+        .where(F.col("ann_rank") <= k)
+        .select(qid, bid, "cos_sim", "ann_rank")
+    )

@@ -149,6 +149,62 @@ def as_mvt_geom(
     return None
 
 
+# ------------------------------------------------------------- grouped map
+
+def grouped_map_sorted(
+    df: DataFrame,
+    keys: list[str],
+    fn,
+    out_schema: str,
+    sort_extra: list[str] | None = None,
+):
+    """applyInPandas-equivalent with per-BATCH (not per-group) Python
+    overhead: repartition on the keys, sort within partitions, then
+    mapInPandas where each Arrow batch is split into contiguous key
+    groups (`fn(group_pdf) -> list[tuple]`). Groups spanning batch
+    boundaries are carried over to the next batch.
+
+    For tile workloads (millions of tiny (z,x,y) groups) this is ~10x
+    cheaper than groupBy().applyInPandas's per-group invocation cost.
+    """
+    import pandas as pd
+
+    part = df.repartition(*[F.col(k) for k in keys]).sortWithinPartitions(
+        *(keys + (sort_extra or []))
+    )
+
+    cols = [s.strip().split()[0].strip("`") for s in out_schema.split(",")]
+
+    def run(batches):
+        leftover = None
+        for pdf in batches:
+            if leftover is not None and len(leftover):
+                pdf = pd.concat([leftover, pdf], ignore_index=True)
+                leftover = None
+            if not len(pdf):
+                continue
+            # hold back the last key group (it may continue next batch)
+            last_key = tuple(pdf.iloc[-1][k] for k in keys)
+            mask = pd.Series(True, index=pdf.index)
+            for k, v in zip(keys, last_key):
+                mask &= pdf[k] == v
+            leftover = pdf[mask]
+            head = pdf[~mask]
+            rows = []
+            for _, g in head.groupby(keys, sort=False):
+                rows.extend(fn(g))
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
+        if leftover is not None and len(leftover):
+            rows = []
+            for _, g in leftover.groupby(keys, sort=False):
+                rows.extend(fn(g))
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
+
+    return part.mapInPandas(run, out_schema)
+
+
 # ------------------------------------------------------------- layer encode
 
 @dataclass
@@ -195,9 +251,8 @@ def encode_layer_df(features: DataFrame, spec: LayerSpec) -> DataFrame:
     key_field = spec.key_field
     kind = spec.geometry_kind
 
-    def encode(pdf: pd.DataFrame) -> pd.DataFrame:
+    def encode(pdf: pd.DataFrame) -> list[tuple]:
         z = int(pdf["z"].iloc[0]); tx = int(pdf["x"].iloc[0]); ty = int(pdf["y"].iloc[0])
-        pdf = pdf.sort_values("feature_id", kind="mergesort")
         feats = []
         if kind == "point":
             mx = pdf["px"].to_numpy(dtype=float)
@@ -223,20 +278,14 @@ def encode_layer_df(features: DataFrame, spec: LayerSpec) -> DataFrame:
                 fid = int(row[key_field]) if key_field else None
                 feats.append((fid, attrs, mg[0], C.encode_geometry(mg[0], mg[1])))
         if not feats:
-            return pd.DataFrame(
-                {"z": pd.Series([], dtype="int32"), "x": pd.Series([], dtype="int64"),
-                 "y": pd.Series([], dtype="int64"),
-                 "layer_index": pd.Series([], dtype="int32"),
-                 "mvtl": pd.Series([], dtype=object)}
-            )
+            return []
         blob = C.encode_layer(layer_id, feats, extent)
-        return pd.DataFrame(
-            {"z": [z], "x": [tx], "y": [ty], "layer_index": [layer_index],
-             "mvtl": [blob]}
-        )
+        return [(z, tx, ty, layer_index, blob)]
 
-    return features.groupBy("z", "x", "y").applyInPandas(
-        encode, "z int, x long, y long, layer_index int, mvtl binary"
+    return grouped_map_sorted(
+        features, ["z", "x", "y"], encode,
+        "z int, x long, y long, layer_index int, mvtl binary",
+        sort_extra=["feature_id"],
     )
 
 
@@ -247,19 +296,19 @@ def assemble_tiles(layer_blobs: DataFrame, gzip_level: int | None = None) -> Dat
     (reference sqltomvt.py:104-140). Input: z,x,y,layer_index,mvtl.
     Output: z,x,y,mvt binary,tile_id string (md5 hex)."""
 
-    def concat(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("layer_index", kind="mergesort")
+    def concat(pdf: pd.DataFrame) -> list[tuple]:
         blob = b"".join(bytes(b) for b in pdf["mvtl"])
         if gzip_level is not None:
             blob = C.gzip_blob(blob, gzip_level)
-        return pd.DataFrame({
-            "z": [int(pdf["z"].iloc[0])], "x": [int(pdf["x"].iloc[0])],
-            "y": [int(pdf["y"].iloc[0])], "mvt": [blob],
-            "tile_id": [hashlib.md5(blob).hexdigest()],
-        })
+        return [(
+            int(pdf["z"].iloc[0]), int(pdf["x"].iloc[0]), int(pdf["y"].iloc[0]),
+            blob, hashlib.md5(blob).hexdigest(),
+        )]
 
-    return layer_blobs.groupBy("z", "x", "y").applyInPandas(
-        concat, "z int, x long, y long, mvt binary, tile_id string"
+    return grouped_map_sorted(
+        layer_blobs, ["z", "x", "y"], concat,
+        "z int, x long, y long, mvt binary, tile_id string",
+        sort_extra=["layer_index"],
     )
 
 

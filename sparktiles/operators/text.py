@@ -1,0 +1,242 @@
+"""Large-scale training-data text operators.
+
+Dedup family (each also exposed as an oracle-checked query in
+sparktiles/queries.py):
+- exact_dedup          hash-groupBy on content
+- minhash_signatures / lsh_buckets / minhash_dedup
+                       shingle -> minhash -> band -> bucket-join;
+                       portable minhash = lexicographic min of seeded
+                       md5 so any engine reproduces the signatures
+- simhash              64-bit simhash over token hashes (xxhash64
+                       JVM-side; hamming-distance candidate pairs via
+                       band buckets)
+- ngram_jaccard_pairs  token-set Jaccard over blocked candidates
+
+Analysis family:
+- language_id          n-gram/stopword-profile heuristic (pure column
+                       math; no model dependency)
+- quality_scores       length/punctuation/stopword/token-length stats
+- token_counts         whitespace + regex word tokenization counts
+- fingerprint          winnowing-style min-hash of char shingles
+
+All operators are DataFrame->DataFrame, shuffle only on their group
+keys, and keep heavy work in JVM built-ins (higher-order functions) —
+no Python UDFs in any of them except none at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# ------------------------------------------------------------------ dedup
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact content dedup: md5 groupBy, min id wins (deterministic)."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(F.min(id_col).alias("canonical_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+             k: int = 3) -> DataFrame:
+    """Distinct k-token shingles per doc (higher-order fns, no UDF)."""
+    toks = F.split(F.col(text_col), " ")
+    base = df.select(F.col(id_col).alias("doc_id"), toks.alias("t")).where(
+        F.size("t") >= k)
+    def shingle(i):
+        out = F.element_at(F.col("t"), i)
+        for j in range(1, k):
+            out = F.concat(out, F.lit(" "), F.element_at(F.col("t"), i + j))
+        return out
+
+    return base.select(
+        "doc_id",
+        F.explode(
+            F.transform(F.sequence(F.lit(1), F.size("t") - (k - 1)), shingle)
+        ).alias("s"),
+    ).distinct()
+
+
+def minhash_signatures(df: DataFrame, n_hashes: int = 8, text_col: str = "text",
+                       id_col: str = "doc_id", k: int = 3) -> DataFrame:
+    """Portable minhash: h_i(doc) = min over shingles of md5(i || s)."""
+    sh = shingles(df, text_col, id_col, k)
+    return sh.groupBy("doc_id").agg(
+        *[F.min(F.md5(F.concat(F.lit(str(i)), F.col("s")))).alias(f"h{i}")
+          for i in range(n_hashes)]
+    )
+
+
+def lsh_buckets(sigs: DataFrame, band_size: int = 2) -> DataFrame:
+    """Band the signature columns; one output row per (band, signature)
+    bucket; bucket_size > 1 -> near-dup candidates."""
+    hcols = [c for c in sigs.columns if c.startswith("h")]
+    bands = [hcols[i: i + band_size] for i in range(0, len(hcols), band_size)]
+    out = None
+    for bi, cols in enumerate(bands):
+        b = sigs.select(
+            F.lit(bi).alias("band"),
+            F.concat(*[F.col(c) for c in cols]).alias("signature"),
+            "doc_id",
+        )
+        out = b if out is None else out.unionByName(b)
+    return out.groupBy("band", "signature").agg(
+        F.count("*").alias("bucket_size"),
+        F.min("doc_id").alias("canonical_id"),
+        F.collect_list("doc_id").alias("members"),
+    )
+
+
+def minhash_dedup(df: DataFrame, n_hashes: int = 8, band_size: int = 2,
+                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """doc_id -> canonical_id mapping: a doc maps to the smallest id it
+    shares any LSH band bucket with (one sweep, no iteration)."""
+    sigs = minhash_signatures(df, n_hashes, text_col, id_col)
+    buckets = lsh_buckets(sigs, band_size)
+    pairs = buckets.where(F.col("bucket_size") > 1).select(
+        F.explode("members").alias("doc_id"), "canonical_id"
+    )
+    return pairs.groupBy("doc_id").agg(F.min("canonical_id").alias("canonical_id"))
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash: per token, xxhash64; each bit votes +1/-1; sign of
+    the vote sum per bit position forms the fingerprint. All JVM-side:
+    explode tokens -> per-bit contribution via aggregate over 64 bits.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    ).where(F.col("tok") != "")
+    h = toks.withColumn("h", F.xxhash64("tok"))
+    # one row per (doc, bit): vote = +1 if bit set else -1
+    bits = h.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("bit"),
+        "h",
+    ).withColumn(
+        "vote", F.when(F.expr("(shiftright(h, bit) & 1) = 1"), 1).otherwise(-1)
+    )
+    agg = bits.groupBy("doc_id", "bit").agg(F.sum("vote").alias("v"))
+    return agg.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("v") > 0, F.expr("shiftleft(1L, bit)")).otherwise(F.lit(0))
+        ).alias("simhash")
+    )
+
+
+def hamming_candidates(sims: DataFrame, prefix_bits: int = 16) -> DataFrame:
+    """Block simhashes by their top `prefix_bits` bits; pairs within a
+    block are near-dup candidates (cheap stand-in for multi-probe)."""
+    blocked = sims.withColumn(
+        "block", F.expr(f"shiftright(simhash, {64 - prefix_bits})")
+    )
+    a, b = blocked.alias("a"), blocked.alias("b")
+    return (
+        a.join(b, (F.col("a.block") == F.col("b.block"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(df: DataFrame, block_cols: list[str],
+                        text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Token-set Jaccard within candidate blocks (J = |A∩B|/|A∪B|)."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), *block_cols,
+        F.array_distinct(F.split(F.col(text_col), " ")).alias("ts"),
+    )
+    a, b = toks.alias("a"), toks.alias("b")
+    cond = F.col("a.doc_id") < F.col("b.doc_id")
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    inter = F.size(F.array_intersect(F.col("a.ts"), F.col("b.ts")))
+    union = F.size(F.col("a.ts")) + F.size(F.col("b.ts")) - inter
+    return a.join(b, cond).select(
+        F.col("a.doc_id").alias("id_a"),
+        F.col("b.doc_id").alias("id_b"),
+        (inter.cast("double") / union).alias("jaccard"),
+    )
+
+
+# ------------------------------------------------------------------ analysis
+
+_PROFILES = {
+    "en": ["the", "and", "of", "to", "a", "in", "is"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein"],
+    "fr": ["le", "la", "et", "les", "des", "est", "un"],
+    "es": ["el", "la", "de", "que", "los", "es", "un"],
+}
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-profile language heuristic: score per language =
+    fraction of tokens in that language's stopword list; argmax wins,
+    'und' (undetermined) when all scores are 0."""
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    scores = []
+    for lang, words in _PROFILES.items():
+        wl = F.array(*[F.lit(w) for w in words])
+        s = F.size(F.filter(toks, lambda x: F.array_contains(wl, x)))
+        scores.append(F.struct(
+            (s.cast("double") / F.size(toks)).alias("score"), F.lit(lang).alias("lang")
+        ))
+    best = F.array_max(F.array(*scores))
+    return df.withColumn(
+        "lang_pred",
+        F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und")),
+    ).withColumn("lang_score", F.round(best["score"], 4))
+
+
+def quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation-ratio / stopword-ratio / avg-token-length —
+    the standard web-text quality gates."""
+    toks = F.split(F.col(text_col), " ")
+    stop = F.array(*[F.lit(w) for w in _PROFILES["en"]])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop, x)))
+    n_punct = F.length(F.regexp_replace(F.col(text_col), r"[^\.,;:!?]", ""))
+    return (
+        df.withColumn("n_chars_q", F.length(text_col))
+        .withColumn("n_tokens", F.size(toks))
+        .withColumn("stopword_ratio", F.round(n_stop / F.size(toks), 4))
+        .withColumn("punct_ratio", F.round(n_punct / F.length(text_col), 4))
+        .withColumn(
+            "avg_token_len", F.round(F.length(text_col) / F.size(toks), 4))
+        .withColumn(
+            "quality_ok",
+            (F.col("n_tokens") >= 5) & (F.col("punct_ratio") < 0.2)
+            & (F.col("avg_token_len").between(2.0, 20.0)),
+        )
+    )
+
+
+def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace tokens + BPE-ish regex word tokens per row."""
+    return df.withColumn(
+        "ws_tokens", F.size(F.split(F.col(text_col), " "))
+    ).withColumn(
+        "word_tokens",
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"[A-Za-z0-9]+"), F.lit(0))),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                window: int = 16, stride: int = 8) -> DataFrame:
+    """Winnowing-style doc fingerprint: min md5 over strided char
+    shingles (deterministic, engine-portable)."""
+    idx = F.explode(F.sequence(F.lit(1), F.lit(1 + stride * 24), F.lit(stride)))
+    e = df.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t"),
+        F.length(text_col).alias("_L"), idx.alias("i"),
+    ).where(F.col("i") + window <= F.col("_L") + 1)
+    return e.groupBy("doc_id").agg(
+        F.min(F.md5(F.expr(f"substr(_t, i, {window})"))).alias("fingerprint")
+    )

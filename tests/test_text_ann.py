@@ -1,0 +1,141 @@
+"""Text-pipeline + ANN operator tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparktiles.operators import ann as A
+from sparktiles.operators import text as T
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def test_exact_dedup(spark, docs):
+    # add known duplicates
+    dupes = docs.limit(5).withColumn("doc_id", F.col("doc_id") + 100000)
+    d = docs.unionByName(dupes)
+    out = T.exact_dedup(d)
+    assert out.where(F.col("n_copies") >= 2).count() >= 5
+    # canonical is the smaller id
+    r = out.where(F.col("n_copies") >= 2).agg(F.max("canonical_id")).first()[0]
+    assert r < 100000
+
+
+def test_minhash_finds_near_duplicates(spark, docs):
+    # append a tiny suffix: texts share almost all shingles
+    near = docs.limit(10).withColumn("doc_id", F.col("doc_id") + 200000) \
+        .withColumn("text", F.concat(F.col("text"), F.lit(" suffix")))
+    d = docs.unionByName(near)
+    mapping = T.minhash_dedup(d, n_hashes=8, band_size=2)
+    # each near-dup doc should map to its source (smaller id)
+    hits = mapping.where(
+        (F.col("doc_id") >= 200000) & (F.col("canonical_id") == F.col("doc_id") - 200000)
+    ).count()
+    assert hits >= 8  # most bands collide on near-identical shingle sets
+
+
+def test_simhash_and_hamming(spark, docs):
+    near = docs.limit(5).withColumn("doc_id", F.col("doc_id") + 300000) \
+        .withColumn("text", F.concat(F.col("text"), F.lit(" x")))
+    d = docs.limit(50).unionByName(near)
+    sims = T.simhash(d)
+    assert sims.count() == 55
+    cands = A.F.broadcast if False else None
+    pairs = T.hamming_candidates(sims, prefix_bits=8)
+    close = pairs.where(
+        (F.col("id_b") - F.col("id_a") == 300000) & (F.col("hamming") <= 6)
+    ).count()
+    assert close >= 3  # near-identical docs have tiny hamming distance
+
+
+def test_language_id(spark):
+    d = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of the house is in a tree"),
+            (2, "der hund und die katze ist nicht das problem"),
+            (3, "le chat et la maison est un des animaux"),
+            (4, "xyzzy qwerty asdf"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.lang_pred for r in T.language_id(d).collect()}
+    assert out[1] == "en" and out[2] == "de" and out[3] == "fr" and out[4] == "und"
+
+
+def test_quality_scores(spark, docs):
+    out = T.quality_scores(docs)
+    row = out.first()
+    assert row.n_tokens > 0 and 0 <= row.stopword_ratio <= 1
+    assert out.where(F.col("quality_ok")).count() > 0
+
+
+def test_token_counts(spark, docs):
+    out = T.token_counts(docs).agg(
+        F.sum("ws_tokens").alias("a"), F.sum("word_tokens").alias("b")).first()
+    assert out.a > 0 and out.b > 0
+
+
+def test_fingerprint_stable(spark, docs):
+    f1 = {r.doc_id: r.fingerprint for r in T.fingerprint(docs).collect()}
+    f2 = {r.doc_id: r.fingerprint for r in T.fingerprint(docs).collect()}
+    assert f1 == f2 and len(f1) == docs.count()
+
+
+@pytest.fixture(scope="module")
+def qb(emb):
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = emb.select(F.col("vec_id").alias("bid"), v.alias("bv"))
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), v.alias("qv"))
+    return queries.cache(), base.cache()
+
+
+def test_brute_force_topk_matches_numpy(spark, emb, qb):
+    import numpy as np
+
+    queries, base = qb
+    got = A.brute_force_topk(queries, base, k=5)
+    rows = got.collect()
+    data = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+            for r in emb.collect()}
+    for qid in range(10):
+        q = data[qid]
+        sims = []
+        for bid, v in data.items():
+            if bid == qid:
+                continue
+            c = float(q @ v / (np.linalg.norm(q) * np.linalg.norm(v)))
+            sims.append((-c, bid))
+        exp = [bid for _, bid in sorted(sims)[:5]]
+        mine = [r.bid for r in sorted((r for r in rows if r.qid == qid),
+                                      key=lambda r: r.ann_rank)]
+        assert mine == exp, qid
+
+
+def test_lsh_topk_recall(spark, qb):
+    queries, base = qb
+    exact = A.brute_force_topk(queries, base, k=5)
+    approx = A.lsh_topk(queries, base, k=5, dim=64, planes=3, bands=10)
+    e = {(r.qid, r.bid) for r in exact.collect()}
+    a = {(r.qid, r.bid) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.7, recall  # 10 bands x 3 planes on 500 vecs
+
+
+def test_ivf_topk_recall(spark, qb):
+    queries, base = qb
+    exact = A.brute_force_topk(queries, base, k=5)
+    approx = A.ivf_topk(queries, base, k=5, n_centroids=8, n_probe=4)
+    e = {(r.qid, r.bid) for r in exact.collect()}
+    a = {(r.qid, r.bid) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, recall
