@@ -865,3 +865,295 @@ def event_time_windows(spark, sf_dir):
         F.dayofmonth("ts").alias("d"), F.hour("ts").alias("h"),
         "event_type",
     ).agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+
+
+# ===================================================================
+# T1 — pyramid enumeration counts within a lon/lat bbox
+# ===================================================================
+
+_PYRAMID_SQL = f"""
+WITH zs AS (SELECT CAST(UNNEST(range(0, 8)) AS INT) AS z),
+rng AS (
+  SELECT z,
+    GREATEST(0, LEAST(CAST(FLOOR((-30.0 + 180.0) / 360.0 * POW(2.0, z)) AS BIGINT),
+                      CAST(POW(2.0, z) AS BIGINT) - 1)) AS x0,
+    GREATEST(0, LEAST(CAST(FLOOR((40.0 + 180.0) / 360.0 * POW(2.0, z)) AS BIGINT),
+                      CAST(POW(2.0, z) AS BIGINT) - 1)) AS x1,
+    GREATEST(0, LEAST(CAST(FLOOR((1.0 - ln(tan(CAST(90.0 + 55.0 AS DOUBLE) * {PI!r} / 360.0)) / {PI!r}) / 2.0 * POW(2.0, z)) AS BIGINT),
+                      CAST(POW(2.0, z) AS BIGINT) - 1)) AS y0,
+    GREATEST(0, LEAST(CAST(FLOOR((1.0 - ln(tan(CAST(90.0 + -20.0 AS DOUBLE) * {PI!r} / 360.0)) / {PI!r}) / 2.0 * POW(2.0, z)) AS BIGINT),
+                      CAST(POW(2.0, z) AS BIGINT) - 1)) AS y1
+  FROM zs
+)
+SELECT z, (x1 - x0 + 1) * (y1 - y0 + 1) AS n_tiles FROM rng
+"""
+
+
+@q("pyramid_enumeration", _PYRAMID_SQL)
+def pyramid_enumeration(spark, sf_dir):
+    from sparktiles.operators.pyramid import tile_pyramid
+
+    df = tile_pyramid(spark, 0, 7, bounds_lonlat=(-30.0, -20.0, 40.0, 55.0))
+    return df.groupBy("z").agg(F.count("*").alias("n_tiles")).select(
+        "z", "n_tiles")
+
+
+# ===================================================================
+# T3 — impute children fanout (dup parents inherit, rest generate)
+# ===================================================================
+
+_IMPUTE_SQL = """
+WITH map AS (
+  SELECT CAST(7 AS INT) AS zoom_level,
+         CAST(user_id % 40 AS BIGINT) AS tile_column,
+         CAST(event_id % 40 AS BIGINT) AS tile_row,
+         md5(CAST(user_id % 5 AS VARCHAR)) AS tile_id
+  FROM events
+), dedup AS (
+  SELECT DISTINCT zoom_level, tile_column, tile_row, tile_id FROM map
+), dups AS (
+  SELECT tile_id FROM dedup GROUP BY tile_id HAVING COUNT(*) >= 20
+), kids AS (
+  SELECT d.zoom_level + 1 AS zoom_level,
+         d.tile_column * 2 + dx.v AS tile_column,
+         d.tile_row * 2 + dy.v AS tile_row,
+         d.tile_id,
+         (dups.tile_id IS NOT NULL) AS is_dup
+  FROM dedup d
+  LEFT JOIN dups ON d.tile_id = dups.tile_id,
+  (SELECT UNNEST([0, 1]) AS v) dx, (SELECT UNNEST([0, 1]) AS v) dy
+)
+SELECT CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_imputed,
+       CAST(SUM(CASE WHEN is_dup THEN 0 ELSE 1 END) AS BIGINT) AS n_generate
+FROM kids
+"""
+
+
+@q("impute_fanout", _IMPUTE_SQL)
+def impute_fanout(spark, sf_dir):
+    from sparktiles.operators.pyramid import impute_children
+
+    ev = _t(spark, sf_dir, "events")
+    parents = ev.select(
+        F.lit(7).cast("int").alias("zoom_level"),
+        (F.col("user_id") % 40).alias("tile_column"),
+        (F.col("event_id") % 40).alias("tile_row"),
+        F.md5((F.col("user_id") % 5).cast("string")).alias("tile_id"),
+    ).distinct()
+    dups = (
+        parents.groupBy("tile_id").agg(F.count("*").alias("c"))
+        .where(F.col("c") >= 20).select("tile_id")
+    )
+    imputed, gen = impute_children(parents, dups)
+    a = imputed.agg(F.count("*").alias("n")).first()["n"]
+    b = gen.agg(F.count("*").alias("n")).first()["n"]
+    return spark.createDataFrame([(a, b)], "n_imputed long, n_generate long")
+
+
+# ===================================================================
+# sessionization — lag/gap window (streaming-analog batch op)
+# ===================================================================
+
+_SESSION_SQL = """
+WITH e AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE OR
+                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS is_new,
+         event_id
+  FROM events
+), s AS (
+  SELECT user_id, value,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM e
+)
+SELECT user_id, CAST(session_id AS INT) AS session_id,
+       COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+FROM s GROUP BY user_id, session_id
+"""
+
+
+@q("session_windows", _SESSION_SQL)
+def session_windows(spark, sf_dir):
+    from pyspark.sql.window import Window as W
+
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    lagts = F.lag("ts").over(w)
+    is_new = F.when(
+        lagts.isNull()
+        | ((F.col("ts") - lagts) > F.expr("INTERVAL 30 MINUTES")), 1
+    ).otherwise(0)
+    e = ev.withColumn("is_new", is_new)
+    s = e.withColumn(
+        "session_id",
+        F.sum("is_new").over(w.rowsBetween(W.unboundedPreceding, 0)).cast("int"),
+    )
+    return s.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+# ===================================================================
+# language-ID heuristic (stopword profiles)
+# ===================================================================
+
+_LANGID_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+), scored AS (
+  SELECT doc_id,
+    CAST(len(list_filter(toks, x -> list_contains(['the','and','of','to','a','in','is'], x))) AS DOUBLE) / len(toks) AS s_en,
+    CAST(len(list_filter(toks, x -> list_contains(['der','die','und','das','ist','nicht','ein'], x))) AS DOUBLE) / len(toks) AS s_de
+  FROM t
+)
+SELECT doc_id,
+       CASE WHEN s_en = 0 AND s_de = 0 THEN 'und'
+            WHEN s_en >= s_de THEN 'en' ELSE 'de' END AS lang_pred,
+       ROUND(GREATEST(s_en, s_de), 4) AS lang_score
+FROM scored
+"""
+
+
+@q("langid_heuristic", _LANGID_SQL)
+def langid_heuristic(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    en = F.array(*[F.lit(w) for w in ["the", "and", "of", "to", "a", "in", "is"]])
+    de = F.array(*[F.lit(w) for w in ["der", "die", "und", "das", "ist", "nicht", "ein"]])
+    s_en = F.size(F.filter(toks, lambda x: F.array_contains(en, x))).cast("double") / F.size(toks)
+    s_de = F.size(F.filter(toks, lambda x: F.array_contains(de, x))).cast("double") / F.size(toks)
+    return d.select(
+        "doc_id",
+        F.when((s_en == 0) & (s_de == 0), "und")
+        .when(s_en >= s_de, "en").otherwise("de").alias("lang_pred"),
+        F.round(F.greatest(s_en, s_de), 4).alias("lang_score"),
+    )
+
+
+# ===================================================================
+# quality filter funnel
+# ===================================================================
+
+_FUNNEL_SQL = """
+WITH t AS (
+  SELECT doc_id, length(text) AS n_char,
+         len(string_split(text, ' ')) AS n_tok,
+         CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+           / length(text) AS punct_ratio
+  FROM documents
+)
+SELECT COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN n_tok >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS pass_len,
+       CAST(SUM(CASE WHEN punct_ratio < 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS pass_punct,
+       CAST(SUM(CASE WHEN n_tok >= 5 AND punct_ratio < 0.2
+                AND (CAST(n_char AS DOUBLE) / n_tok) BETWEEN 2.0 AND 20.0
+                THEN 1 ELSE 0 END) AS BIGINT) AS pass_all
+FROM t
+"""
+
+
+@q("quality_funnel", _FUNNEL_SQL)
+def quality_funnel(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tok = F.size(toks)
+    punct = F.length(F.regexp_replace(F.col("text"), r"[^.,;:!?]", "")).cast(
+        "double") / F.length("text")
+    avg_len = F.length("text").cast("double") / n_tok
+    return d.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(n_tok >= 5, 1).otherwise(0)).alias("pass_len"),
+        F.sum(F.when(punct < 0.2, 1).otherwise(0)).alias("pass_punct"),
+        F.sum(
+            F.when((n_tok >= 5) & (punct < 0.2) & avg_len.between(2.0, 20.0), 1)
+            .otherwise(0)
+        ).alias("pass_all"),
+    )
+
+
+# ===================================================================
+# rows-only entries (non-SQL-expressible: engine-specific hashing /
+# pandas kernels) — the driver records the weaker rows-only check
+# ===================================================================
+
+@q("simhash_dedup")
+def simhash_dedup_q(spark, sf_dir):
+    """64-bit SimHash near-dup candidates (xxhash64 is Spark-specific —
+    no portable oracle)."""
+    from sparktiles.operators.text import hamming_candidates, simhash
+
+    d = _t(spark, sf_dir, "documents")
+    sims = simhash(d)
+    return hamming_candidates(sims, prefix_bits=12).where(F.col("hamming") <= 16)
+
+
+@q("ann_lsh_topk")
+def ann_lsh_topk_q(spark, sf_dir):
+    """Hyperplane-LSH ANN (approximate by design — no exact oracle)."""
+    from sparktiles.operators.ann import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = emb.select(F.col("vec_id").alias("bid"), v.alias("bv"))
+    qs = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"), v.alias("qv"))
+    return lsh_topk(qs, base, k=5, dim=64, planes=3, bands=10)
+
+
+@q("ann_ivf_topk")
+def ann_ivf_topk_q(spark, sf_dir):
+    """IVF-style ANN with deterministic centroids (approximate)."""
+    from sparktiles.operators.ann import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = emb.select(F.col("vec_id").alias("bid"), v.alias("bv"))
+    qs = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"), v.alias("qv"))
+    return ivf_topk(qs, base, k=5, n_centroids=16, n_probe=4)
+
+
+@q("mvt_tile_build")
+def mvt_tile_build_q(spark, sf_dir):
+    """End-to-end MVT pyramid over geoparsed pages derived from
+    documents (grouped-pandas MVT encode is engine-specific — verified
+    against decoders + oracles in pytest instead)."""
+    import tempfile
+
+    from sparktiles.plans.config import FieldDef, LayerDef, TilesetDef
+    from sparktiles.plans.pipeline import (
+        BuildConfig, TileBuild, make_point_layer_frames)
+    from sparktiles.sources.geoparse import build_features
+
+    docs = _t(spark, sf_dir, "documents")
+    pid = (F.col("doc_id") * 7 + 1) % 10000
+    lon = ((pid * 37).cast("double") % 344) - 172.0 + 0.1234567
+    lat = ((pid * 13).cast("double") % 136) - 68.0 + 0.0891011
+    mention = F.format_string("Name_%d (%.5f; %.5f)", pid, lat, lon)
+    pages = docs.select(
+        F.format_string("https://example.org/doc/%d", F.col("doc_id")).alias("url"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        F.encode(F.concat(F.col("text"), F.lit(" "), mention), "utf-8").alias("html"),
+        F.concat(F.col("text"), F.lit(" "), mention).alias("text"),
+        F.col("lang"),
+    )
+    feats = build_features(pages)
+    tileset = TilesetDef(
+        name="q", layers=[LayerDef(id="place", fields=[FieldDef("name")],
+                                   buffer_size=8)],
+        minzoom=0, maxzoom=4)
+    frames = make_point_layer_frames(feats, tileset)
+    store = tempfile.mkdtemp(prefix="sparktiles_q_")
+    b = TileBuild(spark, frames, BuildConfig(
+        store_dir=store, minzoom=0, maxzoom=4, mid_zoom=2))
+    b.build_fast()
+    return (
+        b.read_tile_map().groupBy("zoom_level")
+        .agg(F.count("*").alias("n_tiles"),
+             F.countDistinct("tile_id").alias("n_unique"))
+        .orderBy("zoom_level")
+    )
