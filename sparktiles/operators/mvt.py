@@ -160,12 +160,18 @@ def grouped_map_sorted(
 ):
     """applyInPandas-equivalent with per-BATCH (not per-group) Python
     overhead: repartition on the keys, sort within partitions, then
-    mapInPandas where each Arrow batch is split into contiguous key
-    groups (`fn(group_pdf) -> list[tuple]`). Groups spanning batch
-    boundaries are carried over to the next batch.
+    mapInPandas where each Arrow batch is converted to numpy column
+    arrays ONCE and split into contiguous key groups by boundary
+    detection (`fn(cols: dict[str, ndarray], start, end) -> list[tuple]`).
+    Groups spanning batch boundaries are carried over to the next batch.
 
-    For tile workloads (millions of tiny (z,x,y) groups) this is ~10x
-    cheaper than groupBy().applyInPandas's per-group invocation cost.
+    For tile workloads (millions of tiny (z,x,y) groups) this cuts the
+    per-group cost from pandas-groupby-iteration (~150us) to a numpy
+    slice (~10us) — the MVT encode was 60%% of the pyramid wall clock
+    before this.
+
+    Assumes the first three keys are integer columns (z, x, y) packable
+    into one int64 for boundary detection.
     """
     import pandas as pd
 
@@ -173,34 +179,53 @@ def grouped_map_sorted(
         *(keys + (sort_extra or []))
     )
 
-    cols = [s.strip().split()[0].strip("`") for s in out_schema.split(",")]
+    out_cols = [s.strip().split()[0].strip("`") for s in out_schema.split(",")]
+    in_cols = [f.name for f in df.schema]
+
+    def packed_key(arrs):
+        k = arrs[keys[0]].astype(np.int64)
+        for extra in keys[1:]:
+            k = (k << 29) ^ arrs[extra].astype(np.int64)
+        return k
 
     def run(batches):
-        leftover = None
+        leftover = None  # dict of numpy arrays for the trailing group
         for pdf in batches:
-            if leftover is not None and len(leftover):
-                pdf = pd.concat([leftover, pdf], ignore_index=True)
-                leftover = None
             if not len(pdf):
                 continue
-            # hold back the last key group (it may continue next batch)
-            last_key = tuple(pdf.iloc[-1][k] for k in keys)
-            mask = pd.Series(True, index=pdf.index)
-            for k, v in zip(keys, last_key):
-                mask &= pdf[k] == v
-            leftover = pdf[mask]
-            head = pdf[~mask]
+            arrs = {c: pdf[c].to_numpy() for c in in_cols}
+            if leftover is not None:
+                arrs = {c: np.concatenate([leftover[c], arrs[c]]) for c in in_cols}
+                leftover = None
+            k = packed_key(arrs)
+            # boundary indices between consecutive distinct keys
+            cuts = np.flatnonzero(k[1:] != k[:-1]) + 1
+            starts = np.concatenate([[0], cuts])
+            ends = np.concatenate([cuts, [len(k)]])
+            # hold back the final group — it may continue in next batch
+            if len(starts) > 1:
+                hold = starts[-1]
+                leftover = {c: arrs[c][hold:] for c in in_cols}
+                starts, ends = starts[:-1], ends[:-1]
+            else:
+                leftover = {c: arrs[c] for c in in_cols}
+                continue
             rows = []
-            for _, g in head.groupby(keys, sort=False):
-                rows.extend(fn(g))
+            for s, e in zip(starts, ends):
+                rows.extend(fn(arrs, int(s), int(e)))
             if rows:
-                yield pd.DataFrame(rows, columns=cols)
-        if leftover is not None and len(leftover):
+                yield pd.DataFrame(rows, columns=out_cols)
+        if leftover is not None and len(next(iter(leftover.values()))):
+            arrs = leftover
+            k = packed_key(arrs)
+            cuts = np.flatnonzero(k[1:] != k[:-1]) + 1
+            starts = np.concatenate([[0], cuts])
+            ends = np.concatenate([cuts, [len(k)]])
             rows = []
-            for _, g in leftover.groupby(keys, sort=False):
-                rows.extend(fn(g))
+            for s, e in zip(starts, ends):
+                rows.extend(fn(arrs, int(s), int(e)))
             if rows:
-                yield pd.DataFrame(rows, columns=cols)
+                yield pd.DataFrame(rows, columns=out_cols)
 
     return part.mapInPandas(run, out_schema)
 
@@ -251,41 +276,50 @@ def encode_layer_df(features: DataFrame, spec: LayerSpec) -> DataFrame:
     key_field = spec.key_field
     kind = spec.geometry_kind
 
-    def encode(pdf: pd.DataFrame) -> list[tuple]:
-        z = int(pdf["z"].iloc[0]); tx = int(pdf["x"].iloc[0]); ty = int(pdf["y"].iloc[0])
+    def encode(arrs: dict, s: int, e: int) -> list[tuple]:
+        z = int(arrs["z"][s]); tx = int(arrs["x"][s]); ty = int(arrs["y"][s])
         feats = []
         if kind == "point":
-            mx = pdf["px"].to_numpy(dtype=float)
-            my = pdf["py"].to_numpy(dtype=float)
+            mx = arrs["px"][s:e].astype(float)
+            my = arrs["py"][s:e].astype(float)
             ix, iy, keep = as_mvt_geom_points(mx, my, z, tx, ty, extent, mvt_buffer)
             idxs = np.nonzero(keep)[0]
-            attr_cols = [(k, t, pdf[k].to_numpy()) for k, t in attr_items]
-            fids = pdf[key_field].to_numpy() if key_field else None
+            attr_cols = [(k, t, arrs[k]) for k, t in attr_items]
+            fids = arrs[key_field] if key_field else None
             for i in idxs:
-                attrs = {k: _attr_value(vals[i], t) for k, t, vals in attr_cols}
-                fid = int(fids[i]) if fids is not None else None
+                attrs = {k: _attr_value(vals[s + i], t) for k, t, vals in attr_cols}
+                fid = int(fids[s + i]) if fids is not None else None
                 geom = C.encode_geometry(
                     C.GEOM_POINT, [np.array([[ix[i], iy[i]]], dtype=np.int64)]
                 )
                 feats.append((fid, attrs, C.GEOM_POINT, geom))
         else:
-            for _, row in pdf.iterrows():
-                g = G.wkb_loads(bytes(row["geom"])) if row["geom"] is not None else None
+            geoms = arrs["geom"]
+            for i in range(s, e):
+                b = geoms[i]
+                g = G.wkb_loads(bytes(b)) if b is not None else None
                 mg = as_mvt_geom(g, z, tx, ty, extent, mvt_buffer, clip=True)
                 if mg is None:
                     continue
-                attrs = {k: _attr_value(row[k], t) for k, t in attr_items}
-                fid = int(row[key_field]) if key_field else None
+                attrs = {k: _attr_value(arrs[k][i], t) for k, t in attr_items}
+                fid = int(arrs[key_field][i]) if key_field else None
                 feats.append((fid, attrs, mg[0], C.encode_geometry(mg[0], mg[1])))
         if not feats:
             return []
         blob = C.encode_layer(layer_id, feats, extent)
         return [(z, tx, ty, layer_index, blob)]
 
+    # project: shuffle only what the encoder reads (drop url/tags/etc.)
+    geom_cols = ["px", "py"] if kind == "point" else ["geom"]
+    needed = ["z", "x", "y"] + geom_cols + list(spec.attr_fields)
+    if key_field and key_field not in needed:
+        needed.append(key_field)
+    features = features.select(*dict.fromkeys(needed))
+
     return grouped_map_sorted(
         features, ["z", "x", "y"], encode,
         "z int, x long, y long, layer_index int, mvtl binary",
-        sort_extra=["feature_id"],
+        sort_extra=[key_field] if key_field else None,
     )
 
 
@@ -296,12 +330,12 @@ def assemble_tiles(layer_blobs: DataFrame, gzip_level: int | None = None) -> Dat
     (reference sqltomvt.py:104-140). Input: z,x,y,layer_index,mvtl.
     Output: z,x,y,mvt binary,tile_id string (md5 hex)."""
 
-    def concat(pdf: pd.DataFrame) -> list[tuple]:
-        blob = b"".join(bytes(b) for b in pdf["mvtl"])
+    def concat(arrs: dict, s: int, e: int) -> list[tuple]:
+        blob = b"".join(bytes(b) for b in arrs["mvtl"][s:e])
         if gzip_level is not None:
             blob = C.gzip_blob(blob, gzip_level)
         return [(
-            int(pdf["z"].iloc[0]), int(pdf["x"].iloc[0]), int(pdf["y"].iloc[0]),
+            int(arrs["z"][s]), int(arrs["x"][s]), int(arrs["y"][s]),
             blob, hashlib.md5(blob).hexdigest(),
         )]
 
