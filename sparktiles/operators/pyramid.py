@@ -168,6 +168,16 @@ def assign_bbox_tiles(
     )
 
 
+def with_tile_rank(assigned: DataFrame, order_by, rank_col: str = "rank") -> DataFrame:
+    """Per-tile importance rank starting at 1 (W2 — the mountain_peak
+    layer's `rank` field, tests/testlayers/mountain_peak/
+    mountain_peak.yaml:24): rank within (z,x,y) by the given ordering."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("z", "x", "y").orderBy(*order_by)
+    return assigned.withColumn(rank_col, F.rank().over(w))
+
+
 # ----------------------------------------------------------------- impute
 
 def dup_tile_ids(tile_map: DataFrame, zoom: int | None = None) -> DataFrame:

@@ -165,6 +165,38 @@ class LayerDef:
         return result
 
 
+_MVT_OK_TYPES = {
+    "string": {"string"},
+    "number": {"int", "bigint", "smallint", "tinyint", "double", "float",
+               "decimal", "long"},
+    "bool": {"boolean"},
+}
+
+
+def validate_layer_frame(df, layer: "LayerDef", languages: list[str] = ()) -> None:
+    """Schema probe (O4, reference sqltomvt.py:261-300): the prepared
+    feature frame must expose every declared field with an
+    MVT-encodable type; raises listing the mismatches. The reference
+    runs `SELECT * FROM <query> WHERE false LIMIT 0` against PG — on a
+    DataFrame the schema is static, no execution needed."""
+    actual = {f.name: f.dataType.simpleString() for f in df.schema}
+    problems = []
+    expected = [(fd.name, fd.mvt_type) for fd in layer.fields]
+    expected += [(f"name:{lang}", "string") for lang in languages]
+    for name, mvt_type in expected:
+        if name not in actual:
+            problems.append(f"declared field '{name}' missing from frame")
+            continue
+        ok = _MVT_OK_TYPES[mvt_type]
+        base = actual[name].split("(")[0]
+        if base not in ok:
+            problems.append(
+                f"field '{name}' has type {actual[name]}, not a {mvt_type}")
+    if problems:
+        raise ValueError(
+            f"Layer '{layer.id}' field validation failed: " + "; ".join(problems))
+
+
 @dataclass
 class TilesetDef:
     name: str

@@ -404,6 +404,9 @@ def make_point_layer_frames(features: DataFrame, tileset: TilesetDef):
                 col = f"name:{lang}"
                 df = df.withColumn(col, S.tag_field("tags", col))
                 attr_fields[col] = "string"
+        from sparktiles.plans.config import validate_layer_frame
+
+        validate_layer_frame(df, layer, tileset.languages if "tags" in features.columns else [])
         spec = LayerSpec(
             layer_id=layer.id,
             index=idx,
