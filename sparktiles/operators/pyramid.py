@@ -168,6 +168,15 @@ def assign_bbox_tiles(
     )
 
 
+def assign_bbox_tiles_multi(
+    df: DataFrame, minzoom: int, maxzoom: int, buffer_px: float = 0.0, **kw
+) -> DataFrame:
+    """assign_bbox_tiles across a zoom range in one plan (polygon/line
+    analog of assign_point_tiles_multi)."""
+    zdf = df.withColumn("zz", F.explode(F.sequence(F.lit(minzoom), F.lit(maxzoom))))
+    return assign_bbox_tiles(zdf, F.col("zz"), buffer_px=buffer_px, **kw).drop("zz")
+
+
 def with_tile_rank(assigned: DataFrame, order_by, rank_col: str = "rank") -> DataFrame:
     """Per-tile importance rank starting at 1 (W2 — the mountain_peak
     layer's `rank` field, tests/testlayers/mountain_peak/

@@ -131,12 +131,30 @@ class TileBuild:
         every NON-EMPTY tile (optionally restricted to only_tiles)."""
         blobs = None
         for spec, feats in self.layer_frames:
-            assigned = assign_point_tiles(feats, z, buffer_px=spec.buffer_px)
+            assigned = self._assign(feats, spec, z, z)
             if only_tiles is not None:
                 assigned = assigned.join(only_tiles, ["z", "x", "y"], "left_semi")
             lb = encode_layer_df(assigned, spec)
             blobs = lb if blobs is None else blobs.unionByName(lb)
         return assemble_tiles(blobs, self.cfg.gzip_level)
+
+    def _assign(self, feats: DataFrame, spec, minz: int, maxz: int) -> DataFrame:
+        """Tile-assign a layer frame for [minz, maxz]: points via column
+        math, WKB geometries via bbox-tile explosion (exact clip happens
+        in the MVT kernel)."""
+        from sparktiles.operators.joins import polygons_with_bounds
+        from sparktiles.operators.pyramid import (
+            assign_bbox_tiles_multi,
+            assign_point_tiles_multi,
+        )
+
+        if spec.geometry_kind == "point":
+            if minz == maxz:
+                return assign_point_tiles(feats, minz, buffer_px=spec.buffer_px)
+            return assign_point_tiles_multi(feats, minz, maxz, buffer_px=spec.buffer_px)
+        wb = feats if "xmin" in feats.columns else polygons_with_bounds(
+            feats, "geom")
+        return assign_bbox_tiles_multi(wb, minz, maxz, buffer_px=spec.buffer_px)
 
     def build_fast(self) -> dict:
         """Two-phase build with identical output to build():
