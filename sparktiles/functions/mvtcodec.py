@@ -264,6 +264,64 @@ def encode_layer(
     return _len_field(3, body)
 
 
+def encode_layer_columnar(
+    name: str,
+    fids,
+    gtypes,
+    geoms: list[bytes],
+    attr_cols: list[tuple[str, list]],
+    extent: int = DEFAULT_EXTENT,
+) -> bytes:
+    """Columnar fast path for encode_layer: attributes arrive as
+    parallel columns instead of per-feature dicts. Keys are dictionary-
+    encoded in column order (stable), values first-seen in feature
+    order; Nones skipped. ~3x less per-feature Python than the dict
+    path — used by the point-layer MVT encoder hot loop."""
+    n = len(geoms)
+    keys = [k for k, _ in attr_cols]
+    values: list[bytes] = []
+    value_idx: dict[bytes, int] = {}
+    # memoize raw->index per column (values repeat heavily per tile)
+    memos: list[dict] = [dict() for _ in attr_cols]
+    feat_blobs = []
+    for i in range(n):
+        tag_idx: list[int] = []
+        for ki, (kname, col) in enumerate(attr_cols):
+            v = col[i]
+            if v is None:
+                continue
+            memo = memos[ki]
+            vi = memo.get(v)
+            if vi is None:
+                ev = encode_value(v)
+                vi = value_idx.get(ev)
+                if vi is None:
+                    vi = value_idx[ev] = len(values)
+                    values.append(ev)
+                memo[v] = vi
+            tag_idx.append(ki)
+            tag_idx.append(vi)
+        fid = fids[i] if fids is not None else None
+        gt = gtypes if isinstance(gtypes, int) else gtypes[i]
+        feat_blobs.append(_len_field(2, encode_feature(fid, tag_idx, gt, geoms[i])))
+    body = _varint_field(15, 2)
+    body += _len_field(1, name.encode("utf-8"))
+    body += b"".join(feat_blobs)
+    body += b"".join(_len_field(3, k.encode("utf-8")) for k in keys)
+    body += b"".join(_len_field(4, v) for v in values)
+    body += _varint_field(5, extent)
+    return _len_field(3, body)
+
+
+def encode_point_geoms(ix, iy) -> list[bytes]:
+    """Geometry command streams for N single-point features:
+    [MoveTo|1<<3, zigzag(x), zigzag(y)] each. ix/iy int arrays."""
+    out = []
+    for x, y in zip(ix.tolist(), iy.tolist()):
+        out.append(b"\x09" + _varint((x << 1) ^ (x >> 63)) + _varint((y << 1) ^ (y >> 63)))
+    return out
+
+
 def decode_tile(buf: bytes) -> dict:
     """Decode an MVT tile blob (optionally gzip'd) into
     {layer_name: {"extent": int, "version": int, "features": [

@@ -278,32 +278,33 @@ def encode_layer_df(features: DataFrame, spec: LayerSpec) -> DataFrame:
 
     def encode(arrs: dict, s: int, e: int) -> list[tuple]:
         z = int(arrs["z"][s]); tx = int(arrs["x"][s]); ty = int(arrs["y"][s])
-        feats = []
         if kind == "point":
             mx = arrs["px"][s:e].astype(float)
             my = arrs["py"][s:e].astype(float)
             ix, iy, keep = as_mvt_geom_points(mx, my, z, tx, ty, extent, mvt_buffer)
-            idxs = np.nonzero(keep)[0]
-            attr_cols = [(k, t, arrs[k]) for k, t in attr_items]
-            fids = arrs[key_field] if key_field else None
-            for i in idxs:
-                attrs = {k: _attr_value(vals[s + i], t) for k, t, vals in attr_cols}
-                fid = int(fids[s + i]) if fids is not None else None
-                geom = C.encode_geometry(
-                    C.GEOM_POINT, [np.array([[ix[i], iy[i]]], dtype=np.int64)]
-                )
-                feats.append((fid, attrs, C.GEOM_POINT, geom))
-        else:
-            geoms = arrs["geom"]
-            for i in range(s, e):
-                b = geoms[i]
-                g = G.wkb_loads(bytes(b)) if b is not None else None
-                mg = as_mvt_geom(g, z, tx, ty, extent, mvt_buffer, clip=True)
-                if mg is None:
-                    continue
-                attrs = {k: _attr_value(arrs[k][i], t) for k, t in attr_items}
-                fid = int(arrs[key_field][i]) if key_field else None
-                feats.append((fid, attrs, mg[0], C.encode_geometry(mg[0], mg[1])))
+            if not keep.any():
+                return []
+            kept = np.nonzero(keep)[0] + s
+            geoms = C.encode_point_geoms(ix[keep], iy[keep])
+            attr_cols = []
+            for k, t in attr_items:
+                vals = arrs[k][kept]
+                attr_cols.append((k, [_attr_value(v, t) for v in vals.tolist()]))
+            fids = arrs[key_field][kept].tolist() if key_field else None
+            blob = C.encode_layer_columnar(
+                layer_id, fids, C.GEOM_POINT, geoms, attr_cols, extent)
+            return [(z, tx, ty, layer_index, blob)]
+        feats = []
+        geoms = arrs["geom"]
+        for i in range(s, e):
+            b = geoms[i]
+            g = G.wkb_loads(bytes(b)) if b is not None else None
+            mg = as_mvt_geom(g, z, tx, ty, extent, mvt_buffer, clip=True)
+            if mg is None:
+                continue
+            attrs = {k: _attr_value(arrs[k][i], t) for k, t in attr_items}
+            fid = int(arrs[key_field][i]) if key_field else None
+            feats.append((fid, attrs, mg[0], C.encode_geometry(mg[0], mg[1])))
         if not feats:
             return []
         blob = C.encode_layer(layer_id, feats, extent)

@@ -41,8 +41,18 @@ def place_lat_expr(pid):
     return ((p * 13.0 + p * p * 0.0007) % 142.0) - 71.0 + 0.0891011
 
 
-def generate_pages(spark: SparkSession, n_pages: int, seed: int = 42) -> DataFrame:
-    """Build the pages corpus: url, warc_ts, html, text, lang."""
+def generate_pages(
+    spark: SparkSession, n_pages: int, seed: int = 42,
+    n_places: int | None = None,
+) -> DataFrame:
+    """Build the pages corpus: url, warc_ts, html, text, lang.
+
+    n_places defaults to max(10_000, n_pages // 10) so place diversity
+    grows with corpus size (a fixed place pool would make every tile a
+    hot key at large n_pages, which is not how a web corpus behaves —
+    the deliberate hot city remains place_id 0 at ~20%% of mentions).
+    """
+    n_places = n_places or max(N_PLACES, n_pages // 10)
     df = spark.range(n_pages).withColumnRenamed("id", "page_id")
     pid_base = (F.col("page_id") * F.lit(2654435761) + F.lit(seed)) % F.lit(2**31)
 
@@ -56,8 +66,8 @@ def generate_pages(spark: SparkSession, n_pages: int, seed: int = 42) -> DataFra
 
     # mention i of page -> place id; ~20% of mentions hit hot place 0
     def place_id(i):
-        h = (pid_base + i * F.lit(977)) % F.lit(N_PLACES * 5)
-        return F.when(h % 5 == 0, F.lit(0)).otherwise((h % F.lit(N_PLACES)).cast("long"))
+        h = (pid_base + i * F.lit(977)) % F.lit(n_places * 5)
+        return F.when(h % 5 == 0, F.lit(0)).otherwise((h % F.lit(n_places)).cast("long"))
 
     def mention_str(i):
         pid = place_id(i)
