@@ -103,8 +103,10 @@ def main():
 
     n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 300_000
     maxzoom = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    n_low = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    n_high = int(sys.argv[4]) if len(sys.argv) > 4 else 32
     legs = {}
-    for cpus in (8, 32):
+    for cpus in (n_low, n_high):
         proc = subprocess.run(
             [sys.executable, __file__, "--leg", str(cpus), str(n_pages), str(maxzoom)],
             capture_output=True, text=True, cwd=str(Path(__file__).parent.parent),
@@ -116,7 +118,7 @@ def main():
             raise RuntimeError(f"leg {cpus} failed")
         legs[cpus] = json.loads(line[len("LEGRESULT "):])
 
-    r8, r32 = legs[8], legs[32]
+    r8, r32 = legs[n_low], legs[n_high]
 
     def eff(metric, invert=False):
         a, b = r8[metric], r32[metric]
@@ -125,8 +127,8 @@ def main():
     result = {
         "n_pages": n_pages,
         "maxzoom": maxzoom,
-        "N(local[8])": r8,
-        "4N(local[32])": r32,
+        f"N(local[{n_low}])": r8,
+        f"4N(local[{n_high}])": r32,
         "scaling_efficiency_tiles": eff("tiles_per_s"),
         "scaling_efficiency_join": eff("spatial_join_rows_per_s"),
         "scaling_efficiency_mvt_encode": eff("mvt_tiles_per_s"),
