@@ -45,7 +45,9 @@ def run_leg(cpus: int, n_pages: int, maxzoom: int) -> dict:
     out: dict = {"cpus": cpus}
 
     t0 = time.time()
-    pages = generate_pages(spark, n_pages)
+    # fixed task count on both legs: the experiment varies ONLY the
+    # number of concurrent slots, like adding executors to a cluster
+    pages = generate_pages(spark, n_pages).repartition(64)
     feats = build_features(pages).cache()
     n = feats.count()
     out["n_features"] = n
