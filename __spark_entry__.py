@@ -1,7 +1,7 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 entry(spark)   — flagship: sf0.001 documents -> synthetic page corpus ->
-                 geoparse -> z0-z5 tile pyramid -> per-zoom tile stats.
+                 geoparse -> z0-z4 tile pyramid -> per-zoom tile stats.
 queries()      — one callable per implemented operator (SURVEY.md §2),
                  defined in sparktiles/queries.py.
 oracle_sql()   — matching DuckDB SQL (ANSI) per query; entries without
@@ -21,7 +21,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: build a z0-z5 tile pyramid from pages derived from the
+    """Flagship: build a z0-z4 tile pyramid from pages derived from the
     sf0.001 documents table; return per-zoom tile statistics."""
     import tempfile
 
@@ -47,13 +47,13 @@ def entry(spark: SparkSession) -> DataFrame:
     tileset = TilesetDef(
         name="flagship",
         layers=[LayerDef(id="place", fields=[FieldDef("name")], buffer_size=8)],
-        minzoom=0, maxzoom=5,
+        minzoom=0, maxzoom=4,
     )
     frames = make_point_layer_frames(feats, tileset)
     store = tempfile.mkdtemp(prefix="sparktiles_entry_")
     build = TileBuild(spark, frames, BuildConfig(
-        store_dir=store, minzoom=0, maxzoom=5, mid_zoom=2))
-    build.build()
+        store_dir=store, minzoom=0, maxzoom=4, mid_zoom=2))
+    build.build_fast()
     tm = build.read_tile_map()
     imgs = build.read_tile_images()
     return (
