@@ -197,9 +197,7 @@ class TileBuild:
         if not (self.store / "tiles_all" / "_SUCCESS").exists():
             blobs = None
             for spec, feats in self.layer_frames:
-                assigned = assign_point_tiles_multi(
-                    feats, cfg.minzoom, cfg.maxzoom, buffer_px=spec.buffer_px
-                )
+                assigned = self._assign(feats, spec, cfg.minzoom, cfg.maxzoom)
                 lb = encode_layer_df(assigned, spec)
                 blobs = lb if blobs is None else blobs.unionByName(lb)
             tiles = assemble_tiles(blobs, cfg.gzip_level)
