@@ -1157,3 +1157,143 @@ def mvt_tile_build_q(spark, sf_dir):
              F.countDistinct("tile_id").alias("n_unique"))
         .orderBy("zoom_level")
     )
+
+
+# ===================================================================
+# G3 — TileBBox corner math
+# ===================================================================
+
+_TILEBBOX_SQL = f"""
+WITH t AS (
+  SELECT CAST(n_nationkey % 8 AS INT) AS z,
+         CAST(n_nationkey % 13 % GREATEST(POW(2, n_nationkey % 8), 1) AS BIGINT) AS x,
+         CAST(n_nationkey % 7 % GREATEST(POW(2, n_nationkey % 8), 1) AS BIGINT) AS y
+  FROM nation
+)
+SELECT z, x, y,
+  ROUND(-20037508.34 + x * (20037508.34 * 2.0 / POW(2.0, z)), 4) AS xmin,
+  ROUND(20037508.34 - y * (20037508.34 * 2.0 / POW(2.0, z))
+        - (20037508.34 * 2.0 / POW(2.0, z)), 4) AS ymin,
+  ROUND(-20037508.34 + x * (20037508.34 * 2.0 / POW(2.0, z))
+        + (20037508.34 * 2.0 / POW(2.0, z)), 4) AS xmax,
+  ROUND(20037508.34 - y * (20037508.34 * 2.0 / POW(2.0, z)), 4) AS ymax
+FROM t
+"""
+
+
+@q("tile_bbox_corners", _TILEBBOX_SQL)
+def tile_bbox_corners(spark, sf_dir):
+    from sparktiles.functions.tilemath import tile_bbox_exprs
+
+    n = _t(spark, sf_dir, "nation")
+    z = (F.col("n_nationkey") % 8).cast("int")
+    side = F.greatest(F.pow(F.lit(2.0), z.cast("double")), F.lit(1.0))
+    x = ((F.col("n_nationkey") % 13).cast("double") % side).cast("long")
+    y = ((F.col("n_nationkey") % 7).cast("double") % side).cast("long")
+    t = n.select(z.alias("z"), x.alias("x"), y.alias("y"))
+    xmin, ymin, xmax, ymax = tile_bbox_exprs(F.col("z"), F.col("x"), F.col("y"))
+    return t.select(
+        "z", "x", "y",
+        F.round(xmin, 4).alias("xmin"), F.round(ymin, 4).alias("ymin"),
+        F.round(xmax, 4).alias("xmax"), F.round(ymax, 4).alias("ymax"),
+    )
+
+
+# ===================================================================
+# A10 — ntile size buckets (perf histogram)
+# ===================================================================
+
+_NTILE_SQL = """
+WITH sized AS (
+  SELECT event_id, CAST(FLOOR(value * 100) AS BIGINT) AS size FROM events
+), b AS (
+  SELECT size, NTILE(10) OVER (ORDER BY size, event_id) AS bucket FROM sized
+)
+SELECT CAST(bucket AS INT) AS bucket, COUNT(*) AS cnt,
+       CAST(SUM(size) AS BIGINT) AS total, MIN(size) AS smallest, MAX(size) AS largest
+FROM b GROUP BY bucket
+"""
+
+
+@q("tile_size_buckets", _NTILE_SQL)
+def tile_size_buckets(spark, sf_dir):
+    from pyspark.sql.window import Window as W
+
+    ev = _t(spark, sf_dir, "events")
+    sized = ev.select(
+        "event_id", F.floor(F.col("value") * 100).alias("size"))
+    w = W.orderBy("size", "event_id")
+    b = sized.withColumn("bucket", F.ntile(10).over(w).cast("int"))
+    return b.groupBy("bucket").agg(
+        F.count("*").alias("cnt"), F.sum("size").alias("total"),
+        F.min("size").alias("smallest"), F.max("size").alias("largest"))
+
+
+# ===================================================================
+# MinHash-LSH canonical-id mapping (library op vs SQL oracle)
+# ===================================================================
+
+_MINHASH_MAP_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+), idx AS (
+  SELECT doc_id, t, UNNEST(range(1, len(t) - 1)) AS i FROM toks
+), shingles AS (
+  SELECT DISTINCT doc_id,
+         t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] || ' ' || t[CAST(i AS INT) + 2] AS s
+  FROM idx
+), sigs AS (
+  SELECT doc_id,
+         MIN(md5('0' || s)) AS h0, MIN(md5('1' || s)) AS h1,
+         MIN(md5('2' || s)) AS h2, MIN(md5('3' || s)) AS h3,
+         MIN(md5('4' || s)) AS h4, MIN(md5('5' || s)) AS h5,
+         MIN(md5('6' || s)) AS h6, MIN(md5('7' || s)) AS h7
+  FROM shingles GROUP BY doc_id
+), bands AS (
+  SELECT doc_id, 0 AS band, h0 || h1 AS sig FROM sigs
+  UNION ALL SELECT doc_id, 1, h2 || h3 FROM sigs
+  UNION ALL SELECT doc_id, 2, h4 || h5 FROM sigs
+  UNION ALL SELECT doc_id, 3, h6 || h7 FROM sigs
+), buckets AS (
+  SELECT band, sig, MIN(doc_id) AS canon, COUNT(*) AS n
+  FROM bands GROUP BY band, sig
+)
+SELECT b.doc_id AS doc_id, MIN(k.canon) AS canonical_id
+FROM bands b JOIN buckets k USING (band, sig)
+WHERE k.n > 1 GROUP BY b.doc_id
+"""
+
+
+@q("minhash_dedup_mapping", _MINHASH_MAP_SQL)
+def minhash_dedup_mapping(spark, sf_dir):
+    from sparktiles.operators.text import minhash_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_dedup(d, n_hashes=8, band_size=2)
+
+
+# ===================================================================
+# manual pivot — per-user event-type counts as columns
+# ===================================================================
+
+_PIVOT_SQL = """
+SELECT user_id,
+       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
+       CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS views,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases,
+       CAST(SUM(CASE WHEN event_type NOT IN ('click','view','purchase') THEN 1 ELSE 0 END) AS BIGINT) AS other
+FROM events GROUP BY user_id
+"""
+
+
+@q("event_type_pivot", _PIVOT_SQL)
+def event_type_pivot(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    et = F.col("event_type")
+    return ev.groupBy("user_id").agg(
+        F.sum(F.when(et == "click", 1).otherwise(0)).alias("clicks"),
+        F.sum(F.when(et == "view", 1).otherwise(0)).alias("views"),
+        F.sum(F.when(et == "purchase", 1).otherwise(0)).alias("purchases"),
+        F.sum(F.when(~et.isin("click", "view", "purchase"), 1).otherwise(0)).alias("other"),
+    )
