@@ -247,6 +247,8 @@ class LayerSpec:
     buffer_px: int = 0                     # layer buffer in 256px-tile pixels
     extent: int = DEFAULT_EXTENT
     geometry_kind: str = "point"           # 'point' (px/py cols) or 'wkb'
+    max_features_per_tile: int | None = None  # density cap (hot-cell skew)
+    importance_col: str | None = None      # cap ordering (desc); ties by key
 
 
 def _attr_value(v, kind: str):
@@ -315,7 +317,28 @@ def encode_layer_df(features: DataFrame, spec: LayerSpec) -> DataFrame:
     needed = ["z", "x", "y"] + geom_cols + list(spec.attr_fields)
     if key_field and key_field not in needed:
         needed.append(key_field)
+    if spec.importance_col and spec.importance_col not in needed:
+        needed.append(spec.importance_col)
     features = features.select(*dict.fromkeys(needed))
+
+    if spec.max_features_per_tile:
+        # density cap — the LabelGrid/rank pattern the reference uses to
+        # bound label density (sql/LabelGrid.sql:20-29): a hot tile
+        # (one city = one (z,x,y) key) keeps only the top-N features,
+        # bounding both encode time and tile bytes. Ordering is
+        # importance desc (if given) then key for determinism.
+        from pyspark.sql.window import Window
+
+        order = []
+        if spec.importance_col:
+            order.append(F.desc(spec.importance_col))
+        order.append(F.col(key_field or needed[-1]))
+        w = Window.partitionBy("z", "x", "y").orderBy(*order)
+        features = (
+            features.withColumn("_dr", F.row_number().over(w))
+            .where(F.col("_dr") <= spec.max_features_per_tile)
+            .drop("_dr")
+        )
 
     return grouped_map_sorted(
         features, ["z", "x", "y"], encode,

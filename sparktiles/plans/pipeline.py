@@ -114,6 +114,10 @@ class TileBuild:
             out = out.unionByName(d)
         return out
 
+    def read_lineage(self) -> DataFrame:
+        """Per-partition lineage/metrics rows written by build_fast."""
+        return self.spark.read.parquet(str(self.store / "lineage"))
+
     def read_tile_images(self) -> DataFrame:
         # per-zoom dirs (faithful loop) and/or the bulk dir (fast build)
         root = self.store / "tile_images"
@@ -284,6 +288,18 @@ class TileBuild:
                 "tile_id string, tile_data binary"))
         )
         images.write.mode("overwrite").parquet(str(self.store / "tile_images" / "all"))
+        # per-partition lineage: one row per output file per zoom with
+        # row counts + tile-coordinate extents (north_rule: lineage +
+        # metrics tables enabling checkpoint resume / audit)
+        lineage = all_map.withColumn("_file", F.input_file_name()).groupBy(
+            "zoom_level", "_file"
+        ).agg(
+            F.count("*").alias("n_rows"),
+            F.min("tile_column").alias("min_x"), F.max("tile_column").alias("max_x"),
+            F.min("tile_row").alias("min_y"), F.max("tile_row").alias("max_y"),
+            F.countDistinct("tile_id").alias("n_distinct_ids"),
+        ).withColumnRenamed("_file", "partition_file")
+        lineage.write.mode("overwrite").parquet(str(self.store / "lineage"))
         zstats = {
             int(r.zoom_level): r
             for r in all_map.groupBy("zoom_level").agg(
