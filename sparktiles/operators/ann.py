@@ -111,6 +111,70 @@ def lsh_topk(
     )
 
 
+def cosine_near_dups(
+    base: DataFrame, threshold: float,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    dim: int | None = None, planes: int = 6, bands: int = 6,
+    exact: bool = False,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a < id_b, cos_sim >=
+    threshold). The embedding analog of minhash/simhash dedup — the last
+    member of the dedup family (exact / MinHash-LSH / SimHash / n-gram
+    Jaccard / embedding-cosine).
+
+    exact=True  — all-pairs self-join (O(n^2) candidate set): the
+                  correctness baseline and oracle-parity path.
+    exact=False — random-hyperplane LSH blocking (same hyperplane family
+                  as lsh_topk): candidates are signature collisions in
+                  any band, then the exact cosine filter. Shuffle cost is
+                  proportional to collisions, not n^2 — the 100 TB path.
+                  Recall < 1 by construction; raise `bands` to trade
+                  compute for recall.
+    """
+    v = _as_double(F.col(vec_col))
+    left = base.select(F.col(id_col).alias("id_a"), v.alias("_va"),
+                       *( [lsh_signature(v, dim, planes, b).alias(f"sig{b}")
+                           for b in range(bands)] if not exact else [] ))
+    right = base.select(F.col(id_col).alias("id_b"), v.alias("_vb"),
+                        *( [lsh_signature(v, dim, planes, b).alias(f"sig{b}")
+                            for b in range(bands)] if not exact else [] ))
+    if exact:
+        cand = left.join(right, F.col("id_a") < F.col("id_b"))
+    else:
+        cand = None
+        for b in range(bands):
+            j = (
+                left.select("id_a", "_va", F.col(f"sig{b}").alias("sig"))
+                .join(right.select("id_b", "_vb", F.col(f"sig{b}").alias("sig")), "sig")
+                .where(F.col("id_a") < F.col("id_b")).drop("sig")
+            )
+            cand = j if cand is None else cand.unionByName(j)
+        cand = cand.dropDuplicates(["id_a", "id_b"])
+    cos = _dot(F.col("_va"), F.col("_vb")) / (_norm(F.col("_va")) * _norm(F.col("_vb")))
+    return (
+        cand.withColumn("cos_sim", cos)
+        .where(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
+def cosine_dedup_mapping(base: DataFrame, threshold: float,
+                         id_col: str = "vec_id", vec_col: str = "embedding",
+                         **kw) -> DataFrame:
+    """Single-step canonicalization over cosine near-dup pairs: each id
+    maps to min(own id, smallest near-dup neighbor id) — the same
+    keep-the-smallest-id contract as minhash_dedup."""
+    pairs = cosine_near_dups(base, threshold, id_col, vec_col, **kw)
+    nbr = pairs.select(F.col("id_a").alias("id"), F.col("id_b").alias("n")).unionByName(
+        pairs.select(F.col("id_b").alias("id"), F.col("id_a").alias("n")))
+    best = nbr.groupBy("id").agg(F.min("n").alias("_minn"))
+    return (
+        base.select(F.col(id_col).alias("id"))
+        .join(best, "id", "left")
+        .select("id", F.least(F.col("id"), F.coalesce("_minn", F.col("id"))).alias("canonical_id"))
+    )
+
+
 def ivf_topk(
     queries: DataFrame, base: DataFrame, k: int,
     n_centroids: int = 16, n_probe: int = 4,

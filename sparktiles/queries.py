@@ -825,6 +825,35 @@ SELECT qid, bid, cos_sim, CAST(rn AS INT) AS rank FROM ranked WHERE rn <= 5
 """
 
 
+_COS_DEDUP_SQL = """
+WITH e AS (
+  SELECT vec_id, embedding,
+         sqrt((SELECT SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+               FROM UNNEST(embedding) AS u(x))) AS nrm
+  FROM embeddings
+), pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    (SELECT SUM(CAST(a.embedding[CAST(i AS INT)] AS DOUBLE)
+                * CAST(b.embedding[CAST(i AS INT)] AS DOUBLE))
+     FROM UNNEST(range(1, 65)) AS r(i)) / (a.nrm * b.nrm) AS cos
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, ROUND(cos, 4) AS cos_sim FROM pairs WHERE cos >= 0.35
+"""
+
+
+@q("dedup_embedding_cosine", _COS_DEDUP_SQL)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (exact path of
+    operators/ann.py:cosine_near_dups); the LSH-blocked scale path is
+    recall-tested in tests/test_ann.py."""
+    from sparktiles.operators.ann import cosine_near_dups
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = cosine_near_dups(emb, 0.35, exact=True)
+    return pairs.withColumn("cos_sim", F.round("cos_sim", 4))
+
+
 @q("ann_cosine_topk", _ANN_SQL)
 def ann_cosine_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")

@@ -139,3 +139,43 @@ def test_ivf_topk_recall(spark, qb):
     a = {(r.qid, r.bid) for r in approx.collect()}
     recall = len(e & a) / len(e)
     assert recall >= 0.5, recall
+
+
+def test_cosine_near_dups_exact_matches_numpy(spark, emb):
+    import numpy as np
+
+    got = {(r.id_a, r.id_b) for r in
+           A.cosine_near_dups(emb, 0.35, exact=True).collect()}
+    data = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+            for r in emb.collect()}
+    ids = sorted(data)
+    exp = set()
+    for i, a in enumerate(ids):
+        va = data[a]
+        for b in ids[i + 1:]:
+            vb = data[b]
+            if float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb))) >= 0.35:
+                exp.add((a, b))
+    assert got == exp
+    assert exp  # threshold chosen so the set is non-trivial
+
+
+def test_cosine_near_dups_lsh_recall(spark, emb):
+    exact = {(r.id_a, r.id_b) for r in
+             A.cosine_near_dups(emb, 0.3, exact=True).collect()}
+    approx = {(r.id_a, r.id_b) for r in A.cosine_near_dups(
+        emb, 0.3, dim=64, planes=4, bands=12).collect()}
+    assert approx <= exact  # blocking only prunes; the cosine filter is exact
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, recall
+
+
+def test_cosine_dedup_mapping(spark, emb):
+    # planted exact duplicates must map to the original (smaller) id
+    dupes = emb.limit(5).withColumn("vec_id", F.col("vec_id") + 100000)
+    d = emb.unionByName(dupes)
+    m = {r.id: r.canonical_id for r in
+         A.cosine_dedup_mapping(d, 0.999999, exact=True).collect()}
+    assert len(m) == d.count()
+    for i in range(5):
+        assert m[100000 + i] == i
