@@ -26,10 +26,14 @@ MEDIA_SCHEMA = (
 )
 
 
-def attach_media(df: DataFrame, payload_col: str, kind: str, mime: str) -> DataFrame:
-    """Wrap an existing binary column into the canonical media shape."""
+def attach_media(df: DataFrame, payload_col: str, kind: str, mime: str,
+                 id_col: str | None = None) -> DataFrame:
+    """Wrap an existing binary column into the canonical media shape.
+    Pass `id_col` for a stable, data-derived media_id (reproducible
+    across runs/partitionings); default is a per-run synthetic id."""
     return df.select(
-        F.monotonically_increasing_id().alias("media_id"),
+        (F.col(id_col).cast("long") if id_col
+         else F.monotonically_increasing_id()).alias("media_id"),
         F.lit(kind).alias("kind"),
         F.lit(mime).alias("mime"),
         F.lit(None).cast("int").alias("width"),

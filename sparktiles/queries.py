@@ -825,6 +825,38 @@ SELECT qid, bid, cos_sim, CAST(rn AS INT) AS rank FROM ranked WHERE rn <= 5
 """
 
 
+_MULTIMODAL_SQL = """
+SELECT doc_id AS media_id,
+  CAST((SELECT SUM(CASE WHEN i <= LENGTH(text)
+                        THEN unicode(substr(text, CAST(i AS INT), 1))
+                        ELSE 0 END)
+        FROM UNNEST(range(1, 65)) AS r(i)) AS BIGINT) AS byte_sum,
+  CAST(8 AS INT) AS emb_dim
+FROM documents
+"""
+
+
+@q("multimodal_image_features", _MULTIMODAL_SQL)
+def multimodal_image_features(spark, sf_dir):
+    """Multimodal plumbing end-to-end: binary payload column -> canonical
+    media shape -> Arrow-batched mapInPandas decode/feature-extract
+    (operators/multimodal.py, deterministic fake decoder). The oracle
+    recovers the exact input byte sum from the decoder's mean intensity
+    (mean * 64 * 255 is an integer) — verifying the binary column
+    round-trips bit-exactly through attach_media + the UDF batch path."""
+    from sparktiles.operators.multimodal import attach_media, image_features
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.substring("text", 1, 64), "utf-8").alias("payload"))
+    media = attach_media(docs, "payload", "image", "image/x-fake", id_col="doc_id")
+    feats = image_features(media, deterministic_fake=True)
+    return feats.select(
+        "media_id",
+        F.round(F.col("mean_intensity") * 64 * 255).cast("long").alias("byte_sum"),
+        F.size("embedding").alias("emb_dim"),
+    )
+
+
 _COS_DEDUP_SQL = """
 WITH e AS (
   SELECT vec_id, embedding,

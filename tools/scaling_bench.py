@@ -116,8 +116,17 @@ def main():
     n_high = int(sys.argv[4]) if len(sys.argv) > 4 else 32
     legs = {}
     for cpus in (n_low, n_high):
+        # pin the whole leg (JVM + python workers) to exactly `cpus`
+        # cores: a cluster executor with N cores has N cores — without
+        # pinning, GC/netty/Arrow threads of the "N" leg spill onto the
+        # machine's idle cores and overstate small-leg throughput,
+        # understating N->4N efficiency. Java 17 reads the affinity
+        # mask, so spark sees the right availableProcessors too.
+        cmd = [sys.executable, __file__, "--leg", str(cpus), str(n_pages), str(maxzoom)]
+        if shutil.which("taskset"):
+            cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
         proc = subprocess.run(
-            [sys.executable, __file__, "--leg", str(cpus), str(n_pages), str(maxzoom)],
+            cmd,
             capture_output=True, text=True, cwd=str(Path(__file__).parent.parent),
         )
         line = next((l for l in proc.stdout.splitlines()
