@@ -113,6 +113,15 @@ def cmd_copy_tiles(args):
     print(json.dumps(out))
 
 
+def cmd_serve(args):
+    from sparktiles.serve import main as serve_main
+
+    argv = ["--store", args.store, "--host", args.host, "--port", str(args.port)]
+    if args.verbose:
+        argv.append("--verbose")
+    serve_main(argv)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="sparktiles")
     p.add_argument("--cpus", type=int, default=None)
@@ -149,6 +158,13 @@ def main(argv=None):
     c.add_argument("--zooms", default=None)
     c.add_argument("--bbox", default=None)
     c.set_defaults(fn=cmd_copy_tiles)
+
+    v = sub.add_parser("serve", help="HTTP tile reader over a built store")
+    v.add_argument("--store", required=True)
+    v.add_argument("--host", default="127.0.0.1")
+    v.add_argument("--port", type=int, default=8090)
+    v.add_argument("--verbose", action="store_true")
+    v.set_defaults(fn=cmd_serve)
 
     args = p.parse_args(argv)
     args.fn(args)
