@@ -262,14 +262,10 @@ def _attr_value(v, kind: str):
     return str(v)
 
 
-def encode_layer_df(features: DataFrame, spec: LayerSpec) -> DataFrame:
-    """features: z int, x long, y long, feature_id long, px/py double or
-    geom binary(WKB), + attr columns per spec. Output: one row per
-    (z,x,y): layer_index int, mvtl binary (possibly empty layer skipped).
-
-    This is the ST_AsMVT equivalent (A1): groupBy(z,x,y) ->
-    applyInPandas encoding one MVT layer message per tile.
-    """
+def _make_layer_encoder(spec: LayerSpec):
+    """Build the per-(z,x,y)-group encode kernel for one layer:
+    fn(cols, s, e) -> [(z, x, y, layer_index, blob)] or [] when every
+    feature clips away (empty layers are never emitted)."""
     attr_items = list(spec.attr_fields.items())
     extent, buffer_px = spec.extent, spec.buffer_px
     # tile buffer in MVT extent units (sqltomvt.py:199):
@@ -312,8 +308,14 @@ def encode_layer_df(features: DataFrame, spec: LayerSpec) -> DataFrame:
         blob = C.encode_layer(layer_id, feats, extent)
         return [(z, tx, ty, layer_index, blob)]
 
+    return encode
+
+
+def _prep_layer_features(features: DataFrame, spec: LayerSpec) -> DataFrame:
+    """Projection + optional density cap ahead of the (z,x,y) shuffle."""
+    key_field = spec.key_field
     # project: shuffle only what the encoder reads (drop url/tags/etc.)
-    geom_cols = ["px", "py"] if kind == "point" else ["geom"]
+    geom_cols = ["px", "py"] if spec.geometry_kind == "point" else ["geom"]
     needed = ["z", "x", "y"] + geom_cols + list(spec.attr_fields)
     if key_field and key_field not in needed:
         needed.append(key_field)
@@ -339,11 +341,54 @@ def encode_layer_df(features: DataFrame, spec: LayerSpec) -> DataFrame:
             .where(F.col("_dr") <= spec.max_features_per_tile)
             .drop("_dr")
         )
+    return features
 
+
+def encode_layer_df(features: DataFrame, spec: LayerSpec) -> DataFrame:
+    """features: z int, x long, y long, feature_id long, px/py double or
+    geom binary(WKB), + attr columns per spec. Output: one row per
+    (z,x,y): layer_index int, mvtl binary (possibly empty layer skipped).
+
+    This is the ST_AsMVT equivalent (A1): groupBy(z,x,y) ->
+    applyInPandas encoding one MVT layer message per tile.
+    """
+    encode = _make_layer_encoder(spec)
+    features = _prep_layer_features(features, spec)
     return grouped_map_sorted(
         features, ["z", "x", "y"], encode,
         "z int, x long, y long, layer_index int, mvtl binary",
-        sort_extra=[key_field] if key_field else None,
+        sort_extra=[spec.key_field] if spec.key_field else None,
+    )
+
+
+def encode_and_assemble_single(features: DataFrame, spec: LayerSpec,
+                               gzip_level: int | None = None) -> DataFrame:
+    """Single-layer fast path: fuse ST_AsMVT (A1) and the tile assembly
+    STRING_AGG+gzip+md5 (A2/A3) into ONE (z,x,y) grouped pass.
+
+    The two-phase path shuffles twice on the same key — once to encode
+    layer blobs, once to concatenate them per tile. With one layer the
+    concatenation is the identity, so the second shuffle moves every
+    encoded blob for nothing; fusing halves the shuffled bytes and
+    removes a stage barrier. Output and bytes are identical to
+    assemble_tiles(encode_layer_df(...)).
+    """
+    encode = _make_layer_encoder(spec)
+    features = _prep_layer_features(features, spec)
+
+    def tile(arrs: dict, s: int, e: int) -> list[tuple]:
+        rows = encode(arrs, s, e)
+        if not rows:
+            return []
+        z, tx, ty, _idx, blob = rows[0]
+        if gzip_level is not None:
+            blob = C.gzip_blob(blob, gzip_level)
+        return [(z, tx, ty, blob, hashlib.md5(blob).hexdigest())]
+
+    return grouped_map_sorted(
+        features, ["z", "x", "y"], tile,
+        "z int, x long, y long, mvt binary, tile_id string",
+        sort_extra=[spec.key_field] if spec.key_field else None,
     )
 
 

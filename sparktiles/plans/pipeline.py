@@ -32,7 +32,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sparktiles.functions import mvtcodec as C
-from sparktiles.operators.mvt import LayerSpec, assemble_tiles, encode_layer_df
+from sparktiles.operators.mvt import (
+    LayerSpec,
+    assemble_tiles,
+    encode_and_assemble_single,
+    encode_layer_df,
+)
 from sparktiles.operators.pyramid import (
     assign_point_tiles,
     dup_tile_ids,
@@ -133,6 +138,12 @@ class TileBuild:
     def _generate_tiles_at(self, z: int, only_tiles: DataFrame | None) -> DataFrame:
         """Run the layer pipelines for zoom z -> z,x,y,mvt,tile_id for
         every NON-EMPTY tile (optionally restricted to only_tiles)."""
+        if len(self.layer_frames) == 1:
+            spec, feats = self.layer_frames[0]
+            assigned = self._assign(feats, spec, z, z)
+            if only_tiles is not None:
+                assigned = assigned.join(only_tiles, ["z", "x", "y"], "left_semi")
+            return encode_and_assemble_single(assigned, spec, self.cfg.gzip_level)
         blobs = None
         for spec, feats in self.layer_frames:
             assigned = self._assign(feats, spec, z, z)
@@ -199,12 +210,19 @@ class TileBuild:
 
         # ---- phase 1: all non-empty tiles, one shuffle
         if not (self.store / "tiles_all" / "_SUCCESS").exists():
-            blobs = None
-            for spec, feats in self.layer_frames:
+            if len(self.layer_frames) == 1:
+                # single-layer: encode + gzip + md5 in the same grouped
+                # pass — one (z,x,y) shuffle for the whole pyramid
+                spec, feats = self.layer_frames[0]
                 assigned = self._assign(feats, spec, cfg.minzoom, cfg.maxzoom)
-                lb = encode_layer_df(assigned, spec)
-                blobs = lb if blobs is None else blobs.unionByName(lb)
-            tiles = assemble_tiles(blobs, cfg.gzip_level)
+                tiles = encode_and_assemble_single(assigned, spec, cfg.gzip_level)
+            else:
+                blobs = None
+                for spec, feats in self.layer_frames:
+                    assigned = self._assign(feats, spec, cfg.minzoom, cfg.maxzoom)
+                    lb = encode_layer_df(assigned, spec)
+                    blobs = lb if blobs is None else blobs.unionByName(lb)
+                tiles = assemble_tiles(blobs, cfg.gzip_level)
             tiles.write.mode("overwrite").partitionBy("z").parquet(tiles_all_path)
 
         def tiles_at(z):

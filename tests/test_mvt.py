@@ -123,3 +123,28 @@ def test_as_mvt_geom_buffer():
         np.array([xmin - eps]), np.array([(ymin + ymax) / 2]), 5, 10, 10, 4096, 64)
     assert keep0.tolist() == [False]
     assert keep64.tolist() == [True]
+
+
+def test_fused_single_layer_equals_two_phase(spark):
+    from pyspark.sql import functions as F
+
+    from sparktiles.operators.mvt import (
+        LayerSpec, assemble_tiles, encode_and_assemble_single, encode_layer_df)
+
+    feats = spark.range(3000).select(
+        (F.col("id") % 3).cast("int").alias("z"),
+        (F.col("id") % 5).cast("long").alias("x"),
+        (F.col("id") % 7).cast("long").alias("y"),
+        F.col("id").alias("feature_id"),
+        ((F.col("id") % 4096)).cast("double").alias("px"),
+        ((F.col("id") * 7 % 4096)).cast("double").alias("py"),
+        F.format_string("n%d", F.col("id")).alias("name"),
+    )
+    spec = LayerSpec(layer_id="place", index=0,
+                     attr_fields={"name": "string"}, key_field="feature_id")
+    for gz in (None, 6):
+        two = {(r.z, r.x, r.y): (r.tile_id, bytes(r.mvt)) for r in
+               assemble_tiles(encode_layer_df(feats, spec), gz).collect()}
+        one = {(r.z, r.x, r.y): (r.tile_id, bytes(r.mvt)) for r in
+               encode_and_assemble_single(feats, spec, gz).collect()}
+        assert one == two and one
