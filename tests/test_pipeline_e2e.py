@@ -242,3 +242,17 @@ def test_resume_skips_completed_zooms(spark, pages, tileset, tmp_path):
     # nothing re-done
     assert s2["tiles"] == 0 and b2.metrics == []
     assert sorted(first) == [0, 1, 2, 3]
+
+
+def test_single_zoom_build(spark, pages, tileset, tmp_path):
+    # minzoom == maxzoom == mid_zoom: degenerate pyramid, no impute walk
+    from sparktiles.sources.geoparse import build_features
+
+    feats = build_features(pages)
+    b = TileBuild(spark, make_point_layer_frames(feats, tileset), BuildConfig(
+        store_dir=str(tmp_path / "z3"), minzoom=3, maxzoom=3, mid_zoom=3))
+    summary = b.build_fast()
+    assert summary["tiles"] == 64
+    tm = b.read_tile_map()
+    assert tm.count() == 64
+    assert {r.zoom_level for r in tm.select("zoom_level").distinct().collect()} == {3}
