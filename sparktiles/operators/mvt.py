@@ -28,9 +28,10 @@ from pyspark.sql import functions as F
 
 from sparktiles.functions import geom as G
 from sparktiles.functions import mvtcodec as C
-from sparktiles.functions.tilemath import tile_bbox
+from sparktiles.functions.tilemath import TILEBBOX_MAX, tile_bbox
 
 DEFAULT_EXTENT = 4096
+_MASK29 = (1 << 29) - 1
 
 
 # ------------------------------------------------------------- asmvtgeom
@@ -147,6 +148,54 @@ def as_mvt_geom(
         return (C.GEOM_POLYGON, flat)
 
     return None
+
+
+def pack_zxy_expr(z="z", x="x", y="y") -> F.Column:
+    """(z,x,y) packed into one BIGINT shuffle/sort key: (z<<58)^(x<<29)^y
+    (non-overlapping for z<=29, x,y < 2^29 — i.e. any web-mercator
+    zoom). One 8-byte key column instead of three (24 bytes of UnsafeRow
+    fixed section) ahead of the pyramid's only wide shuffle."""
+    return F.expr(
+        f"shiftleft(shiftleft(cast({z} as bigint), 29) ^ {x}, 29) ^ {y}"
+    )
+
+
+def unpack_zxy(key: int) -> tuple[int, int, int]:
+    return key >> 58, (key >> 29) & _MASK29, key & _MASK29
+
+
+def with_point_tile_coords(features: DataFrame, extent: int,
+                           mvt_buffer: int) -> DataFrame:
+    """Map-side ST_AsMVTGeom for points, as Catalyst expressions: tile-
+    local integer coords ix/iy (same float order + round-half-even as
+    as_mvt_geom_points, so output bytes are identical), the clip filter,
+    and the packed zxy key — BEFORE the (z,x,y) shuffle.
+
+    Scale effect: the pyramid shuffle then carries (zxy, ix, iy) small
+    well-compressing ints instead of (z,x,y,px,py) with two high-entropy
+    doubles, clipped-away rows never shuffle at all, and the Python
+    kernel is left with pure varint packing (no per-group transform).
+    """
+    z = F.col("z").cast("double")
+    res = F.lit(TILEBBOX_MAX * 2.0) / F.pow(F.lit(2.0), z)
+    xmin = F.lit(-TILEBBOX_MAX) + F.col("x").cast("double") * res
+    xmax = xmin + res
+    ymax = F.lit(TILEBBOX_MAX) - F.col("y").cast("double") * res
+    # scale = extent / (xmax - xmin) evaluated in the exact sequence of
+    # tile_bbox() + as_mvt_geom_points(): fl(fl(xmin+res) - xmin)
+    scale = F.lit(float(extent)) / (xmax - xmin)
+    ix = F.rint((F.col("px") - xmin) * scale)
+    iy = F.rint((ymax - F.col("py")) * scale)
+    lo, hi = F.lit(-float(mvt_buffer)), F.lit(float(extent + mvt_buffer))
+    return (
+        features.withColumn("ix", ix).withColumn("iy", iy)
+        .where((F.col("ix") >= lo) & (F.col("ix") <= hi)
+               & (F.col("iy") >= lo) & (F.col("iy") <= hi))
+        .withColumn("ix", F.col("ix").cast("long"))
+        .withColumn("iy", F.col("iy").cast("long"))
+        .withColumn("zxy", pack_zxy_expr())
+        .drop("px", "py", "z", "x", "y")
+    )
 
 
 # ------------------------------------------------------------- grouped map

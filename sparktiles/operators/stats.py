@@ -131,6 +131,46 @@ def tile_summary(tile_images: DataFrame) -> DataFrame:
     )
 
 
+def tile_contents(tiles: DataFrame, attr: str = "name") -> DataFrame:
+    """Decode built (z,x,y,mvt) tile rows into one row per
+    (z,x,y,layer): feature count + md5 of the comma-joined sorted
+    `attr` values. The oracle-checkable projection of tile CONTENT —
+    the Spark-side half of the golden-tile-content tier the reference
+    tests with tests/expected/debug_mvt_dump.out: an independent SQL
+    engine can recompute the same rows from the source corpus with
+    pure tile math, so the whole encode spine (assign -> clip -> snap
+    -> varint/zigzag encode -> assemble) is hash-checked end-to-end."""
+    import hashlib
+
+    from sparktiles.functions import mvtcodec as C
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                blob = bytes(r["mvt"])
+                if not blob:
+                    continue
+                for name, lyr in C.decode_tile(blob).items():
+                    vals = sorted(
+                        str(f["attrs"].get(attr)) for f in lyr["features"])
+                    rows.append({
+                        "z": int(r["z"]), "x": int(r["x"]), "y": int(r["y"]),
+                        "layer": name,
+                        "n_features": len(vals),
+                        "names_md5": hashlib.md5(
+                            ",".join(vals).encode()).hexdigest(),
+                    })
+            cols = ["z", "x", "y", "layer", "n_features", "names_md5"]
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
+
+    return tiles.mapInPandas(
+        decode,
+        "z int, x long, y long, layer string, n_features long, names_md5 string",
+    )
+
+
 def find_duplicate_ids(df: DataFrame, id_col: str) -> DataFrame:
     """O7: ids appearing more than once (validation, utils.py:197-200)."""
     return df.groupBy(id_col).agg(F.count("*").alias("cnt")).where(F.col("cnt") > 1)

@@ -102,40 +102,57 @@ def minhash_dedup(df: DataFrame, n_hashes: int = 8, band_size: int = 2,
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """64-bit SimHash: per token, xxhash64; each bit votes +1/-1; sign of
-    the vote sum per bit position forms the fingerprint. All JVM-side:
-    explode tokens -> per-bit contribution via aggregate over 64 bits.
+    """64-bit SimHash: per token occurrence, xxhash64; each bit votes
+    +1/-1; the sign of the per-bit vote sum forms the fingerprint.
+
+    Scale shape: one row per token occurrence (no 64x bit explode), 64
+    `sum` aggregates in a single groupBy(doc_id). Spark's hash aggregate
+    combines map-side, so the shuffle carries one 64-long partial row
+    per (doc, map task) regardless of document length.
     """
     toks = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.col(text_col), " ")).alias("tok"),
     ).where(F.col("tok") != "")
     h = toks.withColumn("h", F.xxhash64("tok"))
-    # one row per (doc, bit): vote = +1 if bit set else -1
-    bits = h.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("bit"),
-        "h",
-    ).withColumn(
-        "vote", F.when(F.expr("(shiftright(h, bit) & 1) = 1"), 1).otherwise(-1)
-    )
-    agg = bits.groupBy("doc_id", "bit").agg(F.sum("vote").alias("v"))
-    return agg.groupBy("doc_id").agg(
+    votes = [
         F.sum(
-            F.when(F.col("v") > 0, F.expr("shiftleft(1L, bit)")).otherwise(F.lit(0))
-        ).alias("simhash")
-    )
+            F.when(F.expr(f"(shiftright(h, {b}) & 1) = 1"), 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(64)
+    ]
+    agg = h.groupBy("doc_id").agg(*votes)
+    fp = None
+    for b in range(64):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b if b < 63 else -(1 << 63))
+                      .cast("long")).otherwise(F.lit(0).cast("long"))
+        fp = term if fp is None else fp.bitwiseOR(term)
+    return agg.select("doc_id", fp.alias("simhash"))
 
 
-def hamming_candidates(sims: DataFrame, prefix_bits: int = 16) -> DataFrame:
-    """Block simhashes by their top `prefix_bits` bits; pairs within a
-    block are near-dup candidates (cheap stand-in for multi-probe)."""
-    blocked = sims.withColumn(
-        "block", F.expr(f"shiftright(simhash, {64 - prefix_bits})")
-    )
-    a, b = blocked.alias("a"), blocked.alias("b")
+def hamming_candidates(sims: DataFrame, n_bands: int = 4) -> DataFrame:
+    """Multi-band blocking over the 64-bit simhash: split into `n_bands`
+    disjoint bit-bands; any pair agreeing on at least one full band is a
+    candidate (pigeonhole: every pair with hamming < n_bands is
+    guaranteed to collide on some band). Union of per-band equality
+    joins, deduped — the same band trick as minhash LSH, so no
+    single-prefix recall hole and no all-pairs join."""
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    banded = sims.select(
+        "doc_id", "simhash",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.expr(f"shiftright(simhash, {i * width}) & {mask}").alias("key"),
+            )
+            for i in range(n_bands)
+        ])).alias("bk"),
+    ).select("doc_id", "simhash", "bk.band", "bk.key")
+    a, b = banded.alias("a"), banded.alias("b")
     return (
-        a.join(b, (F.col("a.block") == F.col("b.block"))
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.key") == F.col("b.key"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(
             F.col("a.doc_id").alias("id_a"),
@@ -144,6 +161,7 @@ def hamming_candidates(sims: DataFrame, prefix_bits: int = 16) -> DataFrame:
                 F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
             ).alias("hamming"),
         )
+        .distinct()
     )
 
 

@@ -49,8 +49,7 @@ def test_simhash_and_hamming(spark, docs):
     d = docs.limit(50).unionByName(near)
     sims = T.simhash(d)
     assert sims.count() == 55
-    cands = A.F.broadcast if False else None
-    pairs = T.hamming_candidates(sims, prefix_bits=8)
+    pairs = T.hamming_candidates(sims, n_bands=8)
     close = pairs.where(
         (F.col("id_b") - F.col("id_a") == 300000) & (F.col("hamming") <= 6)
     ).count()
