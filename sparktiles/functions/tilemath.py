@@ -216,3 +216,21 @@ def cell_unpack_exprs(cell) -> tuple[Column, Column, Column]:
     x = F.shiftright(cell, 29).bitwiseAND(F.lit((1 << 29) - 1))
     y = cell.bitwiseAND(F.lit((1 << 29) - 1))
     return z.cast("int"), x.cast("long"), y.cast("long")
+
+
+def coarse_cell_expr(z, x, y, coarse_z: int = 5) -> Column:
+    """Two-level spatial addressing: the ancestor cell_id of (z,x,y) at
+    `coarse_z`. The web-mercator quadtree analog of an H3/S2 two-level
+    scheme — COARSE cell (here z5: 1024 world cells) for partition/
+    shard routing and co-located joins, FINE cell (cell_id/quadkey at
+    native z) within a partition. A tile table clustered by
+    (coarse_cell, quadkey) gives bounded shuffle ranges for any bbox
+    query: the coarse level prunes partitions, the Morton fine level
+    keeps the scan contiguous. For z < coarse_z the cell is its own
+    coarse address."""
+    z, x, y = _c(z), _c(x), _c(y)
+    dz = F.greatest(z.cast("int") - F.lit(int(coarse_z)), F.lit(0))
+    cz = F.least(z.cast("int"), F.lit(int(coarse_z)))
+    cx = F.call_function("shiftright", x.cast("long"), dz)
+    cy = F.call_function("shiftright", y.cast("long"), dz)
+    return cell_id_expr(cz, cx, cy)

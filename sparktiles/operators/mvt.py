@@ -235,7 +235,7 @@ def grouped_map_sorted(
         k = arrs[keys[0]].astype(np.int64)
         for extra in keys[1:]:
             k = (k << 29) ^ arrs[extra].astype(np.int64)
-        return k
+        return k  # single pre-packed key column passes through unchanged
 
     def run(batches):
         leftover = None  # dict of numpy arrays for the trailing group
@@ -298,6 +298,12 @@ class LayerSpec:
     geometry_kind: str = "point"           # 'point' (px/py cols) or 'wkb'
     max_features_per_tile: int | None = None  # density cap (hot-cell skew)
     importance_col: str | None = None      # cap ordering (desc); ties by key
+    post_assign: object = None             # callable(df)->df after tile
+    #                                        assignment (df has z,x,y): the
+    #                                        per-zoom gating hook (P3/P6 —
+    #                                        e.g. LineLabel keeps a road's
+    #                                        label only at zooms where it
+    #                                        fits, sql/LineLabel.sql:18-34)
 
 
 def _attr_value(v, kind: str):
@@ -324,23 +330,20 @@ def _make_layer_encoder(spec: LayerSpec):
     kind = spec.geometry_kind
 
     def encode(arrs: dict, s: int, e: int) -> list[tuple]:
-        z = int(arrs["z"][s]); tx = int(arrs["x"][s]); ty = int(arrs["y"][s])
         if kind == "point":
-            mx = arrs["px"][s:e].astype(float)
-            my = arrs["py"][s:e].astype(float)
-            ix, iy, keep = as_mvt_geom_points(mx, my, z, tx, ty, extent, mvt_buffer)
-            if not keep.any():
-                return []
-            kept = np.nonzero(keep)[0] + s
-            geoms = C.encode_point_geoms(ix[keep], iy[keep])
+            # transform + clip already ran map-side (with_point_tile_coords);
+            # this kernel is pure varint packing of integer coords
+            z, tx, ty = unpack_zxy(int(arrs["zxy"][s]))
+            geoms = C.encode_point_geoms(arrs["ix"][s:e], arrs["iy"][s:e])
             attr_cols = []
             for k, t in attr_items:
-                vals = arrs[k][kept]
+                vals = arrs[k][s:e]
                 attr_cols.append((k, [_attr_value(v, t) for v in vals.tolist()]))
-            fids = arrs[key_field][kept].tolist() if key_field else None
+            fids = arrs[key_field][s:e].tolist() if key_field else None
             blob = C.encode_layer_columnar(
                 layer_id, fids, C.GEOM_POINT, geoms, attr_cols, extent)
             return [(z, tx, ty, layer_index, blob)]
+        z = int(arrs["z"][s]); tx = int(arrs["x"][s]); ty = int(arrs["y"][s])
         feats = []
         geoms = arrs["geom"]
         for i in range(s, e):
@@ -360,8 +363,13 @@ def _make_layer_encoder(spec: LayerSpec):
     return encode
 
 
-def _prep_layer_features(features: DataFrame, spec: LayerSpec) -> DataFrame:
-    """Projection + optional density cap ahead of the (z,x,y) shuffle."""
+def _prep_layer_features(features: DataFrame, spec: LayerSpec
+                         ) -> tuple[DataFrame, list[str]]:
+    """Projection (+ map-side point transform, + optional density cap)
+    ahead of the pyramid's (z,x,y) shuffle. Returns (frame, group_keys):
+    point layers shuffle on the single packed `zxy` key with tile-local
+    int coords already computed; wkb layers keep (z,x,y) + raw geometry
+    (the clip needs the whole geometry, which can span tiles)."""
     key_field = spec.key_field
     # project: shuffle only what the encoder reads (drop url/tags/etc.)
     geom_cols = ["px", "py"] if spec.geometry_kind == "point" else ["geom"]
@@ -372,25 +380,34 @@ def _prep_layer_features(features: DataFrame, spec: LayerSpec) -> DataFrame:
         needed.append(spec.importance_col)
     features = features.select(*dict.fromkeys(needed))
 
+    if spec.geometry_kind == "point":
+        mvt_buffer = int(spec.extent * spec.buffer_px / 256)
+        features = with_point_tile_coords(features, spec.extent, mvt_buffer)
+        group_keys = ["zxy"]
+    else:
+        group_keys = ["z", "x", "y"]
+
     if spec.max_features_per_tile:
         # density cap — the LabelGrid/rank pattern the reference uses to
         # bound label density (sql/LabelGrid.sql:20-29): a hot tile
         # (one city = one (z,x,y) key) keeps only the top-N features,
         # bounding both encode time and tile bytes. Ordering is
-        # importance desc (if given) then key for determinism.
+        # importance desc (if given) then key for determinism. For point
+        # layers the cap counts features that survive the clip (the
+        # transform runs first), so a capped tile carries exactly N.
         from pyspark.sql.window import Window
 
         order = []
         if spec.importance_col:
             order.append(F.desc(spec.importance_col))
         order.append(F.col(key_field or needed[-1]))
-        w = Window.partitionBy("z", "x", "y").orderBy(*order)
+        w = Window.partitionBy(*group_keys).orderBy(*order)
         features = (
             features.withColumn("_dr", F.row_number().over(w))
             .where(F.col("_dr") <= spec.max_features_per_tile)
             .drop("_dr")
         )
-    return features
+    return features, group_keys
 
 
 def encode_layer_df(features: DataFrame, spec: LayerSpec) -> DataFrame:
@@ -402,9 +419,9 @@ def encode_layer_df(features: DataFrame, spec: LayerSpec) -> DataFrame:
     applyInPandas encoding one MVT layer message per tile.
     """
     encode = _make_layer_encoder(spec)
-    features = _prep_layer_features(features, spec)
+    features, group_keys = _prep_layer_features(features, spec)
     return grouped_map_sorted(
-        features, ["z", "x", "y"], encode,
+        features, group_keys, encode,
         "z int, x long, y long, layer_index int, mvtl binary",
         sort_extra=[spec.key_field] if spec.key_field else None,
     )
@@ -423,7 +440,7 @@ def encode_and_assemble_single(features: DataFrame, spec: LayerSpec,
     assemble_tiles(encode_layer_df(...)).
     """
     encode = _make_layer_encoder(spec)
-    features = _prep_layer_features(features, spec)
+    features, group_keys = _prep_layer_features(features, spec)
 
     def tile(arrs: dict, s: int, e: int) -> list[tuple]:
         rows = encode(arrs, s, e)
@@ -435,7 +452,7 @@ def encode_and_assemble_single(features: DataFrame, spec: LayerSpec,
         return [(z, tx, ty, blob, hashlib.md5(blob).hexdigest())]
 
     return grouped_map_sorted(
-        features, ["z", "x", "y"], tile,
+        features, group_keys, tile,
         "z int, x long, y long, mvt binary, tile_id string",
         sort_extra=[spec.key_field] if spec.key_field else None,
     )

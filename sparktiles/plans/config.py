@@ -100,7 +100,10 @@ class FieldDef:
     mvt_type: str = "string"            # 'string' | 'number' | 'bool'
 
     def expr(self) -> Column | None:
-        if self.values:
+        # a LIST of values (mountain_peak class: [peak, volcano]) only
+        # documents the enum domain — no mapping is generated
+        # (reference tileset.py:59-66 treats it as doc-only)
+        if self.values and isinstance(self.values, dict):
             return compile_field_mapping(self.values)
         return None
 
@@ -115,7 +118,8 @@ class LayerDef:
     geometry_kind: str = "point"        # point | wkb
     requires: list[str] = dc_field(default_factory=list)
     vars: dict = dc_field(default_factory=dict)
-    transform: object = None            # callable(df, zoom) -> df
+    transform: object = None            # callable(df) -> df post tile-assign
+    #                                     (df has z,x,y: per-zoom gating hook)
 
     def resolved_buffer(self, tileset: "TilesetDef | None" = None,
                         getenv=os.environ.get) -> int:
@@ -301,4 +305,5 @@ class TilesetDef:
             pixel_scale=ts.get("pixel_scale", 256),
             languages=ts.get("languages", []),
             overrides=ts.get("overrides", {}),
+            bounds=tuple(ts["bounds"]) if ts.get("bounds") else None,
         )

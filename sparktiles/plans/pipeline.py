@@ -103,21 +103,29 @@ class TileBuild:
     def _zoom_done(self, z: int) -> bool:
         return self._load_manifest()["zooms"].get(str(z), {}).get("status") == "complete"
 
+    def _map_root(self) -> str:
+        return str(self.store / "tile_map")
+
     def _map_path(self, z: int) -> str:
-        return str(self.store / "tile_map" / f"z={z}")
+        # hive layout: zoom_level comes from the directory name, never
+        # duplicated inside the files (one write per row, one scan for
+        # any zoom subset; DuckDB reads it with hive_partitioning=1)
+        return str(self.store / "tile_map" / f"zoom_level={z}")
 
     def _img_path(self, z: int) -> str:
         return str(self.store / "tile_images" / f"z={z}")
 
     def read_tile_map(self, z: int | None = None) -> DataFrame:
-        if z is not None:
-            return self.spark.read.schema(MAP_SCHEMA).parquet(self._map_path(z))
-        zooms = sorted(int(k) for k in self._load_manifest()["zooms"])
-        dfs = [self.spark.read.schema(MAP_SCHEMA).parquet(self._map_path(z)) for z in zooms]
-        out = dfs[0]
-        for d in dfs[1:]:
-            out = out.unionByName(d)
-        return out
+        r = self.spark.read.schema(MAP_SCHEMA).option("basePath", self._map_root())
+        path = self._map_path(z) if z is not None else self._map_root()
+        return r.parquet(path).select(
+            "zoom_level", "tile_column", "tile_row", "tile_id")
+
+    def _write_zoom_map(self, map_rows: DataFrame, z: int):
+        """Write one zoom's map rows directly into its hive partition
+        dir (zoom_level stays in the directory name, not the files)."""
+        map_rows.select("tile_column", "tile_row", "tile_id").write.mode(
+            "overwrite").parquet(self._map_path(z))
 
     def read_lineage(self) -> DataFrame:
         """Per-partition lineage/metrics rows written by build_fast."""
@@ -165,11 +173,17 @@ class TileBuild:
 
         if spec.geometry_kind == "point":
             if minz == maxz:
-                return assign_point_tiles(feats, minz, buffer_px=spec.buffer_px)
-            return assign_point_tiles_multi(feats, minz, maxz, buffer_px=spec.buffer_px)
-        wb = feats if "xmin" in feats.columns else polygons_with_bounds(
-            feats, "geom")
-        return assign_bbox_tiles_multi(wb, minz, maxz, buffer_px=spec.buffer_px)
+                out = assign_point_tiles(feats, minz, buffer_px=spec.buffer_px)
+            else:
+                out = assign_point_tiles_multi(
+                    feats, minz, maxz, buffer_px=spec.buffer_px)
+        else:
+            wb = feats if "xmin" in feats.columns else polygons_with_bounds(
+                feats, "geom")
+            out = assign_bbox_tiles_multi(wb, minz, maxz, buffer_px=spec.buffer_px)
+        if spec.post_assign is not None:
+            out = spec.post_assign(out)
+        return out
 
     def build_fast(self) -> dict:
         """Two-phase build with identical output to build():
@@ -240,7 +254,9 @@ class TileBuild:
                 .select("z", "x", "y", "mvt", "tile_id")
             )
 
-        # ---- phase 2a: zooms [min..mid] in one job
+        # ---- phase 2a: zooms [min..mid] in ONE job, ONE write — hive-
+        # partitioned by zoom_level (dynamic overwrite touches only the
+        # partitions written; rows are never written twice)
         mid = min(cfg.mid_zoom, cfg.maxzoom)
         low_done = all(self._zoom_done(z) for z in range(cfg.minzoom, mid + 1))
         if not low_done:
@@ -255,13 +271,10 @@ class TileBuild:
                 F.lit(empty_id).alias("tile_id"),
             )
             low_map = as_map(low).unionByName(empties)
-            low_map.write.mode("overwrite").parquet(self._map_path(-1))
-            # split the bulk write into the per-zoom layout expected by
-            # read_tile_map / resume (cheap: one read + per-zoom write)
-            bulk = self.spark.read.schema(MAP_SCHEMA).parquet(self._map_path(-1))
+            (low_map.write.partitionBy("zoom_level")
+             .option("partitionOverwriteMode", "dynamic")
+             .mode("overwrite").parquet(self._map_root()))
             for z in range(cfg.minzoom, mid + 1):
-                bulk.where(F.col("zoom_level") == z).write.mode("overwrite").parquet(
-                    self._map_path(z))
                 self._mark_zoom(z, {"z": z})
 
         # ---- phase 2b: impute walk for zooms (mid..max]
@@ -290,7 +303,7 @@ class TileBuild:
                 F.lit(empty_id).alias("tile_id"),
             )
             map_rows = imputed.unionByName(gen_map).unionByName(gen_empties)
-            map_rows.write.mode("overwrite").parquet(self._map_path(z))
+            self._write_zoom_map(map_rows, z)
             self._mark_zoom(z, {"z": z})
 
         # ---- phase 2c: images + per-zoom stats, one job each
@@ -399,7 +412,7 @@ class TileBuild:
 
             # checkpoint barrier: persist this zoom (AQE coalesces output
             # partitions; at cluster scale this is an Iceberg snapshot)
-            map_rows.write.mode("overwrite").parquet(self._map_path(z))
+            self._write_zoom_map(map_rows, z)
             images = tiles.select("tile_id", F.col("mvt").alias("tile_data")) \
                 .dropDuplicates(["tile_id"])
             images = images.unionByName(
@@ -464,6 +477,7 @@ def make_point_layer_frames(features: DataFrame, tileset: TilesetDef):
             key_field="feature_id",
             buffer_px=layer.resolved_buffer(tileset),
             geometry_kind=layer.geometry_kind,
+            post_assign=layer.transform,
         )
         frames.append((spec, df))
     return frames

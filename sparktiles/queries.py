@@ -139,6 +139,82 @@ def tile_assign_points(spark, sf_dir):
 
 
 # ===================================================================
+# J1 (bbox path) — line/polygon envelope -> tile-range explosion
+# ===================================================================
+
+_LINE_BBOX_MARGIN = WORLD_MERC_WIDTH * 4.0 / 256.0  # buffer_px=4
+
+_LINE_BBOX_SQL = f"""
+WITH seg AS (
+  SELECT c_custkey AS key,
+         {_LON_SQL.format(k='c_custkey')} AS lon1,
+         {_LAT_SQL.format(k='c_custkey')} AS lat1,
+         {_LON_SQL.format(k='c_custkey')} + (c_custkey % 7) * 0.5 + 0.21 AS lon2,
+         {_LAT_SQL.format(k='c_custkey')} + (c_custkey % 5) * 0.3 + 0.17 AS lat2
+  FROM customer
+), m AS (
+  SELECT key,
+         lon1 / 180.0 * {HALF!r} AS mx1,
+         {_MERCY_SQL.format(lat='lat1', pi=PI, half=HALF)} AS my1,
+         lon2 / 180.0 * {HALF!r} AS mx2,
+         {_MERCY_SQL.format(lat='lat2', pi=PI, half=HALF)} AS my2
+  FROM seg
+), bb AS (
+  SELECT key, LEAST(mx1, mx2) AS xmin, LEAST(my1, my2) AS ymin,
+         GREATEST(mx1, mx2) AS xmax, GREATEST(my1, my2) AS ymax
+  FROM m
+), zf AS (
+  SELECT key, xmin, ymin, xmax, ymax, z, POW(2.0, z) AS n,
+         {_LINE_BBOX_MARGIN!r} / POW(2.0, z) AS margin
+  FROM bb, (SELECT UNNEST([3, 4, 5, 6]) AS z)
+), rng AS (
+  SELECT key, z,
+    GREATEST(CAST(0 AS BIGINT), LEAST(CAST(FLOOR((xmin + (-1) * margin + {HALF!r}) / {WORLD_MERC_WIDTH!r} * n) AS BIGINT), CAST(n - 1 AS BIGINT))) AS x0,
+    GREATEST(CAST(0 AS BIGINT), LEAST(CAST(FLOOR((xmax + 1 * margin + {HALF!r}) / {WORLD_MERC_WIDTH!r} * n) AS BIGINT), CAST(n - 1 AS BIGINT))) AS x1,
+    GREATEST(CAST(0 AS BIGINT), LEAST(CAST(FLOOR(({HALF!r} - (ymax + 1 * margin)) / {WORLD_MERC_WIDTH!r} * n) AS BIGINT), CAST(n - 1 AS BIGINT))) AS y0,
+    GREATEST(CAST(0 AS BIGINT), LEAST(CAST(FLOOR(({HALF!r} - (ymin + (-1) * margin)) / {WORLD_MERC_WIDTH!r} * n) AS BIGINT), CAST(n - 1 AS BIGINT))) AS y1
+  FROM zf
+), cx AS (
+  SELECT key, z, UNNEST(range(x0, x1 + 1)) AS x, y0, y1 FROM rng
+), cand AS (
+  SELECT key, z, x, UNNEST(range(y0, y1 + 1)) AS y FROM cx
+)
+SELECT CAST(z AS INT) AS z, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(COUNT(DISTINCT (x, y)) AS BIGINT) AS n_tiles
+FROM cand
+GROUP BY z
+"""
+
+
+@q("line_bbox_tiles", _LINE_BBOX_SQL)
+def line_bbox_tiles(spark, sf_dir):
+    """assign_bbox_tiles oracle (J1 bbox path, the line/polygon
+    candidate generation): per-zoom (segment, tile) candidate-pair and
+    distinct-tile counts for derived line segments at z3-z6 with a 4px
+    buffer — DuckDB recomputes the clamped tile ranges with identical
+    float order."""
+    from sparktiles.operators.pyramid import assign_bbox_tiles_multi
+
+    c = _t(spark, sf_dir, "customer")
+    key = F.col("c_custkey")
+    lon1, lat1 = _lon(key), _lat(key)
+    lon2 = lon1 + (key % 7).cast("double") * 0.5 + 0.21
+    lat2 = lat1 + (key % 5).cast("double") * 0.3 + 0.17
+    mx1, my1 = _merc_x(lon1), _merc_y(lat1)
+    mx2, my2 = _merc_x(lon2), _merc_y(lat2)
+    bb = c.select(
+        key.alias("key"),
+        F.least(mx1, mx2).alias("xmin"), F.least(my1, my2).alias("ymin"),
+        F.greatest(mx1, mx2).alias("xmax"), F.greatest(my1, my2).alias("ymax"),
+    )
+    asg = assign_bbox_tiles_multi(bb, 3, 6, buffer_px=4)
+    return asg.groupBy("z").agg(
+        F.count("*").alias("n_pairs"),
+        F.countDistinct("x", "y").alias("n_tiles"),
+    )
+
+
+# ===================================================================
 # J2 — broadcast point-in-polygon join (axis-aligned admin cells)
 # ===================================================================
 
@@ -1006,9 +1082,13 @@ def impute_fanout(spark, sf_dir):
         .where(F.col("c") >= 20).select("tile_id")
     )
     imputed, gen = impute_children(parents, dups)
-    a = imputed.agg(F.count("*").alias("n")).first()["n"]
-    b = gen.agg(F.count("*").alias("n")).first()["n"]
-    return spark.createDataFrame([(a, b)], "n_imputed long, n_generate long")
+    # single job: tag + union + one agg (no driver-side .first() loops)
+    both = imputed.select(F.lit(1).alias("_i")).unionByName(
+        gen.select(F.lit(0).alias("_i")))
+    return both.agg(
+        F.sum("_i").cast("long").alias("n_imputed"),
+        F.sum(1 - F.col("_i")).cast("long").alias("n_generate"),
+    )
 
 
 # ===================================================================

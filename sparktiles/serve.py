@@ -37,7 +37,7 @@ def load_store(store_dir: str):
         SELECT DISTINCT m.zoom_level, m.tile_column, m.tile_row,
                         m.tile_id, i.tile_data
         FROM parquet_scan('{store}/tile_map/**/*.parquet',
-                          hive_partitioning=0) m
+                          hive_partitioning=1) m
         JOIN (SELECT DISTINCT tile_id, tile_data
               FROM parquet_scan('{store}/tile_images/**/*.parquet',
                                 hive_partitioning=0)) i USING (tile_id)

@@ -36,12 +36,22 @@ def uncached_ids(ids: DataFrame, cache: DataFrame) -> DataFrame:
     return ids.join(cache.select(F.col("id")), "id", "left_anti")
 
 
-def batch_ids(ids: DataFrame, batch_size: int = 5000) -> DataFrame:
-    """Group ids into fetch batches of `batch_size` (the WDQS 5000-id
-    POST batching, import-wikidata:151): batch_no + packed id array."""
-    w = F.floor((F.row_number().over(Window.orderBy("id")) - 1) / batch_size)
-    return ids.withColumn("batch_no", w).groupBy("batch_no").agg(
-        F.collect_list("id").alias("ids"), F.count("*").alias("n")
+def batch_ids(ids: DataFrame, batch_size: int = 5000,
+              shards: int = 64) -> DataFrame:
+    """Group ids into fetch batches of at most `batch_size` (the WDQS
+    5000-id POST batching, import-wikidata:151): batch_no + packed id
+    array. Sharded numbering — ids hash into `shards` independent
+    shards, each shard windows locally (no global single-task sort);
+    batch_no = shard * 2^32 + local batch. Deterministic, every batch
+    <= batch_size, parallelism = `shards` regardless of id count."""
+    shard = F.pmod(F.xxhash64("id"), F.lit(shards))
+    w = Window.partitionBy("_shard").orderBy("id")
+    local = F.floor((F.row_number().over(w) - 1) / batch_size)
+    return (
+        ids.withColumn("_shard", shard)
+        .withColumn("batch_no", F.col("_shard") * F.lit(1 << 32) + local)
+        .groupBy("batch_no")
+        .agg(F.collect_list("id").alias("ids"), F.count("*").alias("n"))
     )
 
 

@@ -95,7 +95,7 @@ def test_tilejson(server):
 
 
 def test_store_load_no_double_count(server, store):
-    # DISTINCT collapses the bulk z=-1 dir vs per-zoom dirs duplication
+    # DISTINCT guards against any dir-layout duplication in the scan
     _, srv = server
     n = len(srv.RequestHandlerClass.tiles)
     assert n == sum(1 for (z, _, _) in srv.RequestHandlerClass.tiles)

@@ -118,3 +118,20 @@ def test_quadkey_prefix_alignment(spark):
         assert (k >> 5) >> (2 * (15 - 5)) == p_aligned >> (2 * (15 - 5))
     # children of one parent are contiguous under the quadkey sort
     assert max(kids) - min(kids) < (1 << 5) * (1 << (2 * (15 - 6) + 2))
+
+
+def test_coarse_cell_two_level_addressing(spark):
+    # a z9 tile's coarse cell == its z5 ancestor's own cell id; tiles
+    # above the coarse zoom are their own coarse address
+    df = spark.createDataFrame(
+        [(9, 300, 200), (5, 300 >> 4, 200 >> 4), (3, 5, 2)],
+        "z int, x long, y long",
+    )
+    r = df.select(
+        "z",
+        TM.coarse_cell_expr(F.col("z"), F.col("x"), F.col("y")).alias("cc"),
+        TM.cell_id_expr(F.col("z"), F.col("x"), F.col("y")).alias("own"),
+    ).collect()
+    by_z = {row.z: row for row in r}
+    assert by_z[9].cc == by_z[5].own == TM.cell_id(5, 300 >> 4, 200 >> 4)
+    assert by_z[3].cc == by_z[3].own

@@ -28,6 +28,24 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
+def total_shuffle_write(spark) -> int:
+    """Sum of shuffle-write bytes over all completed stages so far
+    (Spark's own per-stage metrics via the local REST API)."""
+    import json as j
+    import urllib.request
+
+    base = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    try:
+        with urllib.request.urlopen(
+            f"{base}/api/v1/applications/{app}/stages?status=complete", timeout=10
+        ) as r:
+            stages = j.load(r)
+        return sum(s.get("shuffleWriteBytes", 0) for s in stages)
+    except Exception:
+        return -1
+
+
 def run_leg(cpus: int, n_pages: int, maxzoom: int) -> dict:
     import os
 
@@ -36,11 +54,14 @@ def run_leg(cpus: int, n_pages: int, maxzoom: int) -> dict:
     from sparktiles.sources.pages import generate_pages
     from sparktiles.sources.geoparse import build_features
     from sparktiles.operators.pyramid import assign_point_tiles_multi
-    from sparktiles.operators.mvt import assemble_tiles, encode_layer_df
+    from sparktiles.operators.mvt import encode_and_assemble_single
     from sparktiles.plans.config import FieldDef, LayerDef, TilesetDef
     from sparktiles.plans.pipeline import BuildConfig, TileBuild, make_point_layer_frames
 
-    spark = get_spark(f"scaling-{cpus}", cpus=cpus)
+    # UI on for this bench only: shuffle-write bytes come from the
+    # per-stage REST metrics
+    spark = get_spark(f"scaling-{cpus}", cpus=cpus,
+                      extra_conf={"spark.ui.enabled": "true"})
     spark.sparkContext.setLogLevel("ERROR")
     out: dict = {"cpus": cpus}
 
@@ -76,14 +97,22 @@ def run_leg(cpus: int, n_pages: int, maxzoom: int) -> dict:
     try:
         spec_, f_ = frames[0]
         enc_times = []
+        shuffle_deltas = []
         for _ in range(2):
+            sb0 = total_shuffle_write(spark)
             t0 = time.time()
             assigned = assign_point_tiles_multi(f_, 0, maxzoom, buffer_px=spec_.buffer_px)
-            lb = encode_layer_df(assigned, spec_)
-            tiles = assemble_tiles(lb, None)
+            # the real single-layer build path: fused encode+assemble,
+            # one (packed zxy) shuffle for the whole pyramid
+            tiles = encode_and_assemble_single(assigned, spec_, None)
             tiles.write.mode("overwrite").partitionBy("z").parquet(store + "/tiles_all")
             enc_times.append(time.time() - t0)
+            sb1 = total_shuffle_write(spark)
+            if sb0 >= 0 and sb1 >= 0:
+                shuffle_deltas.append(sb1 - sb0)
         dt1 = min(enc_times)
+        if shuffle_deltas:
+            out["mvt_shuffle_write_bytes"] = min(shuffle_deltas)
         out["mvt_encode_s"] = round(dt1, 2)
         n_nonempty = spark.read.parquet(store + "/tiles_all").count()
         out["nonempty_tiles"] = n_nonempty
