@@ -463,19 +463,19 @@ def encode_and_assemble_single(features: DataFrame, spec: LayerSpec,
 def assemble_tiles(layer_blobs: DataFrame, gzip_level: int | None = None) -> DataFrame:
     """STRING_AGG(mvtl, '' ORDER BY _layer_index) [+ GZIP] + md5 key
     (reference sqltomvt.py:104-140). Input: z,x,y,layer_index,mvtl.
-    Output: z,x,y,mvt binary,tile_id string (md5 hex)."""
+    Output: z,x,y,mvt binary,tile_id string (md5 hex). Shuffles on the
+    packed zxy key (one bigint instead of three columns)."""
 
     def concat(arrs: dict, s: int, e: int) -> list[tuple]:
+        z, tx, ty = unpack_zxy(int(arrs["zxy"][s]))
         blob = b"".join(bytes(b) for b in arrs["mvtl"][s:e])
         if gzip_level is not None:
             blob = C.gzip_blob(blob, gzip_level)
-        return [(
-            int(arrs["z"][s]), int(arrs["x"][s]), int(arrs["y"][s]),
-            blob, hashlib.md5(blob).hexdigest(),
-        )]
+        return [(z, tx, ty, blob, hashlib.md5(blob).hexdigest())]
 
+    lb = layer_blobs.withColumn("zxy", pack_zxy_expr()).drop("z", "x", "y")
     return grouped_map_sorted(
-        layer_blobs, ["z", "x", "y"], concat,
+        lb, ["zxy"], concat,
         "z int, x long, y long, mvt binary, tile_id string",
         sort_extra=["layer_index"],
     )

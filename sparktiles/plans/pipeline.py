@@ -321,30 +321,34 @@ class TileBuild:
         images.write.mode("overwrite").parquet(str(self.store / "tile_images" / "all"))
         # per-partition lineage: one row per output file per zoom with
         # row counts + tile-coordinate extents (north_rule: lineage +
-        # metrics tables enabling checkpoint resume / audit)
+        # metrics tables enabling checkpoint resume / audit). The
+        # per-zoom stats are rolled up FROM the lineage rows (a handful
+        # per zoom) — one full map scan instead of two.
         lineage = all_map.withColumn("_file", F.input_file_name()).groupBy(
             "zoom_level", "_file"
         ).agg(
             F.count("*").alias("n_rows"),
+            F.sum((F.col("tile_id") != empty_id).cast("long")).alias("n_nonempty"),
             F.min("tile_column").alias("min_x"), F.max("tile_column").alias("max_x"),
             F.min("tile_row").alias("min_y"), F.max("tile_row").alias("max_y"),
             F.countDistinct("tile_id").alias("n_distinct_ids"),
         ).withColumnRenamed("_file", "partition_file")
         lineage.write.mode("overwrite").parquet(str(self.store / "lineage"))
-        zstats = {
-            int(r.zoom_level): r
-            for r in all_map.groupBy("zoom_level").agg(
-                F.count("*").alias("n"),
-                F.sum((F.col("tile_id") != empty_id).cast("int")).alias("ne"),
-            ).collect()
-        }
+        lin_rows = self.spark.read.parquet(str(self.store / "lineage")).collect()
+        zstats = {}
+        for r in lin_rows:
+            z_, n_, ne_ = int(r.zoom_level), int(r.n_rows), int(r.n_nonempty)
+            if z_ not in zstats:
+                zstats[z_] = [0, 0]
+            zstats[z_][0] += n_
+            zstats[z_][1] += ne_
         total_tiles = 0
         for z in range(cfg.minzoom, cfg.maxzoom + 1):
-            r = zstats.get(z)
-            stats = {"z": z, "n_tiles": int(r.n), "n_nonempty": int(r.ne or 0)}
+            n_, ne_ = zstats.get(z, (0, 0))
+            stats = {"z": z, "n_tiles": n_, "n_nonempty": ne_}
             self.metrics.append(stats)
             self._mark_zoom(z, stats)
-            total_tiles += int(r.n)
+            total_tiles += n_
 
         wall = time.time() - t_start
         summary = {

@@ -8,11 +8,13 @@ becomes a vectorized text geoparse: regex extraction of
 FIXTURES.md §2 (modeled on the imposm point-table mapping
 tests/testlayers/housenumber/mapping.yaml:8-27).
 
-All extraction runs in mapInPandas with pandas' C regex engine
-(str.extractall) — Arrow batches in, Arrow batches out, no per-row
-Python UDFs (input_hint requirement). Downstream enrichment
-(feature_id hash, mercator coords, tags, enum class) is pure column
-math (JVM-side).
+Extraction is pure JVM column math: regexp_extract_all pulls every
+mention, posexplode numbers them, regexp_extract splits the groups —
+the whole import stage stays inside whole-stage codegen (no Python
+workers, no Arrow transfer). extract_mentions_pandas keeps the
+Arrow-batched pandas variant as the template for extractions a Java
+regex can't express. Downstream enrichment (feature_id hash, mercator
+coords, tags, enum class) is pure column math too.
 """
 
 from __future__ import annotations
@@ -26,6 +28,8 @@ from pyspark.sql import functions as F
 from sparktiles.functions.tilemath import mercator_x_expr, mercator_y_expr
 
 MENTION_RE = r"Name_(?P<pid>\d+) \((?P<lat>-?\d+\.\d{5}); (?P<lon>-?\d+\.\d{5})\)"
+# numbered-group twin for the JVM regex engine (same language subset)
+_MENTION_RE_J = r"Name_(\d+) \((-?\d+\.\d{5}); (-?\d+\.\d{5})\)"
 
 _MENTIONS_SCHEMA = (
     "url string, lang string, mention_idx int, place_id long, "
@@ -34,7 +38,32 @@ _MENTIONS_SCHEMA = (
 
 
 def extract_mentions(pages: DataFrame) -> DataFrame:
-    """pages -> one row per place mention (vectorized regex)."""
+    """pages -> one row per place mention. All JVM: regexp_extract_all
+    (every match) -> posexplode (mention_idx) -> regexp_extract
+    (groups). Identical output to the pandas variant, with the import
+    stage inside whole-stage codegen."""
+    p = F.lit(_MENTION_RE_J)
+    ms = F.regexp_extract_all(F.col("text"), p, F.lit(0))
+    exploded = pages.select(
+        "url", "lang", F.posexplode(ms).alias("mention_idx", "_m")
+    )
+    pid = F.regexp_extract("_m", _MENTION_RE_J, 1).cast("long")
+    return exploded.select(
+        "url",
+        "lang",
+        F.col("mention_idx").cast("int").alias("mention_idx"),
+        pid.alias("place_id"),
+        F.regexp_extract("_m", _MENTION_RE_J, 2).cast("double").alias("lat"),
+        F.regexp_extract("_m", _MENTION_RE_J, 3).cast("double").alias("lon"),
+        F.concat(F.lit("Name_"), pid.cast("string")).alias("name"),
+    )
+
+
+def extract_mentions_pandas(pages: DataFrame) -> DataFrame:
+    """Arrow-batched pandas variant of extract_mentions (pandas C regex
+    via str.extractall) — the pattern to follow when an extraction
+    needs regex features Java lacks. Output-equal to extract_mentions
+    (pytest-asserted)."""
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -256,3 +256,22 @@ def test_single_zoom_build(spark, pages, tileset, tmp_path):
     tm = b.read_tile_map()
     assert tm.count() == 64
     assert {r.zoom_level for r in tm.select("zoom_level").distinct().collect()} == {3}
+
+
+def test_jvm_and_pandas_extraction_identical(spark, pages):
+    """The codegen extract_mentions and the Arrow/pandas variant are
+    row-for-row identical (same regex language subset)."""
+    from sparktiles.sources.geoparse import (
+        extract_mentions, extract_mentions_pandas)
+
+    a = extract_mentions(pages)
+    b = extract_mentions_pandas(pages)
+    key = ["url", "mention_idx"]
+    assert a.count() == b.count()
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    # mention_idx is dense per url starting at 0 in both
+    mx = a.groupBy("url").agg(
+        F.min("mention_idx").alias("mn"), F.max("mention_idx").alias("mx"),
+        F.count("*").alias("c"))
+    bad = mx.where((F.col("mn") != 0) | (F.col("mx") != F.col("c") - 1)).count()
+    assert bad == 0
