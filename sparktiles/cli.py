@@ -37,15 +37,24 @@ def cmd_build_tiles(args):
     else:
         pages = generate_pages(spark, args.synthetic_pages)
     feats = build_features(pages)
-    tileset = TilesetDef(
-        name=args.name,
-        layers=[LayerDef(id="place", fields=[FieldDef("name")],
-                         buffer_size=args.buffer)],
-        minzoom=args.minzoom, maxzoom=args.maxzoom,
-    )
+    if args.tileset:
+        # bin/generate-tiles contract: the tileset YAML drives layers,
+        # zoom range and languages; CLI flags override zooms if given
+        tileset = TilesetDef.from_yaml(args.tileset)
+        minzoom = args.minzoom if args.minzoom is not None else tileset.minzoom
+        maxzoom = args.maxzoom if args.maxzoom is not None else tileset.maxzoom
+    else:
+        minzoom = args.minzoom if args.minzoom is not None else 0
+        maxzoom = args.maxzoom if args.maxzoom is not None else 14
+        tileset = TilesetDef(
+            name=args.name,
+            layers=[LayerDef(id="place", fields=[FieldDef("name")],
+                             buffer_size=args.buffer)],
+            minzoom=minzoom, maxzoom=maxzoom,
+        )
     frames = make_point_layer_frames(feats, tileset)
     cfg = BuildConfig(
-        store_dir=args.store, minzoom=args.minzoom, maxzoom=args.maxzoom,
+        store_dir=args.store, minzoom=minzoom, maxzoom=maxzoom,
         mid_zoom=args.mid_zoom,
         gzip_level=args.gzip if args.gzip >= 0 else None,
     )
@@ -132,8 +141,10 @@ def main(argv=None):
     b.add_argument("--synthetic-pages", type=int, default=100_000)
     b.add_argument("--store", required=True)
     b.add_argument("--name", default="sparktiles")
-    b.add_argument("--minzoom", type=int, default=0)
-    b.add_argument("--maxzoom", type=int, default=14)
+    b.add_argument("--tileset", default=None,
+                   help="tileset YAML (reference testmaptiles.yaml layout)")
+    b.add_argument("--minzoom", type=int, default=None)
+    b.add_argument("--maxzoom", type=int, default=None)
     b.add_argument("--mid-zoom", type=int, default=8)
     b.add_argument("--buffer", type=int, default=8)
     b.add_argument("--gzip", type=int, default=-1)

@@ -72,6 +72,9 @@ def encode_value(v) -> bytes:
     """MVT typed Value submessage. bool -> bool_value, int -> int_value,
     float -> double_value, str -> string_value (the reference maps PG
     bool/text/int4/int8 exactly this way, pgutils.py:115-130)."""
+    if type(v) is str:  # hot path: string attrs dominate tile encoding
+        s = v.encode("utf-8")
+        return b"\x0a" + varint_cached(len(s)) + s  # _len_field(1, s)
     if isinstance(v, bool) or isinstance(v, np.bool_):
         return _tag(7, 0) + _varint(1 if v else 0)
     if isinstance(v, (int, np.integer)):
@@ -320,6 +323,290 @@ def encode_point_geoms(ix, iy) -> list[bytes]:
     for x, y in zip(ix.tolist(), iy.tolist()):
         out.append(b"\x09" + _varint((x << 1) ^ (x >> 63)) + _varint((y << 1) ^ (y >> 63)))
     return out
+
+
+# --------------------------------------------- vectorized point layer
+
+# small-varint cache: every length/index/zigzag the tile encoder emits
+# (except raw fids) is < 16384 at default extent
+_VARINT_CACHE = None
+
+
+def varint_cached(n: int) -> bytes:
+    global _VARINT_CACHE
+    if _VARINT_CACHE is None:
+        _VARINT_CACHE = [_varint(i) for i in range(16384)]
+    return _VARINT_CACHE[n] if 0 <= n < 16384 else _varint(n)
+
+
+def point_row_fields_vec(fids, ix: np.ndarray, iy: np.ndarray):
+    """Batch-vectorized per-row wire pieces for single-point features:
+    (fid_fields, geom_fields) lists of bytes — fid_fields[i] =
+    0x08 varint(fid), geom_fields[i] = 0x22 varint(len) 0x09 zz(x) zz(y).
+    Group-independent, so one numpy pass serves every tile in the Arrow
+    batch; the per-group kernel just concatenates cached pieces."""
+    n = len(ix)
+    zzx = ((ix.astype(np.int64) << 1) ^ (ix.astype(np.int64) >> 63)).view(np.uint64)
+    zzy = ((iy.astype(np.int64) << 1) ^ (iy.astype(np.int64) >> 63)).view(np.uint64)
+    nb_zzx, nb_zzy = _varint_nbytes(zzx), _varint_nbytes(zzy)
+    geom_len = 1 + nb_zzx + nb_zzy
+    nb_glen = _varint_nbytes(geom_len.astype(np.uint64))
+    total = 1 + nb_glen + geom_len  # 0x22 len 0x09 zzx zzy
+    offs = np.zeros(n, dtype=np.int64)
+    if n > 1:
+        offs[1:] = np.cumsum(total[:-1])
+    buf = np.zeros(int(total.sum()), dtype=np.uint8)
+    buf[offs] = 0x22
+    _write_varints(buf, offs + 1, geom_len.astype(np.uint64), nb_glen)
+    o = offs + 1 + nb_glen
+    buf[o] = 0x09
+    _write_varints(buf, o + 1, zzx, nb_zzx)
+    _write_varints(buf, o + 1 + nb_zzx, zzy, nb_zzy)
+    blob = buf.tobytes()
+    ends = (offs + total).tolist()
+    starts = offs.tolist()
+    geom_fields = [blob[a:b] for a, b in zip(starts, ends)]
+
+    if fids is None:
+        return None, geom_fields
+    fid_arr = np.asarray(fids, dtype=np.int64).view(np.uint64)
+    nb_fid = _varint_nbytes(fid_arr)
+    ftotal = 1 + nb_fid
+    foffs = np.zeros(n, dtype=np.int64)
+    if n > 1:
+        foffs[1:] = np.cumsum(ftotal[:-1])
+    fbuf = np.zeros(int(ftotal.sum()), dtype=np.uint8)
+    fbuf[foffs] = 0x08
+    _write_varints(fbuf, foffs + 1, fid_arr, nb_fid)
+    fblob = fbuf.tobytes()
+    fe = (foffs + ftotal).tolist()
+    fs = foffs.tolist()
+    fid_fields = [fblob[a:b] for a, b in zip(fs, fe)]
+    return fid_fields, geom_fields
+
+
+_GTYPE_FIELD = {g: b"\x18" + bytes([g]) for g in (1, 2, 3)}
+
+
+def layer_frame_blobs(name: str, keys: list[str],
+                      extent: int = DEFAULT_EXTENT) -> tuple[bytes, bytes, bytes]:
+    """Constant layer-message pieces (header: version+name, keys
+    trailer, extent field) — identical for every tile of a layer, so
+    encoders compute them once per task instead of per tile."""
+    header = _varint_field(15, 2) + _len_field(1, name.encode("utf-8"))
+    keys_blob = b"".join(_len_field(3, k.encode("utf-8")) for k in keys)
+    extent_blob = _varint_field(5, extent)
+    return header, keys_blob, extent_blob
+
+
+def encode_layer_points_prepped(
+    name: str,
+    fid_fields,
+    geom_fields,
+    s: int,
+    e: int,
+    attr_cols: list[tuple[str, list]],
+    extent: int = DEFAULT_EXTENT,
+    frame_blobs: tuple[bytes, bytes, bytes] | None = None,
+) -> bytes:
+    """Per-group assembly over batch-prepped row pieces (rows [s, e) of
+    the batch-level fid/geom piece lists; attr_cols are group-local):
+    dictionary-encode values (memoized, same first-seen order as
+    encode_layer_columnar) and frame features from cached small
+    varints. Byte-identical to encode_layer_columnar (fuzz-asserted)."""
+    keys = [k for k, _ in attr_cols]
+    key_bytes = [varint_cached(ki) for ki in range(len(keys))]
+    values: list[bytes] = []
+    value_idx: dict[bytes, int] = {}
+    memos: list[dict] = [dict() for _ in attr_cols]
+    tfield = _GTYPE_FIELD[GEOM_POINT]
+    parts: list[bytes] = []
+    for j in range(e - s):
+        tags = b""
+        for ki, (_kname, col) in enumerate(attr_cols):
+            v = col[j]
+            if v is None:
+                continue
+            memo = memos[ki]
+            vi = memo.get(v)
+            if vi is None:
+                ev = encode_value(v)
+                vi = value_idx.get(ev)
+                if vi is None:
+                    vi = value_idx[ev] = len(values)
+                    values.append(ev)
+                memo[v] = vi
+            tags += key_bytes[ki] + varint_cached(vi)
+        ff = fid_fields[s + j] if fid_fields is not None else b""
+        gf = geom_fields[s + j]
+        if tags:
+            tags = b"\x12" + varint_cached(len(tags)) + tags
+        body_len = len(ff) + len(tags) + 2 + len(gf)
+        parts.append(b"\x12" + varint_cached(body_len) + ff + tags + tfield + gf)
+    header, keys_blob, extent_blob = (
+        frame_blobs if frame_blobs is not None
+        else layer_frame_blobs(name, keys, extent))
+    body = header
+    body += b"".join(parts)
+    body += keys_blob
+    body += b"".join(b"\x22" + varint_cached(len(v)) + v for v in values)
+    body += extent_blob
+    return _len_field(3, body)
+
+def _varint_nbytes(v: np.ndarray) -> np.ndarray:
+    """Varint byte count per uint64 value (vectorized)."""
+    nb = np.ones(len(v), dtype=np.int64)
+    t = v >> np.uint64(7)
+    while t.any():
+        nb += (t != 0)
+        t = t >> np.uint64(7)
+    return nb
+
+
+def _write_varints(buf: np.ndarray, offs: np.ndarray, vals: np.ndarray,
+                   nb: np.ndarray) -> None:
+    """Scatter varint encodings of `vals` (uint64) into `buf` at per-value
+    byte offsets `offs`; `nb` = _varint_nbytes(vals). O(max nb) numpy
+    passes regardless of count."""
+    kmax = int(nb.max()) if len(nb) else 0
+    for k in range(kmax):
+        m = nb > k
+        byte = ((vals[m] >> np.uint64(7 * k)) & np.uint64(0x7F)).astype(np.uint8)
+        buf[offs[m] + k] = byte | ((nb[m] > k + 1).astype(np.uint8) << 7)
+
+
+def encode_layer_points_vec(
+    name: str,
+    fids,
+    ix: np.ndarray,
+    iy: np.ndarray,
+    attr_cols: list[tuple[str, list]],
+    extent: int = DEFAULT_EXTENT,
+    all_string_attrs: bool = False,
+) -> bytes:
+    """Fully numpy-vectorized single-point layer encoder — byte-identical
+    to encode_layer_columnar(..., GEOM_POINT, encode_point_geoms(ix, iy),
+    ...) (pytest-asserted), with O(passes) numpy work instead of
+    per-feature Python varint packing (the MVT encode hot loop was ~50%
+    of pyramid-build CPU before this).
+
+    Dictionary semantics preserved exactly: keys = every attr column in
+    column order; values deduped by (type, value) in first-seen order
+    scanning features row-major then columns (None skipped) — the same
+    order the memoized scalar path produces.
+    """
+    import pandas as pd
+
+    n = len(ix)
+    A = len(attr_cols)
+    if A >= 128:
+        raise ValueError("more than 127 attr columns")  # 1-byte key idx
+
+    # --- value dictionary (global first-seen order, (type,value) keyed)
+    if A:
+        mat = np.empty((n, A), dtype=object)
+        for a, (_k, col) in enumerate(attr_cols):
+            mat[:, a] = col
+        flat = mat.ravel()
+        if all_string_attrs:
+            # strings can only hash-equal strings: factorize raw values
+            codes, uniques = pd.factorize(flat, use_na_sentinel=True)
+            values = [encode_value(u) for u in uniques]
+        else:
+            # type-tag values so e.g. True / 1 / 1.0 never collapse (they
+            # encode differently); equal typed values across columns share
+            keyed = np.empty(len(flat), dtype=object)
+            for i, v in enumerate(flat):
+                keyed[i] = None if v is None else (v.__class__.__name__, v)
+            codes, uniques = pd.factorize(keyed, use_na_sentinel=True)
+            values = [encode_value(u[1]) for u in uniques]
+        C = codes.reshape(n, A)
+    else:
+        values = []
+        C = np.empty((n, 0), dtype=np.int64)
+
+    # --- per-piece varint lengths
+    zzx = ((ix.astype(np.int64) << 1) ^ (ix.astype(np.int64) >> 63)).view(np.uint64)
+    zzy = ((iy.astype(np.int64) << 1) ^ (iy.astype(np.int64) >> 63)).view(np.uint64)
+    nb_zzx, nb_zzy = _varint_nbytes(zzx), _varint_nbytes(zzy)
+    geom_len = 1 + nb_zzx + nb_zzy
+    nb_geom_len = _varint_nbytes(geom_len.astype(np.uint64))
+
+    if fids is not None:
+        fid_arr = np.asarray(fids, dtype=np.int64).view(np.uint64)
+        nb_fid = _varint_nbytes(fid_arr)
+        fid_part = 1 + nb_fid
+    else:
+        fid_part = np.zeros(n, dtype=np.int64)
+
+    present = []          # per column: bool mask
+    nb_code = []          # per column: varint size of value idx
+    tag_len = np.zeros(n, dtype=np.int64)
+    for a in range(A):
+        pm = C[:, a] >= 0
+        nc = np.zeros(n, dtype=np.int64)
+        nc[pm] = _varint_nbytes(C[pm, a].astype(np.uint64))
+        present.append(pm)
+        nb_code.append(nc)
+        tag_len += pm * (1 + nc)
+    has_tags = tag_len > 0
+    nb_tag_len = np.zeros(n, dtype=np.int64)
+    nb_tag_len[has_tags] = _varint_nbytes(tag_len[has_tags].astype(np.uint64))
+    tags_part = has_tags * (1 + nb_tag_len + tag_len)
+
+    type_part = 2                                   # 0x18, gtype<128
+    geom_part = 1 + nb_geom_len + geom_len
+    body_len = fid_part + tags_part + type_part + geom_part
+    nb_body = _varint_nbytes(body_len.astype(np.uint64))
+    total = 1 + nb_body + body_len                  # 0x12 len body
+
+    offs = np.zeros(n, dtype=np.int64)
+    if n > 1:
+        offs[1:] = np.cumsum(total[:-1])
+    buf = np.zeros(int(total.sum()), dtype=np.uint8)
+
+    # --- scatter writes (order matches encode_feature)
+    o = offs.copy()
+    buf[o] = 0x12
+    o += 1
+    _write_varints(buf, o, body_len.astype(np.uint64), nb_body)
+    o += nb_body
+    if fids is not None:
+        buf[o] = 0x08
+        _write_varints(buf, o + 1, fid_arr, nb_fid)
+        o += 1 + nb_fid
+    if A:
+        ht = has_tags
+        buf[o[ht]] = 0x12
+        _write_varints(buf, o[ht] + 1, tag_len[ht].astype(np.uint64),
+                       nb_tag_len[ht])
+        o2 = o + ht * (1 + nb_tag_len)
+        for a in range(A):
+            pm = present[a]
+            buf[o2[pm]] = a                          # key idx varint (<128)
+            _write_varints(buf, o2[pm] + 1, C[pm, a].astype(np.uint64),
+                           nb_code[a][pm])
+            o2 = o2 + pm * (1 + nb_code[a])
+        o = o2
+    buf[o] = 0x18
+    buf[o + 1] = GEOM_POINT
+    o += 2
+    buf[o] = 0x22
+    _write_varints(buf, o + 1, geom_len.astype(np.uint64), nb_geom_len)
+    o += 1 + nb_geom_len
+    buf[o] = 0x09
+    _write_varints(buf, o + 1, zzx, nb_zzx)
+    o += 1 + nb_zzx
+    _write_varints(buf, o, zzy, nb_zzy)
+
+    keys = [k for k, _ in attr_cols]
+    body = _varint_field(15, 2)
+    body += _len_field(1, name.encode("utf-8"))
+    body += buf.tobytes()
+    body += b"".join(_len_field(3, k.encode("utf-8")) for k in keys)
+    body += b"".join(_len_field(4, v) for v in values)
+    body += _varint_field(5, extent)
+    return _len_field(3, body)
 
 
 def decode_tile(buf: bytes) -> dict:

@@ -206,6 +206,7 @@ def grouped_map_sorted(
     fn,
     out_schema: str,
     sort_extra: list[str] | None = None,
+    prep=None,
 ):
     """applyInPandas-equivalent with per-BATCH (not per-group) Python
     overhead: repartition on the keys, sort within partitions, then
@@ -246,6 +247,11 @@ def grouped_map_sorted(
             if leftover is not None:
                 arrs = {c: np.concatenate([leftover[c], arrs[c]]) for c in in_cols}
                 leftover = None
+            if prep is not None:
+                # batch-level vectorized precompute (group-independent
+                # per-row pieces); held-back rows are re-prepped with
+                # the next batch since leftover keeps only raw columns
+                arrs = {**arrs, **prep(arrs)}
             k = packed_key(arrs)
             # boundary indices between consecutive distinct keys
             cuts = np.flatnonzero(k[1:] != k[:-1]) + 1
@@ -266,6 +272,8 @@ def grouped_map_sorted(
                 yield pd.DataFrame(rows, columns=out_cols)
         if leftover is not None and len(next(iter(leftover.values()))):
             arrs = leftover
+            if prep is not None:
+                arrs = {**arrs, **prep(arrs)}
             k = packed_key(arrs)
             cuts = np.flatnonzero(k[1:] != k[:-1]) + 1
             starts = np.concatenate([[0], cuts])
@@ -328,20 +336,23 @@ def _make_layer_encoder(spec: LayerSpec):
     layer_id, layer_index = spec.layer_id, spec.index
     key_field = spec.key_field
     kind = spec.geometry_kind
+    frame_blobs = C.layer_frame_blobs(
+        layer_id, [k for k, _ in attr_items], extent)
 
     def encode(arrs: dict, s: int, e: int) -> list[tuple]:
         if kind == "point":
             # transform + clip already ran map-side (with_point_tile_coords);
-            # this kernel is pure varint packing of integer coords
+            # fid/geometry wire pieces were varint-packed batch-vectorized
+            # (point_row_fields_vec via the prep hook); this kernel only
+            # dictionary-encodes attrs and joins cached pieces
             z, tx, ty = unpack_zxy(int(arrs["zxy"][s]))
-            geoms = C.encode_point_geoms(arrs["ix"][s:e], arrs["iy"][s:e])
             attr_cols = []
             for k, t in attr_items:
                 vals = arrs[k][s:e]
                 attr_cols.append((k, [_attr_value(v, t) for v in vals.tolist()]))
-            fids = arrs[key_field][s:e].tolist() if key_field else None
-            blob = C.encode_layer_columnar(
-                layer_id, fids, C.GEOM_POINT, geoms, attr_cols, extent)
+            blob = C.encode_layer_points_prepped(
+                layer_id, arrs["_fidf"], arrs["_geomf"], s, e, attr_cols,
+                extent, frame_blobs=frame_blobs)
             return [(z, tx, ty, layer_index, blob)]
         z = int(arrs["z"][s]); tx = int(arrs["x"][s]); ty = int(arrs["y"][s])
         feats = []
@@ -361,6 +372,18 @@ def _make_layer_encoder(spec: LayerSpec):
         return [(z, tx, ty, layer_index, blob)]
 
     return encode
+
+
+def _make_point_prep(key_field):
+    """Batch-level prep for the point kernel: vectorized fid/geometry
+    wire pieces for every row of the Arrow batch in O(numpy passes)."""
+
+    def prep(arrs: dict) -> dict:
+        fids = arrs[key_field] if key_field else None
+        ff, gf = C.point_row_fields_vec(fids, arrs["ix"], arrs["iy"])
+        return {"_fidf": ff, "_geomf": gf}
+
+    return prep
 
 
 def _prep_layer_features(features: DataFrame, spec: LayerSpec
@@ -420,10 +443,12 @@ def encode_layer_df(features: DataFrame, spec: LayerSpec) -> DataFrame:
     """
     encode = _make_layer_encoder(spec)
     features, group_keys = _prep_layer_features(features, spec)
+    prep = _make_point_prep(spec.key_field) if spec.geometry_kind == "point" else None
     return grouped_map_sorted(
         features, group_keys, encode,
         "z int, x long, y long, layer_index int, mvtl binary",
         sort_extra=[spec.key_field] if spec.key_field else None,
+        prep=prep,
     )
 
 
@@ -451,10 +476,12 @@ def encode_and_assemble_single(features: DataFrame, spec: LayerSpec,
             blob = C.gzip_blob(blob, gzip_level)
         return [(z, tx, ty, blob, hashlib.md5(blob).hexdigest())]
 
+    prep = _make_point_prep(spec.key_field) if spec.geometry_kind == "point" else None
     return grouped_map_sorted(
         features, group_keys, tile,
         "z int, x long, y long, mvt binary, tile_id string",
         sort_extra=[spec.key_field] if spec.key_field else None,
+        prep=prep,
     )
 
 

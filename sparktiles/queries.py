@@ -1431,6 +1431,92 @@ def mvt_content_check_q(spark, sf_dir):
 
 
 # ===================================================================
+# G5/G11/P7 — WKB roundtrip + ToPoint centroid + geometry stats
+# ===================================================================
+
+_TOPOINT_SQL = """
+WITH r AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS key,
+         CAST(n_nationkey AS DOUBLE) * 1000 + 0.1234567 AS x0,
+         CAST(n_nationkey AS DOUBLE) * 600 - 8000 + 0.0891011 AS y0,
+         500.0 + CAST(n_nationkey AS DOUBLE) * 13.7 AS w,
+         300.0 + CAST(n_nationkey AS DOUBLE) * 7.3 AS h
+  FROM nation
+)
+SELECT key,
+       ROUND((x0 + (x0 + w)) / 2.0, 4) AS cx,
+       ROUND((y0 + (y0 + h)) / 2.0, 4) AS cy,
+       ROUND(w * h, 2) AS area,
+       5 AS n_points
+FROM r
+"""
+
+
+@q("topoint_centroid", _TOPOINT_SQL)
+def topoint_centroid(spark, sf_dir):
+    """WKB encode -> decode -> ToPoint(centroid branch, <=5-pt polys) ->
+    area/length stats, oracle-checked: the rectangle corpus makes the
+    geometry kernels' outputs SQL-predictable (midpoint / w*h / 2(w+h))
+    while the engine path runs the real codec + kernels
+    (reference sql/ToPoint.sql:24-47 centroid branch)."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from sparktiles.functions import geom as G
+    from sparktiles.operators.generalize import geometry_stats, to_point_table
+
+    n = _t(spark, sf_dir, "nation")
+    k = F.col("n_nationkey").cast("double")
+    base = n.select(
+        F.col("n_nationkey").cast("long").alias("key"),
+        (k * 1000 + 0.1234567).alias("x0"),
+        (k * 600 - 8000 + 0.0891011).alias("y0"),
+        (F.lit(500.0) + k * 13.7).alias("w"),
+        (F.lit(300.0) + k * 7.3).alias("h"),
+    )
+
+    def mk_wkb(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        for pdf in batches:
+            geoms = []
+            for x0, y0, w, h in zip(pdf.x0, pdf.y0, pdf.w, pdf.h):
+                ring = np.array([[x0, y0], [x0 + w, y0], [x0 + w, y0 + h],
+                                 [x0, y0 + h], [x0, y0]], dtype=float)
+                geoms.append(bytearray(G.wkb_dumps(("Polygon", [ring]), srid=3857)))
+            out = pdf[["key"]].copy()
+            out["geom"] = geoms
+            yield out
+
+    rects = base.mapInPandas(mk_wkb, "key long, geom binary")
+    labeled = to_point_table(rects, "geom", "pt")
+    stats = geometry_stats(labeled, "geom")
+
+    def decode_pt(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            xs, ys = [], []
+            for b in pdf.pt:
+                g = G.wkb_loads(bytes(b))
+                xs.append(float(g[1][0])); ys.append(float(g[1][1]))
+            out = pdf[["key", "n_points", "area", "length"]].copy()
+            out["cx"] = xs; out["cy"] = ys
+            yield out
+
+    dec = stats.mapInPandas(
+        decode_pt,
+        "key long, n_points int, area double, length double, "
+        "cx double, cy double")
+    # (no perimeter column: ST_Length of a polygon is 0 by definition —
+    # reference semantics — so only area is content-checkable here)
+    return dec.select(
+        "key",
+        F.round("cx", 4).alias("cx"), F.round("cy", 4).alias("cy"),
+        F.round("area", 2).alias("area"),
+        "n_points",
+    )
+
+
+# ===================================================================
 # G3 — TileBBox corner math
 # ===================================================================
 

@@ -47,8 +47,10 @@ def get_spark(
         # shuffle/broadcast IO codec: zstd moves ~31% fewer bytes than
         # lz4 on the tile-spine shuffle at equal wall time (measured
         # 153.8 -> 106.3 MB, same encode seconds at 8 cores) — on a
-        # cluster that is NIC/bus headroom for free
-        .config("spark.io.compression.codec", "zstd")
+        # cluster that is NIC/bus headroom for free. Overridable for
+        # latency-sensitive tiny-shuffle local runs.
+        .config("spark.io.compression.codec",
+                os.environ.get("SPARK_GRAFT_IO_CODEC", "zstd"))
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

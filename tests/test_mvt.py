@@ -148,3 +148,52 @@ def test_fused_single_layer_equals_two_phase(spark):
         one = {(r.z, r.x, r.y): (r.tile_id, bytes(r.mvt)) for r in
                encode_and_assemble_single(feats, spec, gz).collect()}
         assert one == two and one
+
+
+def test_point_encoder_paths_byte_identical():
+    """The three point-layer encoders (scalar columnar, whole-group
+    vectorized, batch-prepped) must produce identical bytes on
+    randomized tiles incl. None attrs, cross-type hash collisions
+    (True vs 1), negative fids, and empty strings."""
+    import random
+
+    import numpy as np
+
+    from sparktiles.functions import mvtcodec as C
+
+    rng = random.Random(1234)
+    np_rng = np.random.RandomState(1234)
+    for trial in range(80):
+        n = rng.randint(1, 40)
+        ix = np_rng.randint(-130, 4230, n).astype(np.int64)
+        iy = np_rng.randint(-130, 4230, n).astype(np.int64)
+        fids = (np_rng.randint(-2**63, 2**63 - 1, n, dtype=np.int64)
+                if rng.random() < 0.8 else None)
+        A = rng.randint(0, 4)
+        attr_cols = []
+        for a in range(A):
+            kind = rng.choice(["string", "number", "bool"])
+            col = []
+            for _ in range(n):
+                r = rng.random()
+                if r < 0.2:
+                    col.append(None)
+                elif kind == "string":
+                    col.append(rng.choice(["x", "", f"N{rng.randint(0, 5)}", "1"]))
+                elif kind == "number":
+                    col.append(rng.choice([1, 0, 7.5, -3, 2**40]))
+                else:
+                    col.append(rng.choice([True, False]))
+            attr_cols.append((f"k{a}", col))
+        geoms = C.encode_point_geoms(ix, iy)
+        want = C.encode_layer_columnar(
+            "L", fids.tolist() if fids is not None else None,
+            C.GEOM_POINT, geoms, attr_cols, 4096)
+        vec = C.encode_layer_points_vec("L", fids, ix, iy, attr_cols, 4096)
+        ff, gf = C.point_row_fields_vec(fids, ix, iy)
+        prepped = C.encode_layer_points_prepped("L", ff, gf, 0, n, attr_cols, 4096)
+        assert want == vec, f"vec path diverged (trial {trial})"
+        assert want == prepped, f"prepped path diverged (trial {trial})"
+    # decode sanity on the last tile
+    dec = C.decode_tile(want)
+    assert len(dec["L"]["features"]) == n
