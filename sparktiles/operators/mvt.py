@@ -220,8 +220,11 @@ def grouped_map_sorted(
     slice (~10us) — the MVT encode was 60%% of the pyramid wall clock
     before this.
 
-    Assumes the first three keys are integer columns (z, x, y) packable
-    into one int64 for boundary detection.
+    Keys must be integer columns packable into one int64 for boundary
+    detection — either a single pre-packed key (`zxy`) or (z, x, y).
+    `prep`, if given, runs once per merged Arrow batch and returns extra
+    batch-aligned arrays merged into `arrs` (group-independent per-row
+    precompute; held-back rows are re-prepped with the next batch).
     """
     import pandas as pd
 

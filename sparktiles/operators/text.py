@@ -101,9 +101,16 @@ def minhash_dedup(df: DataFrame, n_hashes: int = 8, band_size: int = 2,
     return pairs.groupBy("doc_id").agg(F.min("canonical_id").alias("canonical_id"))
 
 
-def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """64-bit SimHash: per token occurrence, xxhash64; each bit votes
-    +1/-1; the sign of the per-bit vote sum forms the fingerprint.
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            portable: bool = False) -> DataFrame:
+    """64-bit SimHash: per token occurrence, hash each token; each bit
+    votes +1/-1; the sign of the per-bit vote sum forms the fingerprint.
+
+    Token hash: xxhash64 by default (fastest JVM path); with
+    portable=True, the low 60 bits of md5 (conv(hex,16,10)) — bitwise
+    reproducible by any engine with md5, which is what makes the
+    simhash_dedup query DuckDB-oracle-checkable (bits 60-63 then never
+    set: their vote sums are -n_tokens).
 
     Scale shape: one row per token occurrence (no 64x bit explode), 64
     `sum` aggregates in a single groupBy(doc_id). Spark's hash aggregate
@@ -114,7 +121,11 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.col(text_col), " ")).alias("tok"),
     ).where(F.col("tok") != "")
-    h = toks.withColumn("h", F.xxhash64("tok"))
+    if portable:
+        hash_col = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+    else:
+        hash_col = F.xxhash64("tok")
+    h = toks.withColumn("h", hash_col)
     votes = [
         F.sum(
             F.when(F.expr(f"(shiftright(h, {b}) & 1) = 1"), 1).otherwise(-1)

@@ -1221,14 +1221,47 @@ def quality_funnel(spark, sf_dir):
 # pandas kernels) — the driver records the weaker rows-only check
 # ===================================================================
 
-@q("simhash_dedup")
+def _simhash_sql() -> str:
+    votes = ",\n         ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(60))
+    fp = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN (CAST(1 AS BIGINT) << {b}) ELSE CAST(0 AS BIGINT) END)"
+        for b in range(60))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, ('0x' || substr(md5(t.tok), 1, 15))::BIGINT AS h
+  FROM documents, UNNEST(string_split(text, ' ')) AS t(tok)
+  WHERE t.tok != ''
+), votes AS (
+  SELECT doc_id,
+         {votes}
+  FROM toks GROUP BY doc_id
+), fp AS (
+  SELECT doc_id, {fp} AS simhash FROM votes
+), banded AS (
+  SELECT doc_id, simhash, band, (simhash >> (band * 16)) & 65535 AS key
+  FROM fp, (SELECT UNNEST([0, 1, 2, 3]) AS band)
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+  FROM banded a
+  JOIN banded b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 16
+"""
+
+
+@q("simhash_dedup", _simhash_sql())
 def simhash_dedup_q(spark, sf_dir):
-    """64-bit SimHash near-dup candidates (xxhash64 is Spark-specific —
-    no portable oracle)."""
+    """64-bit SimHash near-dup candidates over the portable md5-derived
+    token hash (simhash(portable=True)): every stage — tokenize, hash,
+    per-bit vote, fingerprint, multi-band blocking, hamming filter — is
+    recomputed bit-for-bit by the DuckDB oracle."""
     from sparktiles.operators.text import hamming_candidates, simhash
 
     d = _t(spark, sf_dir, "documents")
-    sims = simhash(d)
+    sims = simhash(d, portable=True)
     return hamming_candidates(sims, n_bands=4).where(F.col("hamming") <= 16)
 
 
