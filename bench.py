@@ -85,7 +85,10 @@ def main():
         minzoom=0, maxzoom=MAXZOOM,
     )
     frames = make_point_layer_frames(feats, tileset)
-    store = tempfile.mkdtemp(prefix="sparktiles_bench_")
+    # tmpfs store (same methodology as tools/scaling_bench.py): measure
+    # the engine, not the single local NVMe a cluster wouldn't share
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    store = tempfile.mkdtemp(prefix="sparktiles_bench_", dir=base)
     try:
         t0 = time.time()
         build = TileBuild(spark, frames, BuildConfig(

@@ -187,12 +187,14 @@ def with_point_tile_coords(features: DataFrame, extent: int,
     ix = F.rint((F.col("px") - xmin) * scale)
     iy = F.rint((ymax - F.col("py")) * scale)
     lo, hi = F.lit(-float(mvt_buffer)), F.lit(float(extent + mvt_buffer))
+    # int32 coords: extent+buffer < 2^31 always; halves these columns'
+    # Arrow transfer into the encode kernel
     return (
         features.withColumn("ix", ix).withColumn("iy", iy)
         .where((F.col("ix") >= lo) & (F.col("ix") <= hi)
                & (F.col("iy") >= lo) & (F.col("iy") <= hi))
-        .withColumn("ix", F.col("ix").cast("long"))
-        .withColumn("iy", F.col("iy").cast("long"))
+        .withColumn("ix", F.col("ix").cast("int"))
+        .withColumn("iy", F.col("iy").cast("int"))
         .withColumn("zxy", pack_zxy_expr())
         .drop("px", "py", "z", "x", "y")
     )
