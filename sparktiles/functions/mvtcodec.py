@@ -219,14 +219,17 @@ def decode_geometry(gtype: int, data: bytes) -> list[np.ndarray]:
 # ------------------------------------------------------------ layer / tile
 
 def encode_feature(fid: int | None, tag_idx: list[int], gtype: int, geom: bytes) -> bytes:
+    # field tags inlined (0x08/0x12/0x18/0x22 = fields 1,2,3,4) and
+    # small varints served from the cache — the framing half of the
+    # WKB-layer encode hot loop
     body = b""
     if fid is not None:
-        body += _varint_field(1, int(fid))
+        body += b"\x08" + _varint(int(fid))
     if tag_idx:
-        packed = b"".join(_varint(t) for t in tag_idx)
-        body += _len_field(2, packed)
-    body += _varint_field(3, gtype)
-    body += _len_field(4, geom)
+        packed = b"".join(varint_cached(t) for t in tag_idx)
+        body += b"\x12" + varint_cached(len(packed)) + packed
+    body += b"\x18" + varint_cached(gtype)
+    body += b"\x22" + varint_cached(len(geom)) + geom
     return body
 
 
