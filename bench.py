@@ -1,13 +1,21 @@
 """Benchmark harness — prints ONE JSON line with per-query seconds.
 
 Headline metrics (BASELINE.json): tiles/sec over a z0-z8 pyramid build
-from a geoparsed page corpus, and spatial-join rows/sec (feature->tile
-assignment join across zooms). Plus representative operator queries
-from the __spark_entry__ suite.
+from a geoparsed page corpus (gzip'd blobs — the reference's default
+framing, sqltomvt.py:115-125), spatial-join rows/sec (feature->tile
+assignment join across zooms), and a 3-layer point+line+polygon build
+(the WKB encode path). Plus representative operator queries from the
+__spark_entry__ suite.
+
+Every timing is the MIN OF N_RUNS (default 3) runs — single runs on a
+shared VM scatter 0.4-1.0x (BENCH_HW_CONTROL.json), so r{N}->r{N+1}
+deltas on sub-second queries were noise before this.
 
 env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS   (default 32),
-     BENCH_MAXZOOM      (default 8)
+     BENCH_MAXZOOM      (default 8),
+     BENCH_RUNS         (default 3),
+     BENCH_GZIP         (default 6; empty/none disables)
 """
 
 from __future__ import annotations
@@ -26,6 +34,9 @@ from pyspark.sql import functions as F  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 MAXZOOM = int(os.environ.get("BENCH_MAXZOOM", "8"))
+N_RUNS = int(os.environ.get("BENCH_RUNS", "3"))
+_gz = os.environ.get("BENCH_GZIP", "6")
+GZIP_LEVEL = None if _gz in ("", "none", "None") else int(_gz)
 
 
 def derive_pages(spark, sf_dir):
@@ -48,9 +59,25 @@ def derive_pages(spark, sf_dir):
     )
 
 
+def min_of(fn, n=N_RUNS):
+    """Best-of-n wall time for fn() (fn returns a payload; the payload
+    of the fastest run is returned alongside)."""
+    best, payload = None, None
+    for _ in range(n):
+        t0 = time.time()
+        p = fn()
+        dt = time.time() - t0
+        if best is None or dt < best:
+            best, payload = dt, p
+    return best, payload
+
+
 def main():
     from sparktiles.session import get_spark
     from sparktiles.sources.geoparse import build_features
+    from sparktiles.sources.lines import generate_lines
+    from sparktiles.sources.polygons import generate_polygons
+    from sparktiles.operators.mvt import LayerSpec
     from sparktiles.operators.pyramid import assign_point_tiles_multi
     from sparktiles.plans.config import FieldDef, LayerDef, TilesetDef
     from sparktiles.plans.pipeline import BuildConfig, TileBuild, make_point_layer_frames
@@ -60,47 +87,82 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
     timings: dict[str, float] = {}
     extra: dict[str, float] = {}
+    tmp_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
 
-    # ---- geoparse + feature build (cached once, like the import stage)
-    t0 = time.time()
-    feats = build_features(derive_pages(spark, SF_DIR))
-    n_feats = feats.count()
-    feats = feats.cache()
+    # ---- geoparse + feature build (cold each run; cache after timing)
+    dt, n_feats = min_of(
+        lambda: build_features(derive_pages(spark, SF_DIR)).count())
+    timings["geoparse"] = round(dt, 3)
+    feats = build_features(derive_pages(spark, SF_DIR)).cache()
     feats.count()
-    timings["geoparse"] = round(time.time() - t0, 3)
 
     # ---- spatial join: feature -> tile assignment across z0..MAXZOOM
-    t0 = time.time()
-    joined = assign_point_tiles_multi(feats, 0, MAXZOOM, buffer_px=8)
-    join_rows = joined.count()
-    dt = time.time() - t0
+    dt, join_rows = min_of(
+        lambda: assign_point_tiles_multi(feats, 0, MAXZOOM, buffer_px=8).count())
     timings["spatial_join"] = round(dt, 3)
     extra["spatial_join_rows_per_s"] = round(join_rows / dt, 1)
     extra["spatial_join_rows"] = join_rows
 
-    # ---- full tile pyramid build z0..MAXZOOM with impute
+    # ---- full tile pyramid build z0..MAXZOOM with impute (gzip'd
+    # blobs: the reference default, so tiles/s is the deployed number)
     tileset = TilesetDef(
         name="bench",
         layers=[LayerDef(id="place", fields=[FieldDef("name")], buffer_size=8)],
         minzoom=0, maxzoom=MAXZOOM,
     )
     frames = make_point_layer_frames(feats, tileset)
-    # tmpfs store (same methodology as tools/scaling_bench.py): measure
-    # the engine, not the single local NVMe a cluster wouldn't share
-    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
-    store = tempfile.mkdtemp(prefix="sparktiles_bench_", dir=base)
-    try:
-        t0 = time.time()
-        build = TileBuild(spark, frames, BuildConfig(
-            store_dir=store, minzoom=0, maxzoom=MAXZOOM,
-            mid_zoom=min(5, MAXZOOM)))
-        summary = build.build_fast()
-        dt = time.time() - t0
-        timings["tile_pyramid"] = round(dt, 3)
-        extra["tiles"] = summary["tiles"]
-        extra["tiles_per_s"] = round(summary["tiles"] / dt, 1)
-    finally:
-        shutil.rmtree(store, ignore_errors=True)
+
+    def build_pyramid():
+        # tmpfs store (same methodology as tools/scaling_bench.py):
+        # measure the engine, not one local NVMe a cluster wouldn't share
+        store = tempfile.mkdtemp(prefix="sparktiles_bench_", dir=tmp_base)
+        try:
+            b = TileBuild(spark, frames, BuildConfig(
+                store_dir=store, minzoom=0, maxzoom=MAXZOOM,
+                mid_zoom=min(5, MAXZOOM), gzip_level=GZIP_LEVEL))
+            return b.build_fast()["tiles"]
+        finally:
+            shutil.rmtree(store, ignore_errors=True)
+
+    dt, tiles = min_of(build_pyramid)
+    timings["tile_pyramid"] = round(dt, 3)
+    extra["tiles"] = tiles
+    extra["tiles_per_s"] = round(tiles / dt, 1)
+    extra["gzip_level"] = GZIP_LEVEL
+
+    # ---- 3-layer point+line+polygon build: the WKB (vecmvt) encode
+    # path + multi-layer assemble — the configuration every real
+    # tileset uses (reference tests/testlayers/testmaptiles.yaml)
+    lines = generate_lines(spark, n=4000).withColumnRenamed(
+        "line_id", "feature_id").cache()
+    polys = generate_polygons(spark, n_grid=24).withColumnRenamed(
+        "poly_id", "feature_id").cache()
+    lines.count(), polys.count()
+    ml_frames = [
+        (LayerSpec(layer_id="place", index=0, attr_fields={"name": "string"},
+                   buffer_px=8), feats),
+        (LayerSpec(layer_id="transportation", index=1,
+                   attr_fields={"class": "string", "name": "string"},
+                   buffer_px=4, geometry_kind="wkb"), lines),
+        (LayerSpec(layer_id="boundary", index=2,
+                   attr_fields={"admin_class": "string", "name": "string"},
+                   buffer_px=4, geometry_kind="wkb"), polys),
+    ]
+
+    def build_multilayer():
+        store = tempfile.mkdtemp(prefix="sparktiles_ml_", dir=tmp_base)
+        try:
+            b = TileBuild(spark, ml_frames, BuildConfig(
+                store_dir=store, minzoom=0, maxzoom=MAXZOOM,
+                mid_zoom=min(5, MAXZOOM), gzip_level=GZIP_LEVEL))
+            return b.build_fast()["tiles"]
+        finally:
+            shutil.rmtree(store, ignore_errors=True)
+
+    dt, ml_tiles = min_of(build_multilayer)
+    timings["tile_pyramid_3layer"] = round(dt, 3)
+    extra["tiles_3layer"] = ml_tiles
+    extra["tiles_3layer_per_s"] = round(ml_tiles / dt, 1)
 
     # ---- representative operator queries
     for name in [
@@ -109,9 +171,8 @@ def main():
         "text_quality_score", "variance_stats",
     ]:
         fn = Q.QUERIES[name]
-        t0 = time.time()
-        fn(spark, SF_DIR).count()
-        timings[name] = round(time.time() - t0, 3)
+        dt, _ = min_of(lambda fn=fn: fn(spark, SF_DIR).count())
+        timings[name] = round(dt, 3)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
@@ -122,6 +183,7 @@ def main():
         "sf": SF_DIR,
         "cpus": CPUS,
         "maxzoom": MAXZOOM,
+        "n_runs": N_RUNS,
         "n_features": n_feats,
         **extra,
     }))

@@ -411,12 +411,17 @@ def encode_layer_points_prepped(
     attr_cols: list[tuple[str, list]],
     extent: int = DEFAULT_EXTENT,
     frame_blobs: tuple[bytes, bytes, bytes] | None = None,
+    gtypes=None,
 ) -> bytes:
     """Per-group assembly over batch-prepped row pieces (rows [s, e) of
     the batch-level fid/geom piece lists; attr_cols are group-local):
     dictionary-encode values (memoized, same first-seen order as
     encode_layer_columnar) and frame features from cached small
-    varints. Byte-identical to encode_layer_columnar (fuzz-asserted)."""
+    varints. Byte-identical to encode_layer_columnar (fuzz-asserted).
+
+    gtypes: optional per-row geometry-type codes (batch-aligned, like
+    fid/geom_fields) for the WKB path where lines/polygons/points can
+    mix; None means every feature is a point (the point-spine path)."""
     keys = [k for k, _ in attr_cols]
     key_bytes = [varint_cached(ki) for ki in range(len(keys))]
     values: list[bytes] = []
@@ -442,6 +447,8 @@ def encode_layer_points_prepped(
             tags += key_bytes[ki] + varint_cached(vi)
         ff = fid_fields[s + j] if fid_fields is not None else b""
         gf = geom_fields[s + j]
+        if gtypes is not None:
+            tfield = _GTYPE_FIELD[int(gtypes[s + j])]
         if tags:
             tags = b"\x12" + varint_cached(len(tags)) + tags
         body_len = len(ff) + len(tags) + 2 + len(gf)
@@ -522,7 +529,22 @@ def encode_layer_points_vec(
             for i, v in enumerate(flat):
                 keyed[i] = None if v is None else (v.__class__.__name__, v)
             codes, uniques = pd.factorize(keyed, use_na_sentinel=True)
-            values = [encode_value(u[1]) for u in uniques]
+            # re-dedupe the uniques by ENCODED BYTES (first-seen order),
+            # so numpy scalars that encode identically to Python scalars
+            # (np.int64(1) vs 1) share one Value entry — the same dedup
+            # key the scalar/columnar paths use
+            values = []
+            byte_idx: dict[bytes, int] = {}
+            remap = np.empty(len(uniques), dtype=np.int64)
+            for ui, u in enumerate(uniques):
+                ev = encode_value(u[1])
+                vi = byte_idx.get(ev)
+                if vi is None:
+                    vi = byte_idx[ev] = len(values)
+                    values.append(ev)
+                remap[ui] = vi
+            if len(uniques):
+                codes = np.where(codes >= 0, remap[codes], codes)
         C = codes.reshape(n, A)
     else:
         values = []

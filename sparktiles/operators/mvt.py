@@ -164,6 +164,69 @@ def unpack_zxy(key: int) -> tuple[int, int, int]:
     return key >> 58, (key >> 29) & _MASK29, key & _MASK29
 
 
+def with_wkb_encoded_fields(features: DataFrame, spec) -> DataFrame:
+    """Map-side ST_AsMVTGeom + wire-encode for WKB (line/polygon/mixed)
+    layers — the WKB twin of with_point_tile_coords, BEFORE the (z,x,y)
+    shuffle. Each Arrow batch runs the batch-vectorized pipeline
+    (functions/vecmvt.py): WKB decode -> tile transform -> clip
+    (Liang-Barsky / Sutherland-Hodgman) -> snap -> MVT command-stream
+    varints. Output rows carry the packed zxy key plus the pre-framed
+    wire pieces (_fidf / _gt / _geomf); rows whose geometry clips away
+    never shuffle at all.
+
+    Scale effect: the pyramid shuffle previously moved the full-
+    resolution float64 WKB once PER OVERLAPPED TILE; now it moves small
+    tile-local varint streams (typically 5-20x smaller, and zero bytes
+    for clipped-away candidates from the bbox over-approximation), and
+    the post-shuffle kernel is pure dictionary/framing assembly — no
+    geometry math after the exchange.
+    """
+    import pandas as pd
+
+    from sparktiles.functions.vecmvt import fid_fields_vec, wkb_row_fields_vec
+
+    extent = spec.extent
+    mvt_buffer = int(spec.extent * spec.buffer_px / 256)
+    key_field = spec.key_field
+    passthru = list(spec.attr_fields)
+    if key_field:
+        passthru = [key_field] + [c for c in passthru if c != key_field]
+    if spec.importance_col and spec.importance_col not in passthru:
+        passthru.append(spec.importance_col)
+    in_schema = features.schema
+    out_fields = ["zxy long"]
+    for c in passthru:
+        out_fields.append(f"`{c}` {in_schema[c].dataType.simpleString()}")
+    out_fields += ["_fidf binary", "_gt tinyint", "_geomf binary"]
+    out_schema = ", ".join(out_fields)
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            z = pdf["z"].to_numpy().astype(np.int64)
+            x = pdf["x"].to_numpy().astype(np.int64)
+            y = pdf["y"].to_numpy().astype(np.int64)
+            gf, gt = wkb_row_fields_vec(
+                pdf["geom"].to_numpy(), z, x, y, extent, mvt_buffer)
+            keep = np.array([f is not None for f in gf], dtype=bool)
+            if not keep.any():
+                continue
+            zxy = (z[keep] << 58) ^ (x[keep] << 29) ^ y[keep]
+            out = {"zxy": zxy}
+            for c in passthru:
+                out[c] = pdf[c].to_numpy()[keep]
+            if key_field:
+                out["_fidf"] = fid_fields_vec(out[key_field])
+            else:
+                out["_fidf"] = [None] * int(keep.sum())
+            out["_gt"] = gt[keep]
+            out["_geomf"] = [f for f, k in zip(gf, keep) if k]
+            yield pd.DataFrame(out)
+
+    return features.mapInPandas(run, out_schema)
+
+
 def with_point_tile_coords(features: DataFrame, extent: int,
                            mvt_buffer: int) -> DataFrame:
     """Map-side ST_AsMVTGeom for points, as Catalyst expressions: tile-
@@ -344,36 +407,22 @@ def _make_layer_encoder(spec: LayerSpec):
     frame_blobs = C.layer_frame_blobs(
         layer_id, [k for k, _ in attr_items], extent)
 
+    del mvt_buffer  # applied map-side for both kinds
+
     def encode(arrs: dict, s: int, e: int) -> list[tuple]:
-        if kind == "point":
-            # transform + clip already ran map-side (with_point_tile_coords);
-            # fid/geometry wire pieces were varint-packed batch-vectorized
-            # (point_row_fields_vec via the prep hook); this kernel only
-            # dictionary-encodes attrs and joins cached pieces
-            z, tx, ty = unpack_zxy(int(arrs["zxy"][s]))
-            attr_cols = []
-            for k, t in attr_items:
-                vals = arrs[k][s:e]
-                attr_cols.append((k, [_attr_value(v, t) for v in vals.tolist()]))
-            blob = C.encode_layer_points_prepped(
-                layer_id, arrs["_fidf"], arrs["_geomf"], s, e, attr_cols,
-                extent, frame_blobs=frame_blobs)
-            return [(z, tx, ty, layer_index, blob)]
-        z = int(arrs["z"][s]); tx = int(arrs["x"][s]); ty = int(arrs["y"][s])
-        feats = []
-        geoms = arrs["geom"]
-        for i in range(s, e):
-            b = geoms[i]
-            g = G.wkb_loads(bytes(b)) if b is not None else None
-            mg = as_mvt_geom(g, z, tx, ty, extent, mvt_buffer, clip=True)
-            if mg is None:
-                continue
-            attrs = {k: _attr_value(arrs[k][i], t) for k, t in attr_items}
-            fid = int(arrs[key_field][i]) if key_field else None
-            feats.append((fid, attrs, mg[0], C.encode_geometry(mg[0], mg[1])))
-        if not feats:
-            return []
-        blob = C.encode_layer(layer_id, feats, extent)
+        # transform + clip already ran map-side (with_point_tile_coords
+        # for points, with_wkb_encoded_fields for lines/polygons); the
+        # fid/geometry wire pieces arrive varint-packed; this kernel
+        # only dictionary-encodes attrs and joins cached pieces
+        z, tx, ty = unpack_zxy(int(arrs["zxy"][s]))
+        attr_cols = []
+        for k, t in attr_items:
+            vals = arrs[k][s:e]
+            attr_cols.append((k, [_attr_value(v, t) for v in vals.tolist()]))
+        blob = C.encode_layer_points_prepped(
+            layer_id, arrs["_fidf"] if key_field else None, arrs["_geomf"],
+            s, e, attr_cols, extent, frame_blobs=frame_blobs,
+            gtypes=None if kind == "point" else arrs["_gt"])
         return [(z, tx, ty, layer_index, blob)]
 
     return encode
@@ -393,11 +442,11 @@ def _make_point_prep(key_field):
 
 def _prep_layer_features(features: DataFrame, spec: LayerSpec
                          ) -> tuple[DataFrame, list[str]]:
-    """Projection (+ map-side point transform, + optional density cap)
-    ahead of the pyramid's (z,x,y) shuffle. Returns (frame, group_keys):
-    point layers shuffle on the single packed `zxy` key with tile-local
-    int coords already computed; wkb layers keep (z,x,y) + raw geometry
-    (the clip needs the whole geometry, which can span tiles)."""
+    """Projection + map-side geometry transform/clip/encode (+ optional
+    density cap) ahead of the pyramid's (z,x,y) shuffle. Both kinds
+    shuffle on the single packed `zxy` key carrying only pre-encoded
+    wire pieces: points via Catalyst column math + the varint prep hook,
+    WKB lines/polygons via the batch-vectorized vecmvt pipeline."""
     key_field = spec.key_field
     # project: shuffle only what the encoder reads (drop url/tags/etc.)
     geom_cols = ["px", "py"] if spec.geometry_kind == "point" else ["geom"]
@@ -411,18 +460,18 @@ def _prep_layer_features(features: DataFrame, spec: LayerSpec
     if spec.geometry_kind == "point":
         mvt_buffer = int(spec.extent * spec.buffer_px / 256)
         features = with_point_tile_coords(features, spec.extent, mvt_buffer)
-        group_keys = ["zxy"]
     else:
-        group_keys = ["z", "x", "y"]
+        features = with_wkb_encoded_fields(features, spec)
+    group_keys = ["zxy"]
 
     if spec.max_features_per_tile:
         # density cap — the LabelGrid/rank pattern the reference uses to
         # bound label density (sql/LabelGrid.sql:20-29): a hot tile
         # (one city = one (z,x,y) key) keeps only the top-N features,
         # bounding both encode time and tile bytes. Ordering is
-        # importance desc (if given) then key for determinism. For point
-        # layers the cap counts features that survive the clip (the
-        # transform runs first), so a capped tile carries exactly N.
+        # importance desc (if given) then key for determinism. The cap
+        # counts features that survive the clip (the map-side transform
+        # runs first for both kinds), so a capped tile carries exactly N.
         from pyspark.sql.window import Window
 
         order = []

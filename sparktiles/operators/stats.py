@@ -85,8 +85,8 @@ def tile_summary(tile_images: DataFrame) -> DataFrame:
     def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                blob = bytes(r["tile_data"])
+            for tile_id, tile_data in zip(pdf["tile_id"], pdf["tile_data"]):
+                blob = bytes(tile_data)
                 if not blob:
                     continue
                 try:
@@ -101,7 +101,7 @@ def tile_summary(tile_images: DataFrame) -> DataFrame:
                         type_hist[f["type"]] = type_hist.get(f["type"], 0) + 1
                         n_attr += len(f["attrs"])
                     rows.append({
-                        "tile_id": r["tile_id"],
+                        "tile_id": tile_id,
                         "layer": name,
                         "n_features": len(feats),
                         "n_points": type_hist.get(1, 0),
@@ -147,15 +147,15 @@ def tile_contents(tiles: DataFrame, attr: str = "name") -> DataFrame:
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                blob = bytes(r["mvt"])
+            for z, x, y, mvt in zip(pdf["z"], pdf["x"], pdf["y"], pdf["mvt"]):
+                blob = bytes(mvt)
                 if not blob:
                     continue
                 for name, lyr in C.decode_tile(blob).items():
                     vals = sorted(
                         str(f["attrs"].get(attr)) for f in lyr["features"])
                     rows.append({
-                        "z": int(r["z"]), "x": int(r["x"]), "y": int(r["y"]),
+                        "z": int(z), "x": int(x), "y": int(y),
                         "layer": name,
                         "n_features": len(vals),
                         "names_md5": hashlib.md5(

@@ -69,6 +69,14 @@ class BuildConfig:
     bounds_lonlat: tuple | None = None
     languages: list = field(default_factory=list)
 
+    def __post_init__(self):
+        # pack_zxy_expr XOR-packs (z<<58)^(x<<29)^y; beyond z=29 the
+        # fields would overlap and tiles silently merge — fail loudly
+        if not (0 <= self.minzoom <= self.maxzoom <= 29):
+            raise ValueError(
+                f"zoom range [{self.minzoom}, {self.maxzoom}] outside "
+                "supported [0, 29] (packed-zxy key width)")
+
 
 class TileBuild:
     """Drives the per-zoom build loop over a prepared feature DataFrame.

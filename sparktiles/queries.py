@@ -1327,7 +1327,20 @@ def ann_ivf_recall_q(spark, sf_dir):
 _MVT_STORE_CACHE: dict = {}
 
 
-def _mvt_built(spark, sf_dir):
+def _cleanup_mvt_stores():
+    import shutil
+
+    for store, _b in _MVT_STORE_CACHE.values():
+        shutil.rmtree(store, ignore_errors=True)
+    _MVT_STORE_CACHE.clear()
+
+
+import atexit  # noqa: E402
+
+atexit.register(_cleanup_mvt_stores)
+
+
+def _mvt_built(spark, sf_dir, gzip_level=None):
     import tempfile
 
     from sparktiles.plans.config import FieldDef, LayerDef, TilesetDef
@@ -1335,8 +1348,9 @@ def _mvt_built(spark, sf_dir):
         BuildConfig, TileBuild, make_point_layer_frames)
     from sparktiles.sources.geoparse import build_features
 
-    if sf_dir in _MVT_STORE_CACHE:
-        return _MVT_STORE_CACHE[sf_dir]
+    cache_key = (sf_dir, gzip_level)
+    if cache_key in _MVT_STORE_CACHE:
+        return _MVT_STORE_CACHE[cache_key]
     docs = _t(spark, sf_dir, "documents")
     pid = (F.col("doc_id") * 7 + 1) % 10000
     lon = ((pid * 37).cast("double") % 344) - 172.0 + 0.1234567
@@ -1357,9 +1371,10 @@ def _mvt_built(spark, sf_dir):
     frames = make_point_layer_frames(feats, tileset)
     store = tempfile.mkdtemp(prefix="sparktiles_q_")
     b = TileBuild(spark, frames, BuildConfig(
-        store_dir=store, minzoom=0, maxzoom=4, mid_zoom=2))
+        store_dir=store, minzoom=0, maxzoom=4, mid_zoom=2,
+        gzip_level=gzip_level))
     b.build_fast()
-    _MVT_STORE_CACHE[sf_dir] = (store, b)
+    _MVT_STORE_CACHE[cache_key] = (store, b)
     return store, b
 
 
@@ -1461,6 +1476,38 @@ def mvt_content_check_q(spark, sf_dir):
         .select(F.col("z").cast("int").alias("z"), "x", "y", "mvt")
     )
     return tile_contents(tiles, attr="name")
+
+
+_MVT_GZIP_SQL = _mvt_cand_sql() + """
+SELECT CAST(z AS INT) AS z, x, y, 'place' AS layer,
+       CAST(COUNT(*) AS BIGINT) AS n_features,
+       md5(string_agg(name, ',' ORDER BY name)) AS names_md5,
+       TRUE AS gzipped
+FROM cand
+GROUP BY z, x, y
+"""
+
+
+@q("mvt_gzip_roundtrip", _MVT_GZIP_SQL)
+def mvt_gzip_roundtrip_q(spark, sf_dir):
+    """The reference's DEFAULT tile framing: gzip'd MVT blobs with
+    tile_id = md5(gzip bytes) (sqltomvt.py:115-125 GZIP(...) +
+    mbtiles dedup keying). Builds the flagship pyramid with
+    gzip_level=6, asserts every stored non-empty blob carries the gzip
+    magic, gunzips + decodes every tile, and emits the same per-tile
+    content rows as mvt_content_check — so the compressed path is
+    hash-checked end-to-end, not just the identity framing."""
+    from sparktiles.operators.stats import tile_contents
+
+    store, _b = _mvt_built(spark, sf_dir, gzip_level=6)
+    tiles = (
+        spark.read.option("basePath", f"{store}/tiles_all")
+        .parquet(f"{store}/tiles_all")
+        .select(F.col("z").cast("int").alias("z"), "x", "y", "mvt")
+    )
+    magic = F.substring(F.col("mvt"), 1, 2) == F.lit(bytes([0x1F, 0x8B]))
+    return tile_contents(tiles, attr="name").join(
+        tiles.select("z", "x", "y", magic.alias("gzipped")), ["z", "x", "y"])
 
 
 # ===================================================================

@@ -37,13 +37,24 @@ def uncached_ids(ids: DataFrame, cache: DataFrame) -> DataFrame:
 
 
 def batch_ids(ids: DataFrame, batch_size: int = 5000,
-              shards: int = 64) -> DataFrame:
+              shards: int = 64, approx_n: int | None = None) -> DataFrame:
     """Group ids into fetch batches of at most `batch_size` (the WDQS
     5000-id POST batching, import-wikidata:151): batch_no + packed id
     array. Sharded numbering — ids hash into `shards` independent
     shards, each shard windows locally (no global single-task sort);
     batch_no = shard * 2^32 + local batch. Deterministic, every batch
-    <= batch_size, parallelism = `shards` regardless of id count."""
+    <= batch_size, parallelism = `shards` regardless of id count.
+
+    Shard count adapts to the id count so a small id set (e.g. 1000
+    ids) yields ONE full batch, not `shards` tiny trailing batches
+    (each shard emits a partial tail — request count matters against
+    the 5000-id POST contract). Pass `approx_n` when the caller already
+    knows it; otherwise a bounded limit+count probe (scans at most
+    shards*batch_size+1 rows) right-sizes the shard count."""
+    if approx_n is None:
+        approx_n = ids.limit(shards * batch_size + 1).count()
+    if approx_n <= shards * batch_size:
+        shards = max(1, -(-approx_n // batch_size))
     shard = F.pmod(F.xxhash64("id"), F.lit(shards))
     w = Window.partitionBy("_shard").orderBy("id")
     local = F.floor((F.row_number().over(w) - 1) / batch_size)

@@ -1,0 +1,170 @@
+"""Byte-parity fuzz: the batch-vectorized WKB->MVT geometry pipeline
+(functions/vecmvt.py) must reproduce the scalar path — wkb_loads ->
+as_mvt_geom -> encode_geometry (+ the 0x22 length framing) — bit for
+bit, including which rows drop entirely. No Spark needed."""
+
+import numpy as np
+import pytest
+
+from sparktiles.functions import geom as G
+from sparktiles.functions import mvtcodec as C
+from sparktiles.functions.vecmvt import fid_fields_vec, wkb_row_fields_vec
+from sparktiles.operators.mvt import as_mvt_geom
+
+EXTENT = 4096
+HALF = 20037508.34278925
+
+
+def scalar_geom_field(wkb, z, x, y, buf):
+    g = G.wkb_loads(bytes(wkb))
+    mg = as_mvt_geom(g, z, x, y, EXTENT, buf, clip=True)
+    if mg is None:
+        return None, 0
+    geom = C.encode_geometry(mg[0], mg[1])
+    return b"\x22" + C._varint(len(geom)) + geom, mg[0]
+
+
+def run_parity(wkbs, zs, xs, ys, buf):
+    gf, gt = wkb_row_fields_vec(
+        np.array(wkbs, dtype=object),
+        np.asarray(zs), np.asarray(xs), np.asarray(ys), EXTENT, buf)
+    for i, w in enumerate(wkbs):
+        want, want_t = scalar_geom_field(w, int(zs[i]), int(xs[i]),
+                                         int(ys[i]), buf)
+        if want is None:
+            assert gf[i] is None, f"row {i}: vec emitted, scalar dropped"
+        else:
+            assert gf[i] is not None, f"row {i}: vec dropped, scalar kept"
+            assert gt[i] == want_t, f"row {i}: gtype {gt[i]} != {want_t}"
+            assert bytes(gf[i]) == want, f"row {i}: geometry bytes differ"
+
+
+def rand_line(rng, cx, cy, span):
+    n = rng.integers(2, 9)
+    pts = np.cumsum(rng.normal(0, span / 4, size=(n, 2)), axis=0)
+    return pts + [cx, cy]
+
+
+def rand_ring(rng, cx, cy, span):
+    n = int(rng.integers(3, 9))
+    ang = np.sort(rng.uniform(0, 2 * np.pi, n))
+    rad = rng.uniform(span / 8, span, n)
+    ring = np.stack([cx + rad * np.cos(ang), cy + rad * np.sin(ang)], axis=1)
+    return np.vstack([ring, ring[:1]])
+
+
+@pytest.mark.parametrize("buf", [0, 256])
+def test_lines_parity_fuzz(buf):
+    rng = np.random.default_rng(42 + buf)
+    wkbs, zs, xs, ys = [], [], [], []
+    for _ in range(300):
+        z = int(rng.integers(0, 7))
+        n = 2 ** z
+        x, y = int(rng.integers(0, n)), int(rng.integers(0, n))
+        size = 2 * HALF / n
+        # center near the tile (sometimes far outside)
+        cx = -HALF + (x + rng.uniform(-1.5, 2.5)) * size
+        cy = HALF - (y + rng.uniform(-1.5, 2.5)) * size
+        if rng.random() < 0.25:
+            parts = [rand_line(rng, cx, cy, size * rng.uniform(0.01, 2))
+                     for _ in range(rng.integers(1, 4))]
+            g = ("MultiLineString", parts)
+        elif rng.random() < 0.1:
+            p = np.array([[cx, cy], [cx, cy]])  # zero-length degenerate
+            g = ("LineString", p)
+        else:
+            g = ("LineString", rand_line(rng, cx, cy, size * rng.uniform(0.01, 3)))
+        wkbs.append(G.wkb_dumps(g, srid=3857 if rng.random() < 0.5 else None))
+        zs.append(z)
+        xs.append(x)
+        ys.append(y)
+    run_parity(wkbs, zs, xs, ys, buf)
+
+
+@pytest.mark.parametrize("buf", [0, 128])
+def test_polygons_parity_fuzz(buf):
+    rng = np.random.default_rng(7 + buf)
+    wkbs, zs, xs, ys = [], [], [], []
+    for _ in range(300):
+        z = int(rng.integers(0, 6))
+        n = 2 ** z
+        x, y = int(rng.integers(0, n)), int(rng.integers(0, n))
+        size = 2 * HALF / n
+        cx = -HALF + (x + rng.uniform(-1.0, 2.0)) * size
+        cy = HALF - (y + rng.uniform(-1.0, 2.0)) * size
+        r = rng.random()
+        if r < 0.2:
+            # rect with a hole
+            w = size * rng.uniform(0.05, 1.5)
+            shell = np.array([[cx, cy], [cx + w, cy], [cx + w, cy + w],
+                              [cx, cy + w], [cx, cy]])
+            hw = w * 0.3
+            hole = np.array([[cx + hw, cy + hw], [cx + 2 * hw, cy + hw],
+                             [cx + 2 * hw, cy + 2 * hw], [cx + hw, cy + 2 * hw],
+                             [cx + hw, cy + hw]])[::-1]
+            g = ("Polygon", [shell, hole])
+        elif r < 0.35:
+            g = ("MultiPolygon",
+                 [[rand_ring(rng, cx + k * size * 0.7, cy, size * 0.4)]
+                  for k in range(int(rng.integers(1, 4)))])
+        elif r < 0.45:
+            # tiny sliver that may snap to zero area
+            eps = size * 10 ** rng.uniform(-7, -3)
+            g = ("Polygon", [np.array(
+                [[cx, cy], [cx + size * 0.5, cy + eps], [cx + size * 0.5, cy],
+                 [cx, cy]])])
+        elif r < 0.5:
+            g = ("Polygon", [])  # empty
+        else:
+            g = ("Polygon", [rand_ring(rng, cx, cy, size * rng.uniform(0.02, 2))])
+        wkbs.append(G.wkb_dumps(g, srid=3857 if rng.random() < 0.5 else None))
+        zs.append(z)
+        xs.append(x)
+        ys.append(y)
+    run_parity(wkbs, zs, xs, ys, buf)
+
+
+def test_points_and_mixed_parity():
+    rng = np.random.default_rng(99)
+    wkbs, zs, xs, ys = [], [], [], []
+    for _ in range(200):
+        z = int(rng.integers(0, 7))
+        n = 2 ** z
+        x, y = int(rng.integers(0, n)), int(rng.integers(0, n))
+        size = 2 * HALF / n
+        cx = -HALF + (x + rng.uniform(-0.5, 1.5)) * size
+        cy = HALF - (y + rng.uniform(-0.5, 1.5)) * size
+        r = rng.random()
+        if r < 0.3:
+            g = ("Point", (cx, cy))
+        elif r < 0.5:
+            pts = np.stack([cx + rng.normal(0, size, 4),
+                            cy + rng.normal(0, size, 4)], axis=1)
+            g = ("MultiPoint", pts)
+        elif r < 0.7:
+            g = ("LineString", rand_line(rng, cx, cy, size))
+        else:
+            g = ("Polygon", [rand_ring(rng, cx, cy, size * 0.5)])
+        wkbs.append(G.wkb_dumps(g, srid=3857))
+        zs.append(z)
+        xs.append(x)
+        ys.append(y)
+    # plus hand-picked edge rows
+    wkbs += [
+        G.wkb_dumps(("Point", None)),                      # POINT EMPTY
+        G.wkb_dumps(("LineString", np.array([[0.0, 0.0], [0.0, 0.0]]))),
+        G.wkb_dumps(("Polygon", [np.array(
+            [[0, 0], [10, 0], [0, 10], [10, 10], [0, 0]], dtype=float) * 1000])),
+        G.wkb_dumps(("GeometryCollection", [("Point", (0.0, 0.0))])),
+    ]
+    zs += [1, 1, 3, 2]
+    xs += [0, 1, 4, 1]
+    ys += [0, 1, 3, 1]
+    run_parity(wkbs, zs, xs, ys, 64)
+
+
+def test_fid_fields_parity():
+    fids = [0, 1, 127, 128, 10_001, 2**40 + 7]
+    got = fid_fields_vec(fids)
+    for f, g in zip(fids, got):
+        assert g == b"\x08" + C._varint(f)
