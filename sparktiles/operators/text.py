@@ -196,6 +196,54 @@ def ngram_jaccard_pairs(df: DataFrame, block_cols: list[str],
     )
 
 
+def ngram_jaccard_bucketed(
+    df: DataFrame,
+    bucket_width: int = 32,
+    min_jaccard: float = 0.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    len_col=None,
+    extra_block_cols: list[str] = (),
+) -> DataFrame:
+    """Token-set Jaccard with LENGTH-BUCKET blocking: documents whose
+    lengths land in the same or an ADJACENT bucket are candidates, so a
+    near-dup pair that differs slightly in length is still found —
+    exact-length equality blocking (the naive `n_chars = n_chars` block)
+    only ever compares identical-length docs.
+
+    Stays an equi-join (no non-equi/cartesian plan): the a-side explodes
+    each doc to three keys {bkt-1, bkt, bkt+1} and joins b on its single
+    bkt, so every |Δbkt| <= 1 pair matches exactly once. Work is O(n²)
+    only within a bucket neighborhood; at 100 TB the bucket key shards
+    the shuffle like any LSH band."""
+    lc = F.col(len_col) if len_col else F.length(F.col(text_col))
+    bkt = F.floor(lc / bucket_width).cast("long")
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), *extra_block_cols,
+        bkt.alias("bkt"),
+        F.array_distinct(F.split(F.col(text_col), " ")).alias("ts"),
+    )
+    a = toks.select(
+        "doc_id", *extra_block_cols,
+        F.explode(F.array(F.col("bkt") - 1, F.col("bkt"),
+                          F.col("bkt") + 1)).alias("bkta"),
+        "ts",
+    ).alias("a")
+    b = toks.alias("b")
+    cond = (F.col("a.bkta") == F.col("b.bkt")) & \
+        (F.col("a.doc_id") < F.col("b.doc_id"))
+    for c in extra_block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    inter = F.size(F.array_intersect(F.col("a.ts"), F.col("b.ts")))
+    union = F.size(F.col("a.ts")) + F.size(F.col("b.ts")) - inter
+    j = inter.cast("double") / union
+    return a.join(b, cond).where(j >= min_jaccard).select(
+        F.col("a.doc_id").alias("id_a"),
+        F.col("b.doc_id").alias("id_b"),
+        j.alias("jaccard"),
+    )
+
+
 # ------------------------------------------------------------------ analysis
 
 _PROFILES = {

@@ -770,41 +770,39 @@ def dedup_minhash_lsh(spark, sf_dir):
     ).agg(F.count("*").alias("bucket_size"), F.min("doc_id").alias("canonical_id"))
 
 
+# Length-BUCKET blocking (same-or-adjacent bucket of 32 chars), not
+# exact-length equality — a near-dup that gained/lost a few characters
+# is still a candidate. The a-side explodes to {bkt-1, bkt, bkt+1} so
+# the join stays equi-keyed; pairs below the 0.2 Jaccard floor are
+# filtered on the UNROUNDED double (identical IEEE division both
+# engines), the rounded value is the reported column.
 _NGRAM_JACCARD_SQL = """
 WITH toks AS (
-  SELECT doc_id, lang, n_chars, list_distinct(string_split(text, ' ')) AS ts
+  SELECT doc_id, lang, CAST(FLOOR(n_chars / 32) AS BIGINT) AS bkt,
+         list_distinct(string_split(text, ' ')) AS ts
   FROM documents
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE) /
+         (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))) AS j
+  FROM (SELECT t.*, o.d FROM toks t, (VALUES (-1), (0), (1)) o(d)) a
+  JOIN toks b
+    ON a.lang = b.lang AND a.bkt + a.d = b.bkt AND a.doc_id < b.doc_id
 )
-SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       ROUND(CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE) /
-             (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))), 4) AS jaccard
-FROM toks a JOIN toks b
-  ON a.lang = b.lang AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id
+SELECT id_a, id_b, ROUND(j, 4) AS jaccard FROM pairs WHERE j >= 0.2
 """
 
 
 @q("dedup_ngram_jaccard", _NGRAM_JACCARD_SQL)
 def dedup_ngram_jaccard(spark, sf_dir):
+    from sparktiles.operators.text import ngram_jaccard_bucketed
+
     d = _t(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", "lang", "n_chars",
-        F.array_distinct(F.split(F.col("text"), " ")).alias("ts"),
-    )
-    a = toks.alias("a")
-    b = toks.alias("b")
-    j = a.join(
-        b,
-        (F.col("a.lang") == F.col("b.lang"))
-        & (F.col("a.n_chars") == F.col("b.n_chars"))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
-    )
-    inter = F.size(F.array_intersect(F.col("a.ts"), F.col("b.ts")))
-    union = F.size(F.col("a.ts")) + F.size(F.col("b.ts")) - inter
-    return j.select(
-        F.col("a.doc_id").alias("id_a"),
-        F.col("b.doc_id").alias("id_b"),
-        F.round(inter.cast("double") / union, 4).alias("jaccard"),
-    )
+    pairs = ngram_jaccard_bucketed(
+        d, bucket_width=32, min_jaccard=0.2, len_col="n_chars",
+        extra_block_cols=["lang"])
+    return pairs.select(
+        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
 # ===================================================================

@@ -43,6 +43,30 @@ def test_minhash_finds_near_duplicates(spark, docs):
     assert hits >= 8  # most bands collide on near-identical shingle sets
 
 
+def test_jaccard_bucketed_finds_cross_length_near_dup(spark):
+    """The length-bucket (same-or-adjacent) blocking finds a near-dup
+    pair whose lengths differ — exact-length equality blocking would
+    never compare them. Doc 2 = doc 1 plus one extra word (length 129
+    vs 119: buckets 4 vs 3 at width 32 — adjacent, not equal)."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " \
+           "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi omega"
+    rows = [
+        (1, base, len(base)),
+        (2, base + " extraword", len(base) + 10),
+        (3, "completely different tokens entirely here now", 46),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string, n_chars int")
+    pairs = T.ngram_jaccard_bucketed(
+        d, bucket_width=32, min_jaccard=0.5, len_col="n_chars").collect()
+    got = {(r.id_a, r.id_b): r.jaccard for r in pairs}
+    assert (1, 2) in got and got[(1, 2)] > 0.9
+    assert all(k == (1, 2) for k in got), got
+    # sanity: the buckets really are adjacent, not equal
+    assert len(base) // 32 != (len(base) + 10) // 32
+    # and each |Δbucket|<=1 pair joins exactly once (no explode dups)
+    assert len(pairs) == len(got)
+
+
 def test_simhash_and_hamming(spark, docs):
     near = docs.limit(5).withColumn("doc_id", F.col("doc_id") + 300000) \
         .withColumn("text", F.concat(F.col("text"), F.lit(" x")))

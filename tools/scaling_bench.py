@@ -46,15 +46,22 @@ def total_shuffle_write(spark) -> int:
         return -1
 
 
-def run_leg(cpus: int, n_pages: int, maxzoom: int) -> dict:
+def dir_bytes(path: str) -> int:
+    return sum(p.stat().st_size for p in Path(path).rglob("*") if p.is_file())
+
+
+def run_leg(cpus: int, n_pages: int, maxzoom: int, gzip_level=6) -> dict:
     import os
 
     os.environ["SPARK_DRIVER_MEM"] = "24g"
     from sparktiles.session import get_spark
     from sparktiles.sources.pages import generate_pages
     from sparktiles.sources.geoparse import build_features
+    from sparktiles.sources.lines import generate_lines
+    from sparktiles.sources.polygons import generate_polygons
+    from sparktiles.operators.mvt import (
+        LayerSpec, assemble_tiles, encode_and_assemble_single, encode_layer_df)
     from sparktiles.operators.pyramid import assign_point_tiles_multi
-    from sparktiles.operators.mvt import encode_and_assemble_single
     from sparktiles.plans.config import FieldDef, LayerDef, TilesetDef
     from sparktiles.plans.pipeline import BuildConfig, TileBuild, make_point_layer_frames
 
@@ -103,8 +110,11 @@ def run_leg(cpus: int, n_pages: int, maxzoom: int) -> dict:
             t0 = time.time()
             assigned = assign_point_tiles_multi(f_, 0, maxzoom, buffer_px=spec_.buffer_px)
             # the real single-layer build path: fused encode+assemble,
-            # one (packed zxy) shuffle for the whole pyramid
-            tiles = encode_and_assemble_single(assigned, spec_, None)
+            # one (packed zxy) shuffle for the whole pyramid; gzip'd
+            # blobs (reference default) — compression shrinks the store
+            # write (the bandwidth term this box cannot scale) and costs
+            # CPU (the term that DOES scale with cores)
+            tiles = encode_and_assemble_single(assigned, spec_, gzip_level)
             tiles.write.mode("overwrite").partitionBy("z").parquet(store + "/tiles_all")
             enc_times.append(time.time() - t0)
             sb1 = total_shuffle_write(spark)
@@ -114,9 +124,59 @@ def run_leg(cpus: int, n_pages: int, maxzoom: int) -> dict:
         if shuffle_deltas:
             out["mvt_shuffle_write_bytes"] = min(shuffle_deltas)
         out["mvt_encode_s"] = round(dt1, 2)
+        out["mvt_gzip_level"] = gzip_level
+        out["mvt_store_bytes"] = dir_bytes(store + "/tiles_all")
+        out["mvt_bytes_per_s"] = round(
+            (out["mvt_store_bytes"]
+             + max(0, out.get("mvt_shuffle_write_bytes", 0))) / dt1)
         n_nonempty = spark.read.parquet(store + "/tiles_all").count()
         out["nonempty_tiles"] = n_nonempty
         out["mvt_tiles_per_s"] = round(n_nonempty / dt1, 1)
+
+        # ---- multi-layer point+line+polygon build: the WKB (vecmvt)
+        # map-side encode + two-shuffle encode/assemble path every real
+        # tileset uses (reference tests/testlayers/testmaptiles.yaml)
+        lines = generate_lines(spark, n=max(1000, n_pages // 100)) \
+            .withColumnRenamed("line_id", "feature_id").cache()
+        polys = generate_polygons(spark, n_grid=24) \
+            .withColumnRenamed("poly_id", "feature_id").cache()
+        lines.count(), polys.count()
+        ml_frames = [
+            (LayerSpec(layer_id="place", index=0,
+                       attr_fields={"name": "string"}, buffer_px=8), f_),
+            (LayerSpec(layer_id="transportation", index=1,
+                       attr_fields={"class": "string", "name": "string"},
+                       buffer_px=4, geometry_kind="wkb"), lines),
+            (LayerSpec(layer_id="boundary", index=2,
+                       attr_fields={"admin_class": "string", "name": "string"},
+                       buffer_px=4, geometry_kind="wkb"), polys),
+        ]
+        ml_times, ml_shuffles = [], []
+        mlb = TileBuild(spark, ml_frames, BuildConfig(
+            store_dir=store + "/ml", minzoom=0, maxzoom=maxzoom,
+            mid_zoom=6, gzip_level=gzip_level))
+        for _ in range(2):
+            sb0 = total_shuffle_write(spark)
+            t0 = time.time()
+            blobs = None
+            for sp, fr in ml_frames:
+                lb = encode_layer_df(mlb._assign(fr, sp, 0, maxzoom), sp)
+                blobs = lb if blobs is None else blobs.unionByName(lb)
+            tiles = assemble_tiles(blobs, gzip_level)
+            tiles.write.mode("overwrite").partitionBy("z").parquet(
+                store + "/ml_tiles")
+            ml_times.append(time.time() - t0)
+            sb1 = total_shuffle_write(spark)
+            if sb0 >= 0 and sb1 >= 0:
+                ml_shuffles.append(sb1 - sb0)
+        dt_ml = min(ml_times)
+        out["ml_encode_s"] = round(dt_ml, 2)
+        if ml_shuffles:
+            out["ml_shuffle_write_bytes"] = min(ml_shuffles)
+        out["ml_store_bytes"] = dir_bytes(store + "/ml_tiles")
+        ml_tiles = spark.read.parquet(store + "/ml_tiles").count()
+        out["ml_nonempty_tiles"] = ml_tiles
+        out["ml_tiles_per_s"] = round(ml_tiles / dt_ml, 1)
 
         t0 = time.time()
         b = TileBuild(spark, frames, BuildConfig(
@@ -179,7 +239,13 @@ def main():
         "scaling_efficiency_tiles": eff("tiles_per_s"),
         "scaling_efficiency_join": eff("spatial_join_rows_per_s"),
         "scaling_efficiency_mvt_encode": eff("mvt_tiles_per_s"),
+        "scaling_efficiency_multilayer": eff("ml_tiles_per_s"),
         "scaling_efficiency_geoparse": eff("geoparse_s", invert=True),
+        # bandwidth-normalized decomposition: bytes the encode phase
+        # moved (store write + shuffle write) per second of wall — how
+        # much of each leg is bus, not compute
+        "mvt_bytes_per_s_N": r8.get("mvt_bytes_per_s"),
+        "mvt_bytes_per_s_4N": r32.get("mvt_bytes_per_s"),
     }
     print(json.dumps(result, indent=1))
     Path("BENCH_SCALING.json").write_text(json.dumps(result, indent=1))
