@@ -85,24 +85,38 @@ def run_incremental_retile(
     old_pages: DataFrame,
     new_pages: DataFrame,
     build_features_fn,
-    layer_frames_fn,
     existing_map: DataFrame,
     minzoom: int,
     maxzoom: int,
     regenerate_fn,
+    buffer_px: float = 0.0,
 ) -> DataFrame:
-    """End-to-end incremental pass: diff -> expired -> invalidation ->
-    regenerate only listed tiles -> merged tile_map. regenerate_fn
-    (features, invalidation_df) -> fresh map rows for those tiles."""
+    """End-to-end incremental pass: diff -> invalidation -> regenerate
+    only listed tiles -> merged tile_map. regenerate_fn(invalidation_df)
+    -> fresh map rows covering exactly those tiles.
+
+    Invalidation is the exact per-zoom BUFFERED assignment of every
+    changed feature (old and new position/text), not the reference's
+    z14-expired-list x tile_multiplier walk: a feature within
+    buffer_px of a tile edge contributes to the neighbor tile's
+    content, and the neighbor relation is zoom-dependent (the buffer
+    is a fixed pixel width, so its meter width doubles per zoom step
+    down) — a z14-granularity list propagated to ancestors misses
+    cross-boundary buffered neighbors at lower zooms. expired_tiles /
+    invalidation_list (T5/T8 reference parity) remain for the expired-
+    list surface; this path guarantees merged == full-rebuild."""
+    from sparktiles.operators.pyramid import assign_point_tiles_multi
+
     diff = changed_features(old_pages, new_pages)
     touched = new_pages.join(diff.where(F.col("change") != "removed"), "url", "left_semi")
-    removed_urls = diff.where(F.col("change") == "removed").select("url")
     old_touched = old_pages.join(
         diff.where(F.col("change") != "added"), "url", "left_semi")
     feats_new = build_features_fn(touched)
     feats_old = build_features_fn(old_touched)
-    exp = expired_tiles(feats_new.unionByName(feats_old), min(maxzoom, 14))
-    inv = invalidation_list(exp, minzoom, maxzoom)
+    changed = feats_new.unionByName(feats_old.select(*feats_new.columns))
+    inv = (
+        assign_point_tiles_multi(changed, minzoom, maxzoom, buffer_px=buffer_px)
+        .select("z", "x", "y").distinct()
+    )
     fresh = regenerate_fn(inv)
-    _ = removed_urls  # removal affects tiles via feats_old-derived exp
     return merge_tile_map(existing_map, fresh, inv)

@@ -43,6 +43,111 @@ def test_streaming_retile(spark, page_dir, tmp_path):
     assert out.where(F.col("z") != 6).count() == 0
 
 
+def test_incremental_retile_available_now_e2e(spark, tmp_path):
+    """§2.10 at integration level: a second corpus snapshot arrives
+    through Structured Streaming (Trigger.AvailableNow); foreachBatch
+    runs the full diff -> buffered invalidation -> regenerate -> MERGE
+    path. Asserts (a) the regenerated tile set covers exactly the
+    invalidation list, and (b) the merged tile_map is IDENTICAL to a
+    from-scratch rebuild of snapshot 2 — adds, updates, removals and
+    buffered edge neighbors all land."""
+    import hashlib
+
+    from sparktiles.operators.mvt import LayerSpec, encode_and_assemble_single
+    from sparktiles.operators.pyramid import assign_point_tiles_multi, tile_pyramid
+    from sparktiles.plans.pipeline import empty_tile_blob
+    from sparktiles.sources.geoparse import build_features
+    from sparktiles.streaming.incremental import run_incremental_retile
+
+    MAXZ, BUF = 3, 8.0
+    spec = LayerSpec(layer_id="place", index=0,
+                     attr_fields={"name": "string"}, buffer_px=int(BUF))
+    empty_id = hashlib.md5(empty_tile_blob(None)).hexdigest()
+
+    def as_map(tiles):
+        return tiles.select(
+            F.col("z").alias("zoom_level"),
+            F.col("x").alias("tile_column"),
+            F.col("y").alias("tile_row"), "tile_id")
+
+    def full_map(pages_df):
+        feats = build_features(pages_df)
+        assigned = assign_point_tiles_multi(feats, 0, MAXZ, buffer_px=BUF)
+        tiles = encode_and_assemble_single(assigned, spec, None)
+        uni = tile_pyramid(spark, 0, MAXZ)
+        empties = uni.join(tiles.select("z", "x", "y"), ["z", "x", "y"],
+                           "left_anti").select(
+            F.col("z").alias("zoom_level"), F.col("x").alias("tile_column"),
+            F.col("y").alias("tile_row"), F.lit(empty_id).alias("tile_id"))
+        return as_map(tiles).unionByName(empties)
+
+    p1 = generate_pages(spark, 300, seed=1).cache()
+    # snapshot 2: ~1/15 urls removed, ~1/15 updated (extra mention
+    # appended -> new feature + text hash change), 25 new urls added
+    h = F.pmod(F.xxhash64("url"), F.lit(15))
+    kept = p1.where(h != 0)
+    upd = F.when(h == 1, F.concat(
+        F.col("text"), F.lit(" Name_77 (12.34567; 45.67891)"))
+    ).otherwise(F.col("text"))
+    p2_core = kept.withColumn("text", upd).withColumn(
+        "html", F.encode(F.col("text"), "utf-8"))
+    added = generate_pages(spark, 25, seed=9).withColumn(
+        "url", F.concat(F.col("url"), F.lit("?v2")))
+    p2 = p2_core.unionByName(added).cache()
+
+    p2_dir = str(tmp_path / "snapshot2")
+    p2.write.mode("overwrite").parquet(p2_dir)
+    old_map = full_map(p1).cache()
+    old_map.count()
+
+    captured = {}
+
+    def regenerate(inv):
+        feats2 = build_features(p2)
+        assigned = assign_point_tiles_multi(feats2, 0, MAXZ, buffer_px=BUF) \
+            .join(inv, ["z", "x", "y"], "left_semi")
+        tiles = encode_and_assemble_single(assigned, spec, None)
+        gen_empties = inv.join(tiles.select("z", "x", "y"),
+                               ["z", "x", "y"], "left_anti").select(
+            F.col("z").alias("zoom_level"), F.col("x").alias("tile_column"),
+            F.col("y").alias("tile_row"), F.lit(empty_id).alias("tile_id"))
+        fresh = as_map(tiles).unionByName(gen_empties)
+        captured["inv"] = {(r.z, r.x, r.y) for r in inv.collect()}
+        captured["fresh"] = {
+            (r.zoom_level, r.tile_column, r.tile_row) for r in fresh.collect()}
+        return fresh
+
+    out_dir = str(tmp_path / "merged_map")
+
+    def process(batch_df, epoch_id):
+        merged = run_incremental_retile(
+            spark, p1, batch_df, build_features, old_map, 0, MAXZ,
+            regenerate, buffer_px=BUF)
+        merged.write.mode("overwrite").parquet(out_dir)
+
+    schema = "url string, warc_ts timestamp, html binary, text string, lang string"
+    q = (spark.readStream.schema(schema).parquet(p2_dir)
+         .writeStream.foreachBatch(process)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+
+    # (a) regenerated set covers the invalidation list exactly
+    assert captured["fresh"] == captured["inv"]
+    assert len(captured["inv"]) > 0
+
+    def rows(df):
+        return sorted(
+            (r.zoom_level, r.tile_column, r.tile_row, r.tile_id)
+            for r in df.collect())
+
+    merged = spark.read.parquet(out_dir)
+    want = full_map(p2)
+    assert rows(merged) == rows(want)
+    # the diff actually bit: some tiles changed between snapshots
+    changed = set(rows(merged)) ^ set(rows(old_map))
+    assert changed, "snapshots produced identical maps — test is vacuous"
+
+
 def test_streaming_stateful_lang_totals(spark, page_dir):
     q = (streaming_lang_totals(spark, page_dir)
          .writeStream.outputMode("update").format("memory")

@@ -1,0 +1,102 @@
+"""Opportunistic scaling-bench runner for a noisy shared VM.
+
+The 2v8 pinned scaling measurement is only meaningful when the box's
+own cores scale — BENCH_HW_CONTROL history shows the pure-ALU control
+swinging 0.58-0.98 across hours as co-tenant load comes and goes. This
+watcher loops: run the cheap compute control (2 vs 8 pinned procs,
+~60s); if the cores are real right now (compute efficiency >= GATE),
+immediately fire one full pinned scaling_bench run and append both the
+control snapshot and the run to BENCH_SCALING_R3_ATTEMPTS.jsonl; else
+sleep and retry. Stops after a run whose tiles efficiency >= 0.8, or
+at the deadline. Writes /tmp/sparktiles_scaling.lock while a bench is
+in flight so interactive work can avoid polluting the measurement.
+
+usage: python tools/scaling_watch.py [max_hours] [n_pages] [maxzoom]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent.parent
+LOCK = Path("/tmp/sparktiles_scaling.lock")
+OUT = ROOT / "BENCH_SCALING_R3_ATTEMPTS.jsonl"
+GATE = 0.85
+
+
+def compute_control() -> dict:
+    """2v8 pinned compute+bandwidth control via hw_scaling_control.py,
+    reading its stdout JSON (the file it writes is restored after)."""
+    proc = subprocess.run(
+        [sys.executable, str(ROOT / "tools/hw_scaling_control.py"), "2", "8"],
+        capture_output=True, text=True, cwd=str(ROOT), timeout=600)
+    out = proc.stdout.strip()
+    start = out.index("{")
+    ctl = json.loads(out[start:])
+    # the tool overwrites BENCH_HW_CONTROL.json; keep the committed one
+    subprocess.run(["git", "checkout", "--", "BENCH_HW_CONTROL.json"],
+                   cwd=str(ROOT), capture_output=True)
+    return ctl
+
+
+def main():
+    max_hours = float(sys.argv[1]) if len(sys.argv) > 1 else 4.0
+    n_pages = int(sys.argv[2]) if len(sys.argv) > 2 else 800_000
+    maxzoom = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    deadline = time.time() + max_hours * 3600
+    attempt = 0
+    while time.time() < deadline:
+        attempt += 1
+        load1 = os.getloadavg()[0]
+        if load1 > 4.0:
+            print(f"[watch] attempt {attempt}: load {load1:.1f} > 4, sleeping",
+                  flush=True)
+            time.sleep(600)
+            continue
+        ctl = compute_control()
+        ce = ctl["compute"]["efficiency"]
+        be = ctl["bandwidth"]["efficiency"]
+        rec = {"ts": time.time(), "attempt": attempt, "load1": load1,
+               "compute_eff": ce, "bandwidth_eff": be}
+        print(f"[watch] attempt {attempt}: compute_eff={ce} "
+              f"bandwidth_eff={be} load={load1:.1f}", flush=True)
+        if ce < GATE:
+            rec["fired"] = False
+            with OUT.open("a") as f:
+                f.write(json.dumps(rec) + "\n")
+            time.sleep(600)
+            continue
+        # quiet window: fire one pinned run
+        LOCK.write_text(str(os.getpid()))
+        try:
+            proc = subprocess.run(
+                [sys.executable, str(ROOT / "tools/scaling_bench.py"),
+                 str(n_pages), str(maxzoom), "2", "8"],
+                capture_output=True, text=True, cwd=str(ROOT), timeout=3000)
+            out = proc.stdout.strip()
+            run = json.loads(out[out.index("{"):]) if "{" in out else {
+                "error": proc.stdout[-500:] + proc.stderr[-500:]}
+        finally:
+            LOCK.unlink(missing_ok=True)
+        rec["fired"] = True
+        rec["run"] = run
+        with OUT.open("a") as f:
+            f.write(json.dumps(rec) + "\n")
+        te = run.get("scaling_efficiency_tiles")
+        print(f"[watch] fired: tiles={te} "
+              f"join={run.get('scaling_efficiency_join')} "
+              f"ml={run.get('scaling_efficiency_multilayer')}", flush=True)
+        if te is not None and te >= 0.8:
+            print("[watch] target met, stopping", flush=True)
+            return
+        time.sleep(600)
+    print("[watch] deadline reached", flush=True)
+
+
+if __name__ == "__main__":
+    main()
