@@ -466,13 +466,33 @@ def _split_self_intersecting_ring(ring):
 
 
 def _ring_is_simple(ring):
+    """No proper (interior-interior) self-intersection between any two
+    segments. All-pairs test vectorized as numpy outer products — the
+    same t/u/denominator math as _seg_intersection, so the verdict is
+    identical; O(n^2) memory bounds the fast path to rings < 4096 pts
+    (larger rings — rare — fall back to the pairwise loop)."""
     pts = np.asarray(ring, dtype=float)
     n = len(pts) - 1
-    for i in range(n):
-        for j in range(i + 1, n):
-            if _seg_intersection(pts[i], pts[i + 1], pts[j], pts[j + 1]) is not None:
-                return False
-    return True
+    if n < 2:
+        return True
+    if n <= 6 or n > 4096:
+        for i in range(n):
+            for j in range(i + 1, n):
+                if _seg_intersection(pts[i], pts[i + 1], pts[j], pts[j + 1]) is not None:
+                    return False
+        return True
+    p = pts[:-1]
+    d = pts[1:] - p
+    mx = p[None, :, 0] - p[:, None, 0]          # p_j - p_i (x)
+    my = p[None, :, 1] - p[:, None, 1]
+    denom = np.multiply.outer(d[:, 0], d[:, 1]) - np.multiply.outer(d[:, 1], d[:, 0])
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = (mx * d[None, :, 1] - my * d[None, :, 0]) / denom
+        u = (mx * d[:, None, 1] - my * d[:, None, 0]) / denom
+    eps = 1e-12
+    hit = (denom != 0) & (t > eps) & (t < 1 - eps) & (u > eps) & (u < 1 - eps)
+    hit &= np.triu(np.ones((n, n), dtype=bool), 1)   # pairs i < j only
+    return not bool(hit.any())
 
 
 def make_valid(geom):
@@ -530,8 +550,54 @@ def to_point(geom):
 
 # ------------------------------------------------------- simplify (DP)
 
+def _dp_mask_small(pts: np.ndarray, tol: float) -> np.ndarray:
+    """Pure-Python Douglas-Peucker for short parts: numpy's per-call
+    overhead on tiny slices costs more than the arithmetic (measured
+    ~5-10x), and generalized-table inputs are overwhelmingly short
+    rings/lines. Bit-identical to _dp_mask: same float sequence, same
+    first-max tie-break as np.argmax."""
+    n = len(pts)
+    keep = [False] * n
+    keep[0] = keep[-1] = True
+    xs = pts[:, 0].tolist()
+    ys = pts[:, 1].tolist()
+    t2 = tol * tol
+    stack = [(0, n - 1)]
+    while stack:
+        a, b = stack.pop()
+        if b - a < 2:
+            continue
+        sx = xs[b] - xs[a]
+        sy = ys[b] - ys[a]
+        L2 = sx * sx + sy * sy
+        best = -1.0
+        bi = -1
+        if L2 == 0:
+            for k in range(a + 1, b):
+                rx = xs[k] - xs[a]
+                ry = ys[k] - ys[a]
+                d2 = rx * rx + ry * ry
+                if d2 > best:
+                    best = d2
+                    bi = k
+        else:
+            for k in range(a + 1, b):
+                c = (xs[k] - xs[a]) * sy - (ys[k] - ys[a]) * sx
+                d2 = c * c / L2
+                if d2 > best:
+                    best = d2
+                    bi = k
+        if best > t2:
+            keep[bi] = True
+            stack.append((a, bi))
+            stack.append((bi, b))
+    return np.array(keep, dtype=bool)
+
+
 def _dp_mask(pts: np.ndarray, tol: float) -> np.ndarray:
     """Douglas-Peucker keep-mask, iterative stack."""
+    if len(pts) <= 192:
+        return _dp_mask_small(pts, tol)
     n = len(pts)
     keep = np.zeros(n, dtype=bool)
     keep[0] = keep[-1] = True
