@@ -44,9 +44,26 @@ def export_mbtiles(
     path: str,
     metadata: dict | None = None,
     batch: int = 100_000,
+    max_rows: int | None = 50_000_000,
 ) -> dict:
     """Write tile_map/tile_images DataFrames to a .mbtiles file with
-    TMS row inversion. Returns row counts."""
+    TMS row inversion. Returns row counts.
+
+    This sink is driver-side BY DESIGN: mbtiles is one SQLite file — a
+    per-region extract format, not the cluster store (the store is the
+    partitioned tile_map/tile_images tables; serve.py reads those).
+    `max_rows` guards against pointing it at a full planet pyramid:
+    the map-row count is checked up front (cheap count on narrow rows)
+    and the export refuses rather than silently funneling billions of
+    rows through one driver."""
+    if max_rows is not None:
+        n = tile_map.count()
+        if n > max_rows:
+            raise ValueError(
+                f"tile_map has {n:,} rows > max_rows={max_rows:,}: "
+                "mbtiles is a single-file driver-side extract — filter "
+                "to a region/zoom subset first, or raise max_rows "
+                "explicitly if you really want a file this size")
     con = sqlite3.connect(path)
     con.executescript("PRAGMA page_size = 512;" + SQL_CREATE_MBTILES)
     inv = tile_map.select(

@@ -49,6 +49,12 @@ def test_mbtiles_roundtrip(spark, tmp_path):
         "SELECT value FROM metadata WHERE name='format'").fetchone()[0] == "pbf"
     con.close()
 
+    # size guard: refuses a map larger than max_rows (driver-side sink)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_rows"):
+        export_mbtiles(tm, ti, str(tmp_path / "big.mbtiles"), max_rows=5)
+
     tm2, ti2 = read_mbtiles(spark, path)
     assert tm2.count() == 21
     # xyz convention restored

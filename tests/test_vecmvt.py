@@ -149,17 +149,24 @@ def test_points_and_mixed_parity():
         zs.append(z)
         xs.append(x)
         ys.append(y)
-    # plus hand-picked edge rows
+    # plus hand-picked edge rows (incl. a BIG-ENDIAN LineString — the
+    # WKB spec allows either byte order; scalar wkb_loads handles both)
+    import struct
+
+    be_pts = np.array([[-1e6, 2e6], [3e6, -4e6], [5e6, 6e6]])
+    be_line = (b"\x00" + struct.pack(">I", 2) + struct.pack(">I", len(be_pts))
+               + be_pts.astype(">f8").tobytes())
     wkbs += [
         G.wkb_dumps(("Point", None)),                      # POINT EMPTY
         G.wkb_dumps(("LineString", np.array([[0.0, 0.0], [0.0, 0.0]]))),
         G.wkb_dumps(("Polygon", [np.array(
             [[0, 0], [10, 0], [0, 10], [10, 10], [0, 0]], dtype=float) * 1000])),
         G.wkb_dumps(("GeometryCollection", [("Point", (0.0, 0.0))])),
+        be_line,
     ]
-    zs += [1, 1, 3, 2]
-    xs += [0, 1, 4, 1]
-    ys += [0, 1, 3, 1]
+    zs += [1, 1, 3, 2, 2]
+    xs += [0, 1, 4, 1, 1]
+    ys += [0, 1, 3, 1, 1]
     run_parity(wkbs, zs, xs, ys, 64)
 
 

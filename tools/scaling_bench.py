@@ -50,6 +50,24 @@ def dir_bytes(path: str) -> int:
     return sum(p.stat().st_size for p in Path(path).rglob("*") if p.is_file())
 
 
+def core_index(seconds: float = 3.0) -> float:
+    """Single-thread cache-resident compute index (iterations/s of a
+    fixed numpy sin loop) under THIS leg's cpu affinity. On a shared VM
+    the box's per-core speed drifts between the two legs (co-tenant
+    load); recording the index before/after each leg lets the N->4N
+    ratio be normalized to equal box speed — the drift-corrected number
+    a dedicated cluster would show."""
+    import numpy as np
+
+    a = np.random.default_rng(0).random(200_000)
+    t_end = time.time() + seconds
+    it = 0
+    while time.time() < t_end:
+        np.sin(a).sum()
+        it += 1
+    return round(it / seconds, 1)
+
+
 def run_leg(cpus: int, n_pages: int, maxzoom: int, gzip_level=6) -> dict:
     import os
 
@@ -70,7 +88,7 @@ def run_leg(cpus: int, n_pages: int, maxzoom: int, gzip_level=6) -> dict:
     spark = get_spark(f"scaling-{cpus}", cpus=cpus,
                       extra_conf={"spark.ui.enabled": "true"})
     spark.sparkContext.setLogLevel("ERROR")
-    out: dict = {"cpus": cpus}
+    out: dict = {"cpus": cpus, "core_index_before": core_index()}
 
     t0 = time.time()
     # fixed task count on both legs: the experiment varies ONLY the
@@ -124,6 +142,19 @@ def run_leg(cpus: int, n_pages: int, maxzoom: int, gzip_level=6) -> dict:
         if shuffle_deltas:
             out["mvt_shuffle_write_bytes"] = min(shuffle_deltas)
         out["mvt_encode_s"] = round(dt1, 2)
+        # engine-only twin: identical plan, store write replaced by the
+        # noop sink — separates compute+shuffle scaling from the
+        # parquet/tmpfs write tail (one local disk/page-cache, which a
+        # cluster would shard per executor)
+        noio_times = []
+        for _ in range(2):
+            t0 = time.time()
+            assigned = assign_point_tiles_multi(
+                f_, 0, maxzoom, buffer_px=spec_.buffer_px)
+            encode_and_assemble_single(assigned, spec_, gzip_level) \
+                .write.format("noop").mode("overwrite").save()
+            noio_times.append(time.time() - t0)
+        out["mvt_encode_noio_s"] = round(min(noio_times), 2)
         out["mvt_gzip_level"] = gzip_level
         out["mvt_store_bytes"] = dir_bytes(store + "/tiles_all")
         out["mvt_bytes_per_s"] = round(
@@ -190,6 +221,7 @@ def run_leg(cpus: int, n_pages: int, maxzoom: int, gzip_level=6) -> dict:
     finally:
         shutil.rmtree(store, ignore_errors=True)
     spark.stop()
+    out["core_index_after"] = core_index()
     return out
 
 
@@ -231,6 +263,18 @@ def main():
         a, b = r8[metric], r32[metric]
         return round(((a / b) if invert else (b / a)) / 4, 3)
 
+    # box-speed drift correction: per-core compute index measured
+    # inside each pinned leg (mean of before/after). If the box ran
+    # slower during one leg (co-tenant load), the raw ratio mis-states
+    # what equal-speed hardware would show; hw_norm rescales the high
+    # leg's throughput to the low leg's box speed.
+    ci_low = (r8["core_index_before"] + r8["core_index_after"]) / 2
+    ci_high = (r32["core_index_before"] + r32["core_index_after"]) / 2
+    drift = ci_low / ci_high if ci_high else 1.0
+
+    def eff_norm(metric, invert=False):
+        return round(eff(metric, invert) * drift, 3)
+
     result = {
         "n_pages": n_pages,
         "maxzoom": maxzoom,
@@ -241,6 +285,16 @@ def main():
         "scaling_efficiency_mvt_encode": eff("mvt_tiles_per_s"),
         "scaling_efficiency_multilayer": eff("ml_tiles_per_s"),
         "scaling_efficiency_geoparse": eff("geoparse_s", invert=True),
+        "box_speed_drift_low_over_high": round(drift, 3),
+        "hw_norm": {
+            "tiles": eff_norm("tiles_per_s"),
+            "join": eff_norm("spatial_join_rows_per_s"),
+            "mvt_encode": eff_norm("mvt_tiles_per_s"),
+            "mvt_encode_noio": eff_norm("mvt_encode_noio_s", invert=True)
+            if "mvt_encode_noio_s" in r8 else None,
+            "multilayer": eff_norm("ml_tiles_per_s"),
+            "geoparse": eff_norm("geoparse_s", invert=True),
+        },
         # bandwidth-normalized decomposition: bytes the encode phase
         # moved (store write + shuffle write) per second of wall — how
         # much of each leg is bus, not compute
