@@ -177,6 +177,69 @@ def assign_bbox_tiles_multi(
     return assign_bbox_tiles(zdf, F.col("zz"), buffer_px=buffer_px, **kw).drop("zz")
 
 
+def assign_supercover_tiles_multi(
+    df: DataFrame, minzoom: int, maxzoom: int, buffer_px: float = 0.0,
+    geom_col: str = "geom",
+) -> DataFrame:
+    """Supercover tile assignment for WKB features across a zoom range —
+    the O(path-length) replacement for `assign_bbox_tiles_multi`'s
+    O(bbox-area) explode (the reference's per-tile `geometry &&
+    ST_Expand(envelope, buffer)` GiST predicate, sqltomvt.py:197-242,
+    re-formulated set-oriented).
+
+    One mapInPandas stage: each Arrow batch decodes its WKB ONCE
+    (`vecmvt.decode_wkb_batch`), then per zoom rasterizes segments to
+    the tile cells they actually pass through (+ buffer margin;
+    polygons keep interior cells via per-column fill) and fans out as
+    numpy index views over the batch — no per-candidate WKB decode, no
+    doomed-row explosion. Candidates are a strict superset of the
+    exact-clip survivor set (property-tested) and typically within ~2x
+    of it, vs the measured 23x of the bbox explode on line layers
+    (docs/SCALE.md "KNOWN NEXT", round 3).
+
+    Output: input columns + z int, x long, y long — drop-in for
+    assign_bbox_tiles_multi. Rows with NULL/unsupported geometry emit
+    nothing (their clip would drop them anyway).
+    """
+    import pandas as pd
+
+    from sparktiles.functions.tilecover import cover_cells_zoom
+    from sparktiles.functions.vecmvt import decode_wkb_batch
+
+    bf = float(buffer_px) / 256.0
+    in_cols = [f.name for f in df.schema]
+    out_schema = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema]
+        + ["z int", "x long", "y long"]
+    )
+
+    def run(batches):
+        import numpy as np  # noqa: F811 (worker-side)
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pt, ln, pg = decode_wkb_batch(pdf[geom_col].to_numpy())
+            rows_all, z_all, x_all, y_all = [], [], [], []
+            for z in range(minzoom, maxzoom + 1):
+                r, cx, cy = cover_cells_zoom(pt, ln, pg, z, bf)
+                if len(r):
+                    rows_all.append(r)
+                    z_all.append(np.full(len(r), z, dtype=np.int32))
+                    x_all.append(cx)
+                    y_all.append(cy)
+            if not rows_all:
+                continue
+            idx = np.concatenate(rows_all)
+            out = {c: pdf[c].to_numpy()[idx] for c in in_cols}
+            out["z"] = np.concatenate(z_all)
+            out["x"] = np.concatenate(x_all)
+            out["y"] = np.concatenate(y_all)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, out_schema)
+
+
 def with_tile_rank(assigned: DataFrame, order_by, rank_col: str = "rank") -> DataFrame:
     """Per-tile importance rank starting at 1 (W2 — the mountain_peak
     layer's `rank` field, tests/testlayers/mountain_peak/

@@ -171,12 +171,14 @@ class TileBuild:
 
     def _assign(self, feats: DataFrame, spec, minz: int, maxz: int) -> DataFrame:
         """Tile-assign a layer frame for [minz, maxz]: points via column
-        math, WKB geometries via bbox-tile explosion (exact clip happens
-        in the MVT kernel)."""
-        from sparktiles.operators.joins import polygons_with_bounds
+        math, WKB geometries via supercover rasterization — candidates
+        are the tiles the geometry actually touches (O(path length)),
+        not its bbox (O(bbox area)); the exact clip in the MVT kernel
+        then drops only the ~2x dilation margin instead of the measured
+        95.6% bbox waste (docs/SCALE.md stage 3)."""
         from sparktiles.operators.pyramid import (
-            assign_bbox_tiles_multi,
             assign_point_tiles_multi,
+            assign_supercover_tiles_multi,
         )
 
         if spec.geometry_kind == "point":
@@ -186,9 +188,8 @@ class TileBuild:
                 out = assign_point_tiles_multi(
                     feats, minz, maxz, buffer_px=spec.buffer_px)
         else:
-            wb = feats if "xmin" in feats.columns else polygons_with_bounds(
-                feats, "geom")
-            out = assign_bbox_tiles_multi(wb, minz, maxz, buffer_px=spec.buffer_px)
+            out = assign_supercover_tiles_multi(
+                feats, minz, maxz, buffer_px=spec.buffer_px)
         if spec.post_assign is not None:
             out = spec.post_assign(out)
         return out
