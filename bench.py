@@ -164,6 +164,43 @@ def main():
     extra["tiles_3layer"] = ml_tiles
     extra["tiles_3layer_per_s"] = round(ml_tiles / dt, 1)
 
+    # ---- attribute-heavy leg: 8 declared fields (the reference's real
+    # layers carry 5-15, e.g. tests/testlayers/mountain_peak/
+    # mountain_peak.yaml) — exercises the batch attribute-conversion
+    # prep + per-tile dictionary encoding under realistic width
+    from sparktiles.functions.scalars import clean_numeric
+
+    feats8 = feats.select(
+        "feature_id", "px", "py", "name", "class_src",
+        clean_numeric(F.col("ele")).alias("ele_n"),
+        F.col("rank_src").cast("double").alias("rank_n"),
+        ((F.col("feature_id") % 100000) / 7.0).alias("pop"),
+        (F.col("feature_id") % 5).cast("int").alias("layer_n"),
+        (F.col("feature_id") % 2 == 0).alias("oneway"),
+        F.format_string("R%d", F.col("feature_id") % 53).alias("ref"),
+    )
+    spec8 = LayerSpec(
+        layer_id="poi", index=0,
+        attr_fields={"name": "string", "class_src": "string",
+                     "ele_n": "number", "rank_n": "number", "pop": "number",
+                     "layer_n": "number", "oneway": "bool", "ref": "string"},
+        buffer_px=8)
+
+    def build_8attr():
+        store = tempfile.mkdtemp(prefix="sparktiles_a8_", dir=tmp_base)
+        try:
+            b = TileBuild(spark, [(spec8, feats8)], BuildConfig(
+                store_dir=store, minzoom=0, maxzoom=MAXZOOM,
+                mid_zoom=min(5, MAXZOOM), gzip_level=GZIP_LEVEL))
+            return b.build_fast()["tiles"]
+        finally:
+            shutil.rmtree(store, ignore_errors=True)
+
+    dt, a8_tiles = min_of(build_8attr)
+    timings["tile_pyramid_8attr"] = round(dt, 3)
+    extra["tiles_8attr"] = a8_tiles
+    extra["tiles_8attr_per_s"] = round(a8_tiles / dt, 1)
+
     # ---- representative operator queries
     for name in [
         "tile_assign_points", "pip_join_broadcast", "knn_join",

@@ -475,7 +475,7 @@ def _ring_is_simple(ring):
     n = len(pts) - 1
     if n < 2:
         return True
-    if n <= 6 or n > 4096:
+    if n <= 6:
         for i in range(n):
             for j in range(i + 1, n):
                 if _seg_intersection(pts[i], pts[i + 1], pts[j], pts[j + 1]) is not None:
@@ -483,16 +483,32 @@ def _ring_is_simple(ring):
         return True
     p = pts[:-1]
     d = pts[1:] - p
-    mx = p[None, :, 0] - p[:, None, 0]          # p_j - p_i (x)
-    my = p[None, :, 1] - p[:, None, 1]
-    denom = np.multiply.outer(d[:, 0], d[:, 1]) - np.multiply.outer(d[:, 1], d[:, 0])
-    with np.errstate(divide="ignore", invalid="ignore"):
-        t = (mx * d[None, :, 1] - my * d[None, :, 0]) / denom
-        u = (mx * d[:, None, 1] - my * d[:, None, 0]) / denom
     eps = 1e-12
-    hit = (denom != 0) & (t > eps) & (t < 1 - eps) & (u > eps) & (u < 1 - eps)
-    hit &= np.triu(np.ones((n, n), dtype=bool), 1)   # pairs i < j only
-    return not bool(hit.any())
+    # row blocks bound peak memory to O(block * n) regardless of ring
+    # size (an unblocked n x n pair matrix hit 768 MB at n=4000 —
+    # per-Python-worker OOM risk on many-core executors, ADVICE r3);
+    # 256 * n float64 at n=65536 is ~134 MB worst case across ~6 arrays
+    # but real rings are far smaller; at n=4096 peak is ~50 MB
+    block = 256
+    for i0 in range(0, n, block):
+        i1 = min(i0 + block, n)
+        pb = p[i0:i1]
+        db = d[i0:i1]
+        mx = p[None, :, 0] - pb[:, None, 0]      # p_j - p_i (x)
+        my = p[None, :, 1] - pb[:, None, 1]
+        denom = (np.multiply.outer(db[:, 0], d[:, 1])
+                 - np.multiply.outer(db[:, 1], d[:, 0]))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = (mx * d[None, :, 1] - my * d[None, :, 0]) / denom
+            u = (mx * db[:, None, 1] - my * db[:, None, 0]) / denom
+        hit = (denom != 0) & (t > eps) & (t < 1 - eps) & \
+              (u > eps) & (u < 1 - eps)
+        # pairs i < j only: mask j <= i within this row block
+        ji = np.arange(n)[None, :] <= np.arange(i0, i1)[:, None]
+        hit &= ~ji
+        if bool(hit.any()):
+            return False
+    return True
 
 
 def make_valid(geom):

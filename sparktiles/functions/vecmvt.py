@@ -100,11 +100,31 @@ def decode_wkb_batch(blobs) -> tuple[_Flat, _Flat, _Flat]:
         elif t == 4:  # MultiPoint (child Point headers per point)
             n = up(fmt + "I", mv, off)[0]
             off += 4
-            pts = np.empty((n, 2))
-            for k in range(n):
-                pts[k] = up(fmt + "dd", mv, off + 5)
-                off += 21
             if n:
+                # fast path: uniform plain child headers (same byte
+                # order as parent, no child SRID) -> one strided bulk
+                # read; 21-byte stride = 1 flag + 4 code + 16 coords
+                a8 = np.frombuffer(mv, np.uint8)
+                end = off + 21 * n
+                want = ((1, 1, 0, 0, 0) if fmt == "<" else (0, 0, 0, 0, 1))
+                block = a8[off:end].reshape(n, 21) if end <= len(a8) else None
+                if block is not None and (block[:, :5] == want).all():
+                    pts = np.ascontiguousarray(block[:, 5:21]).view(
+                        fmt + "f8").reshape(n, 2).astype(np.float64)
+                else:
+                    # mixed/child-specific headers: honor each child's
+                    # own endianness + SRID flag (scalar _wkb_read
+                    # parity, ADVICE round-3)
+                    pts = np.empty((n, 2))
+                    o = off
+                    for k in range(n):
+                        cf = "<" if mv[o] == 1 else ">"
+                        ccode = up(cf + "I", mv, o + 1)[0]
+                        o += 5
+                        if ccode & _SRID_FLAG:
+                            o += 4
+                        pts[k] = up(cf + "dd", mv, o)
+                        o += 16
                 pt_chunks.append(pts)
                 pt_lens.append(n)
                 pt_rows.append(row)
@@ -115,31 +135,39 @@ def decode_wkb_batch(blobs) -> tuple[_Flat, _Flat, _Flat]:
                     mv, fmt + "f8", 2 * n, off + 4).reshape(n, 2))
                 ln_lens.append(n)
                 ln_rows.append(row)
-        elif t == 5:  # MultiLineString
+        elif t == 5:  # MultiLineString (each child honors its own
+            # endianness byte + SRID flag — scalar _wkb_read parity)
             n = up(fmt + "I", mv, off)[0]
             off += 4
             for _ in range(n):
-                m = up(fmt + "I", mv, off + 5)[0]
+                cf = "<" if mv[off] == 1 else ">"
+                ccode = up(cf + "I", mv, off + 1)[0]
+                off += 5
+                if ccode & _SRID_FLAG:
+                    off += 4
+                m = up(cf + "I", mv, off)[0]
+                off += 4
                 if m:
                     ln_chunks.append(np.frombuffer(
-                        mv, fmt + "f8", 2 * m, off + 9).reshape(m, 2))
+                        mv, cf + "f8", 2 * m, off).reshape(m, 2))
                     ln_lens.append(m)
                     ln_rows.append(row)
-                off += 9 + 16 * m
+                off += 16 * m
         elif t in (3, 6):  # Polygon / MultiPolygon
-            def read_poly(o, row=row):
-                """Parse one polygon's rings at offset o; commit only if
-                the shell is non-empty (an empty shell kills the whole
-                polygon in the scalar path: clip of [] -> None)."""
+            def read_poly(o, pfmt, row=row):
+                """Parse one polygon's rings at offset o (byte order
+                pfmt); commit only if the shell is non-empty (an empty
+                shell kills the whole polygon in the scalar path: clip
+                of [] -> None)."""
                 nonlocal n_poly
-                nr = up(fmt + "I", mv, o)[0]
+                nr = up(pfmt + "I", mv, o)[0]
                 o += 4
                 rings = []
                 for k in range(nr):
-                    m = up(fmt + "I", mv, o)[0]
+                    m = up(pfmt + "I", mv, o)[0]
                     o += 4
                     rings.append(np.frombuffer(
-                        mv, fmt + "f8", 2 * m, o).reshape(m, 2))
+                        mv, pfmt + "f8", 2 * m, o).reshape(m, 2))
                     o += 16 * m
                 if rings and len(rings[0]):
                     for k, r in enumerate(rings):
@@ -153,12 +181,18 @@ def decode_wkb_batch(blobs) -> tuple[_Flat, _Flat, _Flat]:
                     n_poly += 1
                 return o
             if t == 3:
-                read_poly(off)
+                read_poly(off, fmt)
             else:
                 n = up(fmt + "I", mv, off)[0]
                 off += 4
                 for _ in range(n):
-                    off = read_poly(off + 5)  # skip child 5-byte header
+                    # child header: own endianness + optional SRID
+                    cf = "<" if mv[off] == 1 else ">"
+                    ccode = up(cf + "I", mv, off + 1)[0]
+                    off += 5
+                    if ccode & _SRID_FLAG:
+                        off += 4
+                    off = read_poly(off, cf)
         # else: GeometryCollection / unknown -> dropped (scalar parity)
 
     def fill(flat, chunks, lens, rows):

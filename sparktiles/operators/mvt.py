@@ -393,6 +393,54 @@ def _attr_value(v, kind: str):
     return str(v)
 
 
+def _attr_convert_batch(vals: np.ndarray, kind: str) -> np.ndarray:
+    """Batch twin of _attr_value: one object ndarray of converted MVT
+    attribute values per Arrow batch (None for null/NaN), element-wise
+    byte-exact with the scalar (fuzz parity test tests/test_mvt.py).
+    Typed dtypes take vectorized paths (the attribute-heavy-layer hot
+    spot — previously a per-row Python loop per tile group); object
+    arrays from Spark string/bool columns are passed through with one
+    isna mask; anything else falls back to the scalar loop."""
+    import pandas as pd
+
+    n = len(vals)
+    out = np.empty(n, dtype=object)
+    if kind == "number":
+        if vals.dtype.kind in "iu":
+            out[:] = vals.tolist()                      # python ints
+            return out
+        if vals.dtype.kind == "f":
+            f = vals.astype(np.float64, copy=False)
+            nan = np.isnan(f)
+            out[:] = f.tolist()                         # python floats
+            ii = np.flatnonzero(~nan & (f == np.floor(f))
+                                & (np.abs(f) < 2.0 ** 53))
+            if len(ii):
+                out[ii] = np.array(
+                    f[ii].astype(np.int64).tolist(), dtype=object)
+            out[nan] = None
+            return out
+    elif kind == "bool":
+        if vals.dtype.kind == "b":
+            out[:] = vals.tolist()                      # python bools
+            return out
+        if vals.dtype == object and all(
+                v is None or type(v) is bool for v in vals):
+            na = pd.isna(vals)                          # bool|None column
+            out[:] = vals
+            out[na] = None
+            return out
+    else:  # string
+        if vals.dtype == object and all(
+                v is None or type(v) is str for v in vals):
+            na = pd.isna(vals)                          # str|None column
+            out[:] = vals
+            out[na] = None
+            return out
+    out[:] = [_attr_value(v, kind) for v in vals.tolist()]
+    return out
+
+
 def _make_layer_encoder(spec: LayerSpec):
     """Build the per-(z,x,y)-group encode kernel for one layer:
     fn(cols, s, e) -> [(z, x, y, layer_index, blob)] or [] when every
@@ -412,13 +460,12 @@ def _make_layer_encoder(spec: LayerSpec):
     def encode(arrs: dict, s: int, e: int) -> list[tuple]:
         # transform + clip already ran map-side (with_point_tile_coords
         # for points, with_wkb_encoded_fields for lines/polygons); the
-        # fid/geometry wire pieces arrive varint-packed; this kernel
-        # only dictionary-encodes attrs and joins cached pieces
+        # fid/geometry wire pieces arrive varint-packed and attrs are
+        # pre-converted per batch (_attr_convert_batch in the prep
+        # hook); this kernel only dictionary-encodes attrs and joins
+        # cached pieces
         z, tx, ty = unpack_zxy(int(arrs["zxy"][s]))
-        attr_cols = []
-        for k, t in attr_items:
-            vals = arrs[k][s:e]
-            attr_cols.append((k, [_attr_value(v, t) for v in vals.tolist()]))
+        attr_cols = [(k, arrs["_ac_" + k][s:e]) for k, _t in attr_items]
         blob = C.encode_layer_points_prepped(
             layer_id, arrs["_fidf"] if key_field else None, arrs["_geomf"],
             s, e, attr_cols, extent, frame_blobs=frame_blobs,
@@ -428,14 +475,25 @@ def _make_layer_encoder(spec: LayerSpec):
     return encode
 
 
-def _make_point_prep(key_field):
-    """Batch-level prep for the point kernel: vectorized fid/geometry
-    wire pieces for every row of the Arrow batch in O(numpy passes)."""
+def _make_batch_prep(spec: LayerSpec):
+    """Batch-level prep (grouped_map_sorted hook): per-Arrow-batch
+    vectorized precompute of everything group-independent — attribute
+    value conversion for all kinds, plus fid/geometry wire pieces for
+    the point spine (the WKB spine pre-encodes those map-side)."""
+    attr_items = list(spec.attr_fields.items())
+    key_field = spec.key_field
+    is_point = spec.geometry_kind == "point"
 
     def prep(arrs: dict) -> dict:
-        fids = arrs[key_field] if key_field else None
-        ff, gf = C.point_row_fields_vec(fids, arrs["ix"], arrs["iy"])
-        return {"_fidf": ff, "_geomf": gf}
+        out = {}
+        if is_point:
+            fids = arrs[key_field] if key_field else None
+            ff, gf = C.point_row_fields_vec(fids, arrs["ix"], arrs["iy"])
+            out["_fidf"] = ff
+            out["_geomf"] = gf
+        for k, t in attr_items:
+            out["_ac_" + k] = _attr_convert_batch(arrs[k], t)
+        return out
 
     return prep
 
@@ -497,12 +555,11 @@ def encode_layer_df(features: DataFrame, spec: LayerSpec) -> DataFrame:
     """
     encode = _make_layer_encoder(spec)
     features, group_keys = _prep_layer_features(features, spec)
-    prep = _make_point_prep(spec.key_field) if spec.geometry_kind == "point" else None
     return grouped_map_sorted(
         features, group_keys, encode,
         "z int, x long, y long, layer_index int, mvtl binary",
         sort_extra=[spec.key_field] if spec.key_field else None,
-        prep=prep,
+        prep=_make_batch_prep(spec),
     )
 
 
@@ -530,12 +587,11 @@ def encode_and_assemble_single(features: DataFrame, spec: LayerSpec,
             blob = C.gzip_blob(blob, gzip_level)
         return [(z, tx, ty, blob, hashlib.md5(blob).hexdigest())]
 
-    prep = _make_point_prep(spec.key_field) if spec.geometry_kind == "point" else None
     return grouped_map_sorted(
         features, group_keys, tile,
         "z int, x long, y long, mvt binary, tile_id string",
         sort_extra=[spec.key_field] if spec.key_field else None,
-        prep=prep,
+        prep=_make_batch_prep(spec),
     )
 
 

@@ -104,8 +104,17 @@ def run_incremental_retile(
     down) — a z14-granularity list propagated to ancestors misses
     cross-boundary buffered neighbors at lower zooms. expired_tiles /
     invalidation_list (T5/T8 reference parity) remain for the expired-
-    list surface; this path guarantees merged == full-rebuild."""
-    from sparktiles.operators.pyramid import assign_point_tiles_multi
+    list surface; this path guarantees merged == full-rebuild.
+
+    build_features_fn must yield either point features (px/py mercator
+    columns) or WKB features (geom binary column); the invalidation
+    dispatches to the matching assignment (points: column math; WKB:
+    supercover rasterization — same assigners the build itself uses,
+    so invalidated == the tiles a full rebuild would touch)."""
+    from sparktiles.operators.pyramid import (
+        assign_point_tiles_multi,
+        assign_supercover_tiles_multi,
+    )
 
     diff = changed_features(old_pages, new_pages)
     touched = new_pages.join(diff.where(F.col("change") != "removed"), "url", "left_semi")
@@ -114,9 +123,12 @@ def run_incremental_retile(
     feats_new = build_features_fn(touched)
     feats_old = build_features_fn(old_touched)
     changed = feats_new.unionByName(feats_old.select(*feats_new.columns))
-    inv = (
-        assign_point_tiles_multi(changed, minzoom, maxzoom, buffer_px=buffer_px)
-        .select("z", "x", "y").distinct()
-    )
+    if "geom" in changed.columns and "px" not in changed.columns:
+        assigned = assign_supercover_tiles_multi(
+            changed, minzoom, maxzoom, buffer_px=buffer_px)
+    else:
+        assigned = assign_point_tiles_multi(
+            changed, minzoom, maxzoom, buffer_px=buffer_px)
+    inv = assigned.select("z", "x", "y").distinct()
     fresh = regenerate_fn(inv)
     return merge_tile_map(existing_map, fresh, inv)

@@ -197,3 +197,45 @@ def test_point_encoder_paths_byte_identical():
     # decode sanity on the last tile
     dec = C.decode_tile(want)
     assert len(dec["L"]["features"]) == n
+
+
+def test_attr_convert_batch_fuzz_parity():
+    """_attr_convert_batch (the per-batch vectorized attribute
+    converter) must match scalar _attr_value element-for-element AND
+    type-for-type (int vs float changes the MVT value wire encoding)
+    across every dtype the Arrow->pandas bridge produces: int64,
+    float64-with-NaN, bool, object str|None, object bool|None, plus
+    mixed-object fallbacks."""
+    from sparktiles.operators.mvt import _attr_convert_batch, _attr_value
+
+    rng = np.random.RandomState(99)
+
+    def check(vals, kind):
+        got = _attr_convert_batch(vals, kind).tolist()
+        want = [_attr_value(v, kind) for v in vals.tolist()]
+        assert len(got) == len(want)
+        for g, w in zip(got, want):
+            assert type(g) is type(w), (kind, vals.dtype, g, w)
+            if isinstance(w, float):
+                assert (g == w) or (np.isnan(g) and np.isnan(w))
+            else:
+                assert g == w, (kind, vals.dtype, g, w)
+
+    n = 500
+    # number: int64 / float64 incl NaN, -0.0, inf, 2**53 edges
+    check(rng.randint(-2**40, 2**40, size=n), "number")
+    f = rng.randn(n) * 10 ** rng.randint(0, 12, size=n)
+    f[::7] = np.nan
+    f[::11] = np.rint(f[::11])
+    f[0], f[1], f[2], f[3] = -0.0, np.inf, 2.0**53, 2.0**53 - 2
+    check(f, "number")
+    check(np.array([None, 1, 2.5, 4.0, None, 2**60], dtype=object), "number")
+    # bool: plain + nullable-object
+    check(rng.rand(n) > 0.5, "bool")
+    check(np.array([True, None, False, True, None], dtype=object), "bool")
+    check(np.array([1, 0, None, 2], dtype=object), "bool")
+    # string: object str|None and numeric fallback
+    s = np.array([rng.choice(["a", "", "N7", None]) for _ in range(n)],
+                 dtype=object)
+    check(s, "string")
+    check(rng.randint(0, 100, size=20), "string")

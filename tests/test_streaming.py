@@ -157,3 +157,102 @@ def test_streaming_stateful_lang_totals(spark, page_dir):
         "SELECT lang, MAX(total_pages) AS total FROM ltotals GROUP BY lang")
     total = out.agg(F.sum("total")).first()[0]
     assert total == 500
+
+
+def test_incremental_retile_wkb_merged_equals_full(spark):
+    """run_incremental_retile's WKB dispatch (geom-bearing feature
+    frames route through supercover assignment): merged map ==
+    from-scratch rebuild when the changed features are LineStrings."""
+    import hashlib
+
+    import numpy as np
+
+    from sparktiles.functions import geom as G
+    from sparktiles.operators.mvt import LayerSpec, encode_and_assemble_single
+    from sparktiles.operators.pyramid import (
+        assign_supercover_tiles_multi,
+        tile_pyramid,
+    )
+    from sparktiles.plans.pipeline import empty_tile_blob
+    from sparktiles.streaming.incremental import run_incremental_retile
+
+    MAXZ, BUF = 3, 4.0
+    HALF = 20037508.34278925
+    spec = LayerSpec(layer_id="roads", index=0,
+                     attr_fields={"name": "string"}, key_field="feature_id",
+                     buffer_px=int(BUF), geometry_kind="wkb")
+    empty_id = hashlib.md5(empty_tile_blob(None)).hexdigest()
+
+    def pages_df(urls_texts):
+        return spark.createDataFrame(
+            [(u, None, bytearray(t.encode()), t, "en") for u, t in urls_texts],
+            "url string, warc_ts timestamp, html binary, text string, lang string")
+
+    def line_features(pages):
+        """WKB feature frame derived deterministically from (url, text):
+        text change => geometry change (the diff invariant)."""
+        rows = pages.select(
+            "url", F.xxhash64("url").alias("feature_id"),
+            F.xxhash64("url", "text").alias("h")).collect()
+        out = []
+        for r in rows:
+            rng = np.random.default_rng(abs(int(r.h)) % (2**32))
+            start = rng.uniform(-HALF * 0.7, HALF * 0.7, size=2)
+            end = start + rng.uniform(-HALF / 3, HALF / 3, size=2)
+            wkb = G.wkb_dumps(("LineString", np.vstack([start, end])), srid=3857)
+            out.append((int(r.feature_id), bytearray(wkb), f"N_{r.url}"))
+        return spark.createDataFrame(
+            out, "feature_id long, geom binary, name string")
+
+    def as_map(tiles):
+        return tiles.select(
+            F.col("z").alias("zoom_level"),
+            F.col("x").alias("tile_column"),
+            F.col("y").alias("tile_row"), "tile_id")
+
+    def full_map(pages):
+        assigned = assign_supercover_tiles_multi(
+            line_features(pages), 0, MAXZ, buffer_px=BUF)
+        tiles = encode_and_assemble_single(assigned, spec, None)
+        uni = tile_pyramid(spark, 0, MAXZ)
+        empties = uni.join(tiles.select("z", "x", "y"), ["z", "x", "y"],
+                           "left_anti").select(
+            F.col("z").alias("zoom_level"), F.col("x").alias("tile_column"),
+            F.col("y").alias("tile_row"), F.lit(empty_id).alias("tile_id"))
+        return as_map(tiles).unionByName(empties)
+
+    p1 = pages_df([(f"u{i}", f"t{i}") for i in range(40)])
+    # snapshot 2: drop u0-u4, update u5-u9 (text change -> new line),
+    # add 5 new urls
+    p2 = pages_df(
+        [(f"u{i}", f"t{i}x") for i in range(5, 10)]
+        + [(f"u{i}", f"t{i}") for i in range(10, 40)]
+        + [(f"w{i}", f"s{i}") for i in range(5)])
+
+    old_map = full_map(p1).cache()
+    old_map.count()
+
+    def regenerate(inv):
+        assigned = assign_supercover_tiles_multi(
+            line_features(p2), 0, MAXZ, buffer_px=BUF)
+        assigned = assigned.join(inv, ["z", "x", "y"], "left_semi")
+        tiles = encode_and_assemble_single(assigned, spec, None)
+        gen = as_map(tiles)
+        empties = inv.join(tiles.select("z", "x", "y"), ["z", "x", "y"],
+                           "left_anti").select(
+            F.col("z").alias("zoom_level"), F.col("x").alias("tile_column"),
+            F.col("y").alias("tile_row"), F.lit(empty_id).alias("tile_id"))
+        return gen.unionByName(empties)
+
+    merged = run_incremental_retile(
+        spark, p1, p2, line_features, old_map, 0, MAXZ,
+        regenerate, buffer_px=BUF)
+
+    def rows(df):
+        return sorted(
+            (r.zoom_level, r.tile_column, r.tile_row, r.tile_id)
+            for r in df.collect())
+
+    want = full_map(p2)
+    assert rows(merged) == rows(want)
+    assert set(rows(merged)) ^ set(rows(old_map)), "diff produced no change"

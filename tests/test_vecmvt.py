@@ -175,3 +175,62 @@ def test_fid_fields_parity():
     got = fid_fields_vec(fids)
     for f, g in zip(fids, got):
         assert g == b"\x08" + C._varint(f)
+
+
+def test_mixed_endian_multi_children_parity():
+    """Spec-valid WKB lets every child of a Multi* carry its own byte
+    order (and EWKB its own SRID flag); the scalar reader honors them
+    recursively. The batch decoder must match — incl. the MultiPoint
+    bulk-read fast path falling back cleanly (ADVICE round-3)."""
+    import struct
+
+    def point(xy, big=False, srid=None):
+        fmt = ">" if big else "<"
+        code = 1 | (0x20000000 if srid else 0)
+        b = (b"\x00" if big else b"\x01") + struct.pack(fmt + "I", code)
+        if srid:
+            b += struct.pack(fmt + "I", srid)
+        return b + struct.pack(fmt + "dd", *xy)
+
+    def line(pts, big=False):
+        fmt = ">" if big else "<"
+        return ((b"\x00" if big else b"\x01") + struct.pack(fmt + "I", 2)
+                + struct.pack(fmt + "I", len(pts))
+                + np.asarray(pts, dtype=fmt + "f8").tobytes())
+
+    def poly(rings, big=False):
+        fmt = ">" if big else "<"
+        b = (b"\x00" if big else b"\x01") + struct.pack(fmt + "I", 3)
+        b += struct.pack(fmt + "I", len(rings))
+        for r in rings:
+            b += struct.pack(fmt + "I", len(r))
+            b += np.asarray(r, dtype=fmt + "f8").tobytes()
+        return b
+
+    def multi(code, children, big=False):
+        fmt = ">" if big else "<"
+        return ((b"\x00" if big else b"\x01") + struct.pack(fmt + "I", code)
+                + struct.pack(fmt + "I", len(children)) + b"".join(children))
+
+    s = 2 * HALF / 4  # z2 tile size
+    p0 = (-HALF + 1.2 * s, HALF - 1.3 * s)
+    p1 = (-HALF + 1.7 * s, HALF - 1.6 * s)
+    ln0 = [[p0[0], p0[1]], [p1[0], p1[1]], [p0[0] + s / 3, p0[1] - s / 2]]
+    ring = np.array([[p0[0], p0[1]], [p1[0], p0[1]], [p1[0], p1[1]],
+                     [p0[0], p1[1]], [p0[0], p0[1]]])
+    wkbs = [
+        # MultiPoint: mixed child endianness + one EWKB-SRID child
+        multi(4, [point(p0), point(p1, big=True), point(p0, srid=3857)]),
+        # MultiPoint all-little (bulk fast path), all-big parent+children
+        multi(4, [point(p0), point(p1)]),
+        multi(4, [point(p0, big=True), point(p1, big=True)], big=True),
+        # MultiLineString: big-endian child inside little parent
+        multi(5, [line(ln0), line(ln0[::-1], big=True)]),
+        # MultiPolygon: big parent, little children / little parent, big child
+        multi(6, [poly([ring]), poly([ring * 0.98])], big=True),
+        multi(6, [poly([ring], big=True)]),
+    ]
+    zs = [2] * len(wkbs)
+    xs = [1] * len(wkbs)
+    ys = [1] * len(wkbs)
+    run_parity(wkbs, zs, xs, ys, 64)
