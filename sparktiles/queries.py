@@ -215,6 +215,139 @@ def line_bbox_tiles(spark, sf_dir):
 
 
 # ===================================================================
+# J1 (supercover path) — O(path) candidate generation for WKB layers
+# ===================================================================
+
+def _supercover_bfe(buffer_px: float) -> float:
+    from sparktiles.functions.tilecover import _EPS
+
+    return float(buffer_px) / 256.0 + _EPS
+
+
+_SC_BFE = _supercover_bfe(4.0)
+
+# DuckDB mirror of functions/tilecover._segment_col_spans for the
+# single-segment derived lines (dx > 0 by construction, so the
+# vertical-segment branch never fires): per column strip the
+# sub-segment's linear y-extent, inclusive ceil/floor row bounds,
+# np.clip order GREATEST-then-LEAST — float-op-for-float-op identical.
+_LINE_SUPERCOVER_SQL = f"""
+WITH seg AS (
+  SELECT c_custkey AS key,
+         {_LON_SQL.format(k='c_custkey')} AS lon1,
+         {_LAT_SQL.format(k='c_custkey')} AS lat1,
+         {_LON_SQL.format(k='c_custkey')} + (c_custkey % 7) * 0.5 + 0.21 AS lon2,
+         {_LAT_SQL.format(k='c_custkey')} + (c_custkey % 5) * 0.3 + 0.17 AS lat2
+  FROM customer
+), m AS (
+  SELECT key,
+         lon1 / 180.0 * {HALF!r} AS mx1,
+         {_MERCY_SQL.format(lat='lat1', pi=PI, half=HALF)} AS my1,
+         lon2 / 180.0 * {HALF!r} AS mx2,
+         {_MERCY_SQL.format(lat='lat2', pi=PI, half=HALF)} AS my2
+  FROM seg
+), tu AS (
+  SELECT key, z, POW(2.0, z) AS n,
+         CAST(POW(2.0, z) AS BIGINT) - 1 AS top,
+         (mx1 + {HALF!r}) / {WORLD_MERC_WIDTH!r} * POW(2.0, z) AS px,
+         ({HALF!r} - my1) / {WORLD_MERC_WIDTH!r} * POW(2.0, z) AS py,
+         (mx2 + {HALF!r}) / {WORLD_MERC_WIDTH!r} * POW(2.0, z) AS qx,
+         ({HALF!r} - my2) / {WORLD_MERC_WIDTH!r} * POW(2.0, z) AS qy
+  FROM m, (SELECT UNNEST([3, 4, 5, 6]) AS z)
+), sg AS (
+  SELECT *, LEAST(px, qx) AS sx0, GREATEST(px, qx) AS sx1,
+         qx - px AS dx, qy - py AS dy
+  FROM tu
+), cr AS (
+  SELECT *,
+    CAST(LEAST(GREATEST(CEIL(sx0 - {_SC_BFE!r} - 1.0), 0.0), CAST(top AS DOUBLE)) AS BIGINT) AS c0,
+    CAST(LEAST(GREATEST(FLOOR(sx1 + {_SC_BFE!r}), 0.0), CAST(top AS DOUBLE)) AS BIGINT) AS c1
+  FROM sg
+), cols AS (
+  SELECT key, z, top, px, py, dx, dy, sx0, sx1,
+         UNNEST(range(c0, c1 + 1)) AS col
+  FROM cr
+), xs AS (
+  SELECT *,
+         GREATEST(CAST(col AS DOUBLE) - {_SC_BFE!r}, sx0) AS xa,
+         LEAST(CAST(col AS DOUBLE) + 1.0 + {_SC_BFE!r}, sx1) AS xb
+  FROM cols
+), ys AS (
+  SELECT key, z, top, col,
+         py + (xa - px) / dx * dy AS ya,
+         py + (xb - px) / dx * dy AS yb
+  FROM xs
+), rr AS (
+  SELECT key, z, col,
+    CAST(LEAST(GREATEST(CEIL(LEAST(ya, yb) - {_SC_BFE!r} - 1.0), 0.0), CAST(top AS DOUBLE)) AS BIGINT) AS r0,
+    CAST(LEAST(GREATEST(FLOOR(GREATEST(ya, yb) + {_SC_BFE!r}), 0.0), CAST(top AS DOUBLE)) AS BIGINT) AS r1
+  FROM ys
+), cand AS (
+  SELECT key, z, col AS x, UNNEST(range(r0, r1 + 1)) AS y FROM rr
+)
+SELECT CAST(z AS INT) AS z, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(COUNT(DISTINCT (x, y)) AS BIGINT) AS n_tiles
+FROM cand
+GROUP BY z
+"""
+
+
+@q("line_supercover_tiles", _LINE_SUPERCOVER_SQL)
+def line_supercover_tiles(spark, sf_dir):
+    """assign_supercover_tiles_multi oracle (J1 supercover path — the
+    round-4 replacement for the bbox explode): per-zoom (segment, tile)
+    candidate counts for the same derived line segments as
+    line_bbox_tiles, z3-z6, 4px buffer. The engine decodes real WKB
+    LineStrings and rasterizes per column strip; DuckDB recomputes the
+    identical per-column spans in SQL. Distinct-tile AND pair counts
+    both hash-match, proving the candidate set itself (not just its
+    size) since n_tiles aggregates over exact (x, y)."""
+    import numpy as np
+    import pandas as pd
+
+    from sparktiles.operators.pyramid import assign_supercover_tiles_multi
+
+    c = _t(spark, sf_dir, "customer")
+    key = F.col("c_custkey")
+    lon1, lat1 = _lon(key), _lat(key)
+    lon2 = lon1 + (key % 7).cast("double") * 0.5 + 0.21
+    lat2 = lat1 + (key % 5).cast("double") * 0.3 + 0.17
+    seg = c.select(
+        key.alias("key"),
+        _merc_x(lon1).alias("mx1"), _merc_y(lat1).alias("my1"),
+        _merc_x(lon2).alias("mx2"), _merc_y(lat2).alias("my2"),
+    )
+
+    def to_wkb(batches):
+        # vectorized little-endian WKB LineString assembly (data prep):
+        # 1 flag + 4 code + 4 npts + 2x16 coords = 41 bytes per row
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
+            buf = np.zeros((n, 41), dtype=np.uint8)
+            buf[:, 0] = 1
+            buf[:, 1] = 2   # geometry code 2 (LineString), LE
+            buf[:, 5] = 2   # npts
+            coords = np.stack(
+                [pdf["mx1"].to_numpy(), pdf["my1"].to_numpy(),
+                 pdf["mx2"].to_numpy(), pdf["my2"].to_numpy()],
+                axis=1).astype("<f8")
+            buf[:, 9:41] = coords.view(np.uint8).reshape(n, 32)
+            yield pd.DataFrame({
+                "key": pdf["key"].to_numpy(),
+                "geom": [b.tobytes() for b in buf],
+            })
+
+    lines = seg.mapInPandas(to_wkb, "key long, geom binary")
+    asg = assign_supercover_tiles_multi(lines, 3, 6, buffer_px=4)
+    return asg.groupBy("z").agg(
+        F.count("*").alias("n_pairs"),
+        F.countDistinct("x", "y").alias("n_tiles"),
+    )
+
+
+# ===================================================================
 # J2 — broadcast point-in-polygon join (axis-aligned admin cells)
 # ===================================================================
 
