@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from sparktiles.functions import geom as G
-from sparktiles.operators.pyramid import assign_bbox_tiles, assign_point_tiles
+from sparktiles.operators.pyramid import assign_point_tiles
 
 
 def polygons_with_bounds(polys: DataFrame, geom_col: str = "geom") -> DataFrame:
@@ -121,10 +121,17 @@ def cell_pip_join(
     equi-join on (z,x,y), exact numpy containment after. This is the
     scale path when the polygon side exceeds broadcast size; skewed
     cells are split by AQE (sort-merge join on the cell key)."""
-    pb = polygons_with_bounds(polygons, geom_col)
-    poly_cells = assign_bbox_tiles(pb, zoom).select(
-        poly_id, geom_col, "x", "y"
-    )
+    from sparktiles.operators.pyramid import assign_supercover_tiles_multi
+
+    # supercover cell keying (round 4): a polygon is keyed only to the
+    # cells it actually touches (outline rasterization + interior
+    # fill), not its bbox — for diagonal/sparse polygons this cuts the
+    # candidate (point, polygon) pairs the exact containment must
+    # reject, same superset guarantee (a point inside the polygon is in
+    # a cell the polygon's interior intersects)
+    poly_cells = assign_supercover_tiles_multi(
+        polygons.select(poly_id, geom_col), zoom, zoom
+    ).select(poly_id, geom_col, "x", "y")
     pt_cells = assign_point_tiles(points, zoom, 0.0, x_col, y_col)
     cand = pt_cells.join(poly_cells, ["x", "y"], "inner").drop("x", "y", "z")
 
