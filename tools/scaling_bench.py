@@ -167,7 +167,11 @@ def run_leg(cpus: int, n_pages: int, maxzoom: int, gzip_level=6) -> dict:
         # ---- multi-layer point+line+polygon build: the WKB (vecmvt)
         # map-side encode + two-shuffle encode/assemble path every real
         # tileset uses (reference tests/testlayers/testmaptiles.yaml)
-        lines = generate_lines(spark, n=max(1000, n_pages // 100)) \
+        # round 4: supercover assignment cut the line layer's absolute
+        # cost 6x, shortening the ml phase into VM-noise territory;
+        # 2.5x more lines restores a meaningful phase length AND makes
+        # the mix more like the reference's line-dominated real tiles
+        lines = generate_lines(spark, n=max(2000, n_pages // 40)) \
             .withColumnRenamed("line_id", "feature_id").cache()
         polys = generate_polygons(spark, n_grid=24) \
             .withColumnRenamed("poly_id", "feature_id").cache()
