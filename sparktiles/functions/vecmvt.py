@@ -79,10 +79,43 @@ def decode_wkb_batch(blobs) -> tuple[_Flat, _Flat, _Flat]:
     pg_poly_rows = []
     n_poly = 0
 
+    # adjacent-duplicate cache: after supercover assignment a feature's
+    # candidate rows arrive consecutively (one per touched tile within
+    # a zoom block), all carrying the SAME WKB bytes — the structure
+    # walk is ~67% of the per-row pipeline cost, so replaying the
+    # previous blob's parsed chunk views (content-compared, O(1) on
+    # length mismatch) cuts decode work from per-candidate to
+    # per-(feature, zoom). Byte-parity preserved: replay appends the
+    # identical coordinate views under the new row id.
+    prev_blob = None
+    prev_rec = None
+
     up = struct.unpack_from
     for row, b in enumerate(blobs):
         if b is None:
+            prev_blob = None
             continue
+        if prev_blob is not None and b == prev_blob:
+            ptc, lnc, pgc = prev_rec
+            for arr, ln_ in ptc:
+                pt_chunks.append(arr)
+                pt_lens.append(ln_)
+                pt_rows.append(row)
+            for arr, ln_ in lnc:
+                ln_chunks.append(arr)
+                ln_lens.append(ln_)
+                ln_rows.append(row)
+            for rings in pgc:
+                for arr, ln_, sh in rings:
+                    pg_chunks.append(arr)
+                    pg_lens.append(ln_)
+                    pg_ring_poly.append(n_poly)
+                    pg_shell.append(sh)
+                pg_poly_rows.append(row)
+                n_poly += 1
+            continue
+        p0, l0 = len(pt_chunks), len(ln_chunks)
+        g0r, g0p = len(pg_chunks), len(pg_poly_rows)
         mv = bytes(b)
         fmt = "<" if mv[0] == 1 else ">"
         code = up(fmt + "I", mv, 1)[0]
@@ -194,6 +227,21 @@ def decode_wkb_batch(blobs) -> tuple[_Flat, _Flat, _Flat]:
                         off += 4
                     off = read_poly(off, cf)
         # else: GeometryCollection / unknown -> dropped (scalar parity)
+
+        # record this blob's appended chunks for adjacent-dup replay
+        n_new_polys = len(pg_poly_rows) - g0p
+        polys: list = [[] for _ in range(n_new_polys)]
+        if n_new_polys:
+            base = n_poly - n_new_polys
+            for arr, ln_, pid, sh in zip(pg_chunks[g0r:], pg_lens[g0r:],
+                                         pg_ring_poly[g0r:], pg_shell[g0r:]):
+                polys[pid - base].append((arr, ln_, sh))
+        prev_blob = b
+        prev_rec = (
+            list(zip(pt_chunks[p0:], pt_lens[p0:])),
+            list(zip(ln_chunks[l0:], ln_lens[l0:])),
+            polys,
+        )
 
     def fill(flat, chunks, lens, rows):
         if chunks:
