@@ -1641,6 +1641,100 @@ def mvt_gzip_roundtrip_q(spark, sf_dir):
         tiles.select("z", "x", "y", magic.alias("gzipped")), ["z", "x", "y"])
 
 
+_MVT_ATTR_TYPES_SQL = f"""
+WITH pts AS (
+  SELECT c_custkey AS key,
+         {_LON_SQL.format(k='c_custkey')} AS lon,
+         {_LAT_SQL.format(k='c_custkey')} AS lat
+  FROM customer
+), m AS (
+  SELECT key, lon / 180.0 * {HALF!r} AS mx,
+         {_MERCY_SQL.format(lat='lat', pi=PI, half=HALF)} AS my
+  FROM pts
+), f AS (
+  SELECT key,
+         CAST(FLOOR((mx + {HALF!r}) / {WORLD_MERC_WIDTH!r} * 64.0) AS BIGINT) AS x,
+         CAST(FLOOR(({HALF!r} - my) / {WORLD_MERC_WIDTH!r} * 64.0) AS BIGINT) AS y,
+         printf('C%d', key) AS name,
+         key * 7 AS pop,
+         CAST(key AS DOUBLE) * 0.5 AS ele,
+         (key % 3 = 0) AS flag
+  FROM m
+)
+SELECT CAST(6 AS INT) AS z, x, y,
+       CAST(COUNT(*) AS BIGINT) AS n_features,
+       CAST(SUM(pop) AS BIGINT) AS sum_pop,
+       ROUND(SUM(ele), 4) AS sum_ele,
+       CAST(SUM(CASE WHEN flag THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+       md5(string_agg(name, ',' ORDER BY name)) AS names_md5
+FROM f
+GROUP BY x, y
+"""
+
+
+@q("mvt_attr_types_roundtrip", _MVT_ATTR_TYPES_SQL)
+def mvt_attr_types_roundtrip(spark, sf_dir):
+    """Typed-attribute MVT round trip (A1 + the batch attribute
+    conversion path): a z6 point layer with string/number-int/
+    number-double/bool declared fields is encoded to real MVT layer
+    blobs, decoded back out of the bytes, and per-tile aggregates of
+    the DECODED values are hash-checked against DuckDB recomputing
+    them from the key derivations — so dictionary encoding, the MVT
+    value union (int vs double chosen by integrality, bool), and
+    _attr_convert_batch are all gated cross-engine, not just by the
+    in-process fuzz parity test."""
+    import pandas as pd
+
+    from sparktiles.functions import mvtcodec as C
+    from sparktiles.operators.mvt import LayerSpec, encode_layer_df
+    from sparktiles.operators.pyramid import assign_point_tiles
+
+    c = _t(spark, sf_dir, "customer")
+    key = F.col("c_custkey")
+    feats = c.select(
+        key.cast("long").alias("feature_id"),
+        _merc_x(_lon(key)).alias("px"), _merc_y(_lat(key)).alias("py"),
+        F.format_string("C%d", key).alias("name"),
+        (key * 7).cast("long").alias("pop"),
+        (key.cast("double") * 0.5).alias("ele"),
+        (key % 3 == 0).alias("flag"),
+    )
+    spec = LayerSpec(
+        layer_id="poi", index=0,
+        attr_fields={"name": "string", "pop": "number",
+                     "ele": "number", "flag": "bool"},
+        key_field="feature_id", buffer_px=0)
+    assigned = assign_point_tiles(feats, 6, buffer_px=0)
+    lb = encode_layer_df(assigned, spec)
+
+    def dec(batches):
+        for pdf in batches:
+            rows = []
+            for z_, x_, y_, blob in zip(pdf["z"], pdf["x"], pdf["y"],
+                                        pdf["mvtl"]):
+                tile = C.decode_tile(bytes(blob))
+                for ft in tile["poi"]["features"]:
+                    a = ft["attrs"]
+                    rows.append((int(z_), int(x_), int(y_), a["name"],
+                                 int(a["pop"]), float(a["ele"]),
+                                 bool(a["flag"])))
+            if rows:
+                yield pd.DataFrame(rows, columns=[
+                    "z", "x", "y", "name", "pop", "ele", "flag"])
+
+    decoded = lb.mapInPandas(
+        dec, "z int, x long, y long, name string, pop long, "
+             "ele double, flag boolean")
+    return decoded.groupBy("z", "x", "y").agg(
+        F.count("*").alias("n_features"),
+        F.sum("pop").alias("sum_pop"),
+        F.round(F.sum("ele"), 4).alias("sum_ele"),
+        F.sum(F.col("flag").cast("long")).alias("n_true"),
+        F.md5(F.concat_ws(",", F.sort_array(F.collect_list("name")))
+              .cast("binary")).alias("names_md5"),
+    )
+
+
 # ===================================================================
 # G5/G11/P7 — WKB roundtrip + ToPoint centroid + geometry stats
 # ===================================================================
