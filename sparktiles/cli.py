@@ -53,6 +53,28 @@ def cmd_build_tiles(args):
             minzoom=minzoom, maxzoom=maxzoom,
         )
     frames = make_point_layer_frames(feats, tileset)
+    if args.with_lines:
+        from sparktiles.operators.mvt import LayerSpec
+        from sparktiles.sources.lines import generate_lines
+
+        lines = generate_lines(spark, n=args.with_lines).withColumnRenamed(
+            "line_id", "feature_id")
+        frames.append((LayerSpec(
+            layer_id="transportation", index=len(frames),
+            attr_fields={"class": "string", "name": "string"},
+            key_field="feature_id", buffer_px=4, geometry_kind="wkb"),
+            lines))
+    if args.with_polygons:
+        from sparktiles.operators.mvt import LayerSpec
+        from sparktiles.sources.polygons import generate_polygons
+
+        polys = generate_polygons(spark, n_grid=args.with_polygons) \
+            .withColumnRenamed("poly_id", "feature_id")
+        frames.append((LayerSpec(
+            layer_id="boundary", index=len(frames),
+            attr_fields={"admin_class": "string", "name": "string"},
+            key_field="feature_id", buffer_px=4, geometry_kind="wkb"),
+            polys))
     cfg = BuildConfig(
         store_dir=args.store, minzoom=minzoom, maxzoom=maxzoom,
         mid_zoom=args.mid_zoom,
@@ -149,6 +171,12 @@ def main(argv=None):
     b.add_argument("--buffer", type=int, default=8)
     b.add_argument("--gzip", type=int, default=-1)
     b.add_argument("--faithful-loop", action="store_true")
+    b.add_argument("--with-lines", type=int, default=0, metavar="N",
+                   help="add a WKB transportation layer with N synthetic "
+                        "polylines (supercover assignment + vecmvt encode)")
+    b.add_argument("--with-polygons", type=int, default=0, metavar="N",
+                   help="add a WKB boundary layer with an NxN synthetic "
+                        "polygon grid")
     b.set_defaults(fn=cmd_build_tiles)
 
     s = sub.add_parser("layer-stats")
