@@ -230,3 +230,36 @@ def test_supercover_multipoint_not_connected():
     mid = (int((0.0 + HALF) / WORLD_MERC_WIDTH * n),
            int((HALF - 0.0) / WORLD_MERC_WIDTH * n))
     assert mid not in cover
+
+
+@pytest.mark.parametrize("z", [12, 14])
+def test_supercover_deep_zoom_superset(z):
+    """Production zooms (the reference's default is z14): superset of
+    exact clip survivors must hold where cell counts are large and the
+    int64 dedup packing uses 2*z bits."""
+    rng = np.random.default_rng(z * 101)
+    n = 2.0 ** z
+    ts = WORLD_MERC_WIDTH / n
+    for trial in range(6):
+        cx, cy = rng.uniform(-HALF * 0.6, HALF * 0.6, size=2)
+        kind = trial % 3
+        if kind == 0:  # diagonal line spanning ~30 tiles
+            g = ("LineString", np.array(
+                [[cx, cy], [cx + 30 * ts, cy + 22 * ts], [cx + 31 * ts, cy]]))
+        elif kind == 1:  # thin sliver polygon across ~20 columns
+            ring = np.array([[cx, cy], [cx + 20 * ts, cy + 15 * ts],
+                             [cx + 20 * ts, cy + 15.3 * ts],
+                             [cx, cy + 0.3 * ts], [cx, cy]])
+            g = ("Polygon", [ring])
+        else:  # multipoint scatter
+            g = ("MultiPoint", np.stack(
+                [cx + rng.uniform(0, 25, 4) * ts,
+                 cy + rng.uniform(0, 25, 4) * ts], axis=1))
+        wkb = G.wkb_dumps(g, srid=3857)
+        bf = 4.0 / 256.0
+        cover = _cover(wkb, z, bf)
+        bbox = _bbox_tiles(_coords_of(g), z, bf)
+        surv = _survivors(wkb, z, bbox, 4096, 64)
+        assert surv, (z, trial)
+        assert surv <= cover, (z, trial, sorted(surv - cover)[:4])
+        assert len(cover) <= len(bbox)
