@@ -275,3 +275,32 @@ def test_jvm_and_pandas_extraction_identical(spark, pages):
         F.count("*").alias("c"))
     bad = mx.where((F.col("mn") != 0) | (F.col("mx") != F.col("c") - 1)).count()
     assert bad == 0
+
+
+def test_fast_build_equals_loop_build_wkb(spark, tmp_path):
+    """Faithful-vs-fast equivalence for a WKB line layer: the per-zoom
+    loop (supercover assignment at each single zoom + impute) must
+    produce the identical tile_map and image bytes as the one-shot
+    build — the line/polygon twin of the point-layer test above."""
+    from sparktiles.operators.mvt import LayerSpec
+    from sparktiles.sources.lines import generate_lines
+
+    lines = generate_lines(spark, n=48).withColumnRenamed(
+        "line_id", "feature_id").cache()
+    spec = LayerSpec(layer_id="transportation", index=0,
+                     attr_fields={"class": "string", "name": "string"},
+                     key_field="feature_id", buffer_px=4,
+                     geometry_kind="wkb")
+    slow = TileBuild(spark, [(spec, lines)], BuildConfig(
+        store_dir=str(tmp_path / "wslow"), minzoom=0, maxzoom=3, mid_zoom=1))
+    fast = TileBuild(spark, [(spec, lines)], BuildConfig(
+        store_dir=str(tmp_path / "wfast"), minzoom=0, maxzoom=3, mid_zoom=1))
+    slow.build()
+    fast.build_fast()
+    m1, m2 = slow.read_tile_map(), fast.read_tile_map()
+    assert m1.count() == m2.count()
+    assert m1.exceptAll(m2).count() == 0
+    i1 = {r.tile_id: bytes(r.tile_data) for r in slow.read_tile_images().collect()}
+    i2 = {r.tile_id: bytes(r.tile_data) for r in fast.read_tile_images().collect()}
+    for tid in {r.tile_id for r in m2.select("tile_id").distinct().collect()}:
+        assert i1[tid] == i2[tid]
