@@ -227,6 +227,85 @@ def with_wkb_encoded_fields(features: DataFrame, spec) -> DataFrame:
     return features.mapInPandas(run, out_schema)
 
 
+def with_wkb_supercover_encoded_fields(features: DataFrame, spec,
+                                       minzoom: int, maxzoom: int) -> DataFrame:
+    """FUSED supercover assignment + map-side encode for WKB layers:
+    one mapInPandas stage computes the tile cover (functions/tilecover)
+    AND runs the vecmvt clip/encode pipeline over the candidate index
+    views — candidate rows never cross an Arrow boundary carrying raw
+    WKB, and each feature's WKB is decoded once per batch for the
+    cover plus once per (feature, zoom) in the encode (adjacent-dup
+    replay), instead of serialized+decoded per candidate.
+
+    Byte-equal to assign_supercover_tiles_multi -> with_wkb_encoded_
+    fields (asserted in tests/test_tilecover.py); usable whenever the
+    layer has no post_assign hook and no only_tiles restriction (those
+    need the assigned rows as a DataFrame between the stages)."""
+    import pandas as pd
+
+    from sparktiles.functions.tilecover import cover_cells_zoom
+    from sparktiles.functions.vecmvt import (
+        decode_wkb_batch,
+        fid_fields_vec,
+        wkb_row_fields_vec,
+    )
+
+    extent = spec.extent
+    mvt_buffer = int(spec.extent * spec.buffer_px / 256)
+    bf = float(spec.buffer_px) / 256.0
+    key_field = spec.key_field
+    passthru = list(spec.attr_fields)
+    if key_field:
+        passthru = [key_field] + [c for c in passthru if c != key_field]
+    if spec.importance_col and spec.importance_col not in passthru:
+        passthru.append(spec.importance_col)
+    in_schema = features.schema
+    out_fields = ["zxy long"]
+    for c in passthru:
+        out_fields.append(f"`{c}` {in_schema[c].dataType.simpleString()}")
+    out_fields += ["_fidf binary", "_gt tinyint", "_geomf binary"]
+    out_schema = ", ".join(out_fields)
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            blobs = pdf["geom"].to_numpy()
+            pt, ln, pg = decode_wkb_batch(blobs)
+            rows_all, z_all, x_all, y_all = [], [], [], []
+            for z in range(minzoom, maxzoom + 1):
+                r, cx, cy = cover_cells_zoom(pt, ln, pg, z, bf)
+                if len(r):
+                    rows_all.append(r)
+                    z_all.append(np.full(len(r), z, dtype=np.int64))
+                    x_all.append(cx)
+                    y_all.append(cy)
+            if not rows_all:
+                continue
+            idx = np.concatenate(rows_all)
+            zs = np.concatenate(z_all)
+            xs = np.concatenate(x_all)
+            ys = np.concatenate(y_all)
+            gf, gt = wkb_row_fields_vec(
+                blobs[idx], zs, xs, ys, extent, mvt_buffer)
+            keep = np.array([f is not None for f in gf], dtype=bool)
+            if not keep.any():
+                continue
+            ki = idx[keep]
+            out = {"zxy": (zs[keep] << 58) ^ (xs[keep] << 29) ^ ys[keep]}
+            for c in passthru:
+                out[c] = pdf[c].to_numpy()[ki]
+            if key_field:
+                out["_fidf"] = fid_fields_vec(out[key_field])
+            else:
+                out["_fidf"] = [None] * int(keep.sum())
+            out["_gt"] = gt[keep]
+            out["_geomf"] = [f for f in gf if f is not None]
+            yield pd.DataFrame(out)
+
+    return features.mapInPandas(run, out_schema)
+
+
 def with_point_tile_coords(features: DataFrame, extent: int,
                            mvt_buffer: int) -> DataFrame:
     """Map-side ST_AsMVTGeom for points, as Catalyst expressions: tile-
@@ -498,17 +577,22 @@ def _make_batch_prep(spec: LayerSpec):
     return prep
 
 
-def _prep_layer_features(features: DataFrame, spec: LayerSpec
+def _prep_layer_features(features: DataFrame, spec: LayerSpec,
+                         zoom_range: tuple[int, int] | None = None,
                          ) -> tuple[DataFrame, list[str]]:
     """Projection + map-side geometry transform/clip/encode (+ optional
     density cap) ahead of the pyramid's (z,x,y) shuffle. Both kinds
     shuffle on the single packed `zxy` key carrying only pre-encoded
     wire pieces: points via Catalyst column math + the varint prep hook,
-    WKB lines/polygons via the batch-vectorized vecmvt pipeline."""
+    WKB lines/polygons via the batch-vectorized vecmvt pipeline.
+
+    zoom_range (WKB only): features are UNASSIGNED (no z/x/y columns);
+    supercover assignment and encode run fused in one Python stage."""
     key_field = spec.key_field
+    fused = zoom_range is not None and spec.geometry_kind == "wkb"
     # project: shuffle only what the encoder reads (drop url/tags/etc.)
     geom_cols = ["px", "py"] if spec.geometry_kind == "point" else ["geom"]
-    needed = ["z", "x", "y"] + geom_cols + list(spec.attr_fields)
+    needed = ([] if fused else ["z", "x", "y"]) + geom_cols + list(spec.attr_fields)
     if key_field and key_field not in needed:
         needed.append(key_field)
     if spec.importance_col and spec.importance_col not in needed:
@@ -518,6 +602,9 @@ def _prep_layer_features(features: DataFrame, spec: LayerSpec
     if spec.geometry_kind == "point":
         mvt_buffer = int(spec.extent * spec.buffer_px / 256)
         features = with_point_tile_coords(features, spec.extent, mvt_buffer)
+    elif fused:
+        features = with_wkb_supercover_encoded_fields(
+            features, spec, zoom_range[0], zoom_range[1])
     else:
         features = with_wkb_encoded_fields(features, spec)
     group_keys = ["zxy"]
@@ -545,16 +632,21 @@ def _prep_layer_features(features: DataFrame, spec: LayerSpec
     return features, group_keys
 
 
-def encode_layer_df(features: DataFrame, spec: LayerSpec) -> DataFrame:
+def encode_layer_df(features: DataFrame, spec: LayerSpec,
+                    zoom_range: tuple[int, int] | None = None) -> DataFrame:
     """features: z int, x long, y long, feature_id long, px/py double or
     geom binary(WKB), + attr columns per spec. Output: one row per
     (z,x,y): layer_index int, mvtl binary (possibly empty layer skipped).
+
+    zoom_range: WKB fused mode — pass the RAW feature frame (no z/x/y)
+    and the zoom span; supercover assignment runs inside the encode
+    stage (see with_wkb_supercover_encoded_fields).
 
     This is the ST_AsMVT equivalent (A1): groupBy(z,x,y) ->
     applyInPandas encoding one MVT layer message per tile.
     """
     encode = _make_layer_encoder(spec)
-    features, group_keys = _prep_layer_features(features, spec)
+    features, group_keys = _prep_layer_features(features, spec, zoom_range)
     return grouped_map_sorted(
         features, group_keys, encode,
         "z int, x long, y long, layer_index int, mvtl binary",
@@ -564,7 +656,9 @@ def encode_layer_df(features: DataFrame, spec: LayerSpec) -> DataFrame:
 
 
 def encode_and_assemble_single(features: DataFrame, spec: LayerSpec,
-                               gzip_level: int | None = None) -> DataFrame:
+                               gzip_level: int | None = None,
+                               zoom_range: tuple[int, int] | None = None,
+                               ) -> DataFrame:
     """Single-layer fast path: fuse ST_AsMVT (A1) and the tile assembly
     STRING_AGG+gzip+md5 (A2/A3) into ONE (z,x,y) grouped pass.
 
@@ -576,7 +670,7 @@ def encode_and_assemble_single(features: DataFrame, spec: LayerSpec,
     assemble_tiles(encode_layer_df(...)).
     """
     encode = _make_layer_encoder(spec)
-    features, group_keys = _prep_layer_features(features, spec)
+    features, group_keys = _prep_layer_features(features, spec, zoom_range)
 
     def tile(arrs: dict, s: int, e: int) -> list[tuple]:
         rows = encode(arrs, s, e)

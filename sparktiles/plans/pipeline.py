@@ -151,21 +151,36 @@ class TileBuild:
 
     # ------------------------------------------------------------ build
 
+    def _can_fuse(self, spec, only_tiles) -> bool:
+        """WKB layers with no post_assign hook and no tile restriction
+        take the FUSED supercover-assign + encode stage: candidate rows
+        never cross Arrow carrying raw WKB (the hook / only_tiles need
+        the assigned rows as a DataFrame between the stages)."""
+        return (spec.geometry_kind == "wkb" and spec.post_assign is None
+                and only_tiles is None)
+
     def _generate_tiles_at(self, z: int, only_tiles: DataFrame | None) -> DataFrame:
         """Run the layer pipelines for zoom z -> z,x,y,mvt,tile_id for
         every NON-EMPTY tile (optionally restricted to only_tiles)."""
         if len(self.layer_frames) == 1:
             spec, feats = self.layer_frames[0]
+            if self._can_fuse(spec, only_tiles):
+                return encode_and_assemble_single(
+                    feats, spec, self.cfg.gzip_level, zoom_range=(z, z))
             assigned = self._assign(feats, spec, z, z)
             if only_tiles is not None:
                 assigned = assigned.join(only_tiles, ["z", "x", "y"], "left_semi")
             return encode_and_assemble_single(assigned, spec, self.cfg.gzip_level)
         blobs = None
         for spec, feats in self.layer_frames:
-            assigned = self._assign(feats, spec, z, z)
-            if only_tiles is not None:
-                assigned = assigned.join(only_tiles, ["z", "x", "y"], "left_semi")
-            lb = encode_layer_df(assigned, spec)
+            if self._can_fuse(spec, only_tiles):
+                lb = encode_layer_df(feats, spec, zoom_range=(z, z))
+            else:
+                assigned = self._assign(feats, spec, z, z)
+                if only_tiles is not None:
+                    assigned = assigned.join(only_tiles, ["z", "x", "y"],
+                                             "left_semi")
+                lb = encode_layer_df(assigned, spec)
             blobs = lb if blobs is None else blobs.unionByName(lb)
         return assemble_tiles(blobs, self.cfg.gzip_level)
 
@@ -233,17 +248,26 @@ class TileBuild:
 
         # ---- phase 1: all non-empty tiles, one shuffle
         if not (self.store / "tiles_all" / "_SUCCESS").exists():
+            zr = (cfg.minzoom, cfg.maxzoom)
             if len(self.layer_frames) == 1:
                 # single-layer: encode + gzip + md5 in the same grouped
                 # pass — one (z,x,y) shuffle for the whole pyramid
                 spec, feats = self.layer_frames[0]
-                assigned = self._assign(feats, spec, cfg.minzoom, cfg.maxzoom)
-                tiles = encode_and_assemble_single(assigned, spec, cfg.gzip_level)
+                if self._can_fuse(spec, None):
+                    tiles = encode_and_assemble_single(
+                        feats, spec, cfg.gzip_level, zoom_range=zr)
+                else:
+                    assigned = self._assign(feats, spec, *zr)
+                    tiles = encode_and_assemble_single(
+                        assigned, spec, cfg.gzip_level)
             else:
                 blobs = None
                 for spec, feats in self.layer_frames:
-                    assigned = self._assign(feats, spec, cfg.minzoom, cfg.maxzoom)
-                    lb = encode_layer_df(assigned, spec)
+                    if self._can_fuse(spec, None):
+                        lb = encode_layer_df(feats, spec, zoom_range=zr)
+                    else:
+                        assigned = self._assign(feats, spec, *zr)
+                        lb = encode_layer_df(assigned, spec)
                     blobs = lb if blobs is None else blobs.unionByName(lb)
                 tiles = assemble_tiles(blobs, cfg.gzip_level)
             tiles.write.mode("overwrite").partitionBy("z").parquet(tiles_all_path)

@@ -263,3 +263,32 @@ def test_supercover_deep_zoom_superset(z):
         assert surv, (z, trial)
         assert surv <= cover, (z, trial, sorted(surv - cover)[:4])
         assert len(cover) <= len(bbox)
+
+
+def test_fused_supercover_encode_byte_parity(spark):
+    """The fused one-stage supercover-assign+encode must emit exactly
+    the per-tile layer blobs of the two-stage path (assign DataFrame ->
+    encode stage) for lines and polygons."""
+    from sparktiles.operators.mvt import LayerSpec, encode_layer_df
+    from sparktiles.operators.pyramid import assign_supercover_tiles_multi
+    from sparktiles.sources.lines import generate_lines
+    from sparktiles.sources.polygons import generate_polygons
+
+    frames = [
+        ("transportation", {"class": "string", "name": "string"},
+         generate_lines(spark, n=48).withColumnRenamed("line_id", "feature_id")),
+        ("boundary", {"admin_class": "string", "name": "string"},
+         generate_polygons(spark, n_grid=6).withColumnRenamed(
+             "poly_id", "feature_id")),
+    ]
+    for layer_id, attrs, feats in frames:
+        spec = LayerSpec(layer_id=layer_id, index=0, attr_fields=attrs,
+                         key_field="feature_id", buffer_px=4,
+                         geometry_kind="wkb")
+        fused = {(r.z, r.x, r.y): bytes(r.mvtl) for r in
+                 encode_layer_df(feats, spec, zoom_range=(0, 5)).collect()}
+        asg = assign_supercover_tiles_multi(feats, 0, 5, buffer_px=4)
+        two = {(r.z, r.x, r.y): bytes(r.mvtl) for r in
+               encode_layer_df(asg, spec).collect()}
+        assert fused == two, layer_id
+        assert fused, layer_id
