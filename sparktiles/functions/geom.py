@@ -486,10 +486,11 @@ def _ring_is_simple(ring):
     eps = 1e-12
     # row blocks bound peak memory to O(block * n) regardless of ring
     # size (an unblocked n x n pair matrix hit 768 MB at n=4000 —
-    # per-Python-worker OOM risk on many-core executors, ADVICE r3);
-    # 256 * n float64 at n=65536 is ~134 MB worst case across ~6 arrays
-    # but real rings are far smaller; at n=4096 peak is ~50 MB
-    block = 256
+    # per-Python-worker OOM risk on many-core executors, ADVICE r3).
+    # block scales DOWN with n so the ~6 live block*n float64 temps
+    # (mx, my, denom, t, u, hit) stay <= ~200 MB total even at
+    # n=65536 (a fixed block=256 peaked ~800 MB there, ADVICE r4)
+    block = max(16, min(256, (32 << 20) // (8 * n)))
     for i0 in range(0, n, block):
         i1 = min(i0 + block, n)
         pb = p[i0:i1]

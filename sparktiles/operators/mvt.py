@@ -467,6 +467,12 @@ def _attr_value(v, kind: str):
     if kind == "bool":
         return bool(v)
     if kind == "number":
+        # integer inputs stay exact ints (MVT int_value is 64-bit) — no
+        # round-trip through float, which would lose |v| >= 2**53;
+        # float inputs become int only when exactly representable
+        if isinstance(v, (int, np.integer)) and not isinstance(
+                v, (bool, np.bool_)):
+            return int(v)
         f = float(v)
         return int(f) if f.is_integer() and abs(f) < 2**53 else f
     return str(v)

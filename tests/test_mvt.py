@@ -224,6 +224,16 @@ def test_attr_convert_batch_fuzz_parity():
     n = 500
     # number: int64 / float64 incl NaN, -0.0, inf, 2**53 edges
     check(rng.randint(-2**40, 2**40, size=n), "number")
+    # huge ints (|v| >= 2**53, e.g. xxhash64-derived ids) must stay
+    # exact ints on BOTH paths — no silent float demotion (ADVICE r4)
+    check(np.array([2**53, 2**53 + 1, -(2**53) - 3, 2**63 - 1, -2**63,
+                    12345678901234567891 % 2**63], dtype=np.int64),
+          "number")
+    from sparktiles.operators.mvt import _attr_value as _av
+    assert _av(2**53 + 1, "number") == 2**53 + 1
+    assert type(_av(2**53 + 1, "number")) is int
+    assert _av(float(2**53), "number") == float(2**53)
+    assert type(_av(float(2**53), "number")) is float
     f = rng.randn(n) * 10 ** rng.randint(0, 12, size=n)
     f[::7] = np.nan
     f[::11] = np.rint(f[::11])
