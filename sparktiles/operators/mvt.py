@@ -164,7 +164,55 @@ def unpack_zxy(key: int) -> tuple[int, int, int]:
     return key >> 58, (key >> 29) & _MASK29, key & _MASK29
 
 
-def with_wkb_encoded_fields(features: DataFrame, spec) -> DataFrame:
+def _value_blobs_batch(conv: np.ndarray) -> np.ndarray:
+    """Per-row MVT Value wire blobs for one converted attribute column
+    (output of _attr_convert_batch): object ndarray of bytes|None.
+    Memoized per batch keyed by (type, value) — the same collapse rule
+    the per-group memo in encode_layer_points_prepped applies (str keys
+    skip the tuple; a str never equals a tuple) — so repeated values
+    encode once per batch and candidate fan-outs share blob objects."""
+    out = np.empty(len(conv), dtype=object)
+    memo: dict = {}
+    for i, v in enumerate(conv.tolist()):
+        if v is None:
+            continue
+        k = v if type(v) is str else (v.__class__, v)
+        b = memo.get(k)
+        if b is None:
+            b = memo[k] = C.encode_value(v)
+        out[i] = b
+    return out
+
+
+# Common row shape every layer kind normalizes to ahead of the ONE
+# multi-layer (zxy) shuffle: pre-framed wire pieces + pre-encoded attr
+# Value blobs in FLAT binary columns _v0.._v{n-1} (flat beats an Arrow
+# list<binary> column by avoiding a per-row Python list/ndarray object
+# on both sides of the exchange). _li = layer index (concat order),
+# _sk = sort key (feature id or 0) for deterministic bytes. Width n =
+# max attr count across the unioned layers; narrower layers pad None.
+NORM_BASE_SCHEMA = ("zxy long, _li int, _sk long, _fidf binary, "
+                    "_gt tinyint, _geomf binary")
+
+
+def norm_schema(n_vals: int) -> str:
+    return NORM_BASE_SCHEMA + "".join(
+        f", _v{a} binary" for a in range(n_vals))
+
+
+def _vals_columns(out: dict, col_blobs: list, idx, n_vals: int) -> None:
+    """Fill _v0.._v{n_vals-1} into `out`: column a = that attr's blob
+    gathered at batch indices idx (the candidate fan-out shares blob
+    objects); columns beyond the layer's width are None-padded."""
+    n = len(idx)
+    for a in range(n_vals):
+        out[f"_v{a}"] = (col_blobs[a][idx] if a < len(col_blobs)
+                         else [None] * n)
+
+
+def with_wkb_encoded_fields(features: DataFrame, spec,
+                            normalized: bool = False,
+                            n_vals: int | None = None) -> DataFrame:
     """Map-side ST_AsMVTGeom + wire-encode for WKB (line/polygon/mixed)
     layers — the WKB twin of with_point_tile_coords, BEFORE the (z,x,y)
     shuffle. Each Arrow batch runs the batch-vectorized pipeline
@@ -180,6 +228,11 @@ def with_wkb_encoded_fields(features: DataFrame, spec) -> DataFrame:
     for clipped-away candidates from the bbox over-approximation), and
     the post-shuffle kernel is pure dictionary/framing assembly — no
     geometry math after the exchange.
+
+    normalized=True emits the normalized-row shape (norm_schema) instead (attr values
+    pre-encoded as Value blobs, plus _li/_sk) — the multi-layer
+    single-shuffle spine's input; add_imp appends the importance value
+    as `_imp double` for the density-cap window.
     """
     import pandas as pd
 
@@ -188,17 +241,25 @@ def with_wkb_encoded_fields(features: DataFrame, spec) -> DataFrame:
     extent = spec.extent
     mvt_buffer = int(spec.extent * spec.buffer_px / 256)
     key_field = spec.key_field
+    attr_items = list(spec.attr_fields.items())
+    layer_index = spec.index
+    imp_col = spec.importance_col
+    add_imp = normalized and spec.max_features_per_tile and imp_col
     passthru = list(spec.attr_fields)
     if key_field:
         passthru = [key_field] + [c for c in passthru if c != key_field]
-    if spec.importance_col and spec.importance_col not in passthru:
-        passthru.append(spec.importance_col)
-    in_schema = features.schema
-    out_fields = ["zxy long"]
-    for c in passthru:
-        out_fields.append(f"`{c}` {in_schema[c].dataType.simpleString()}")
-    out_fields += ["_fidf binary", "_gt tinyint", "_geomf binary"]
-    out_schema = ", ".join(out_fields)
+    if imp_col and imp_col not in passthru:
+        passthru.append(imp_col)
+    if normalized:
+        nv = n_vals if n_vals is not None else len(attr_items)
+        out_schema = norm_schema(nv) + (", _imp double" if add_imp else "")
+    else:
+        in_schema = features.schema
+        out_fields = ["zxy long"]
+        for c in passthru:
+            out_fields.append(f"`{c}` {in_schema[c].dataType.simpleString()}")
+        out_fields += ["_fidf binary", "_gt tinyint", "_geomf binary"]
+        out_schema = ", ".join(out_fields)
 
     def run(batches):
         for pdf in batches:
@@ -212,35 +273,75 @@ def with_wkb_encoded_fields(features: DataFrame, spec) -> DataFrame:
             keep = np.array([f is not None for f in gf], dtype=bool)
             if not keep.any():
                 continue
-            zxy = (z[keep] << 58) ^ (x[keep] << 29) ^ y[keep]
+            ki = np.flatnonzero(keep)
+            zxy = (z[ki] << 58) ^ (x[ki] << 29) ^ y[ki]
             out = {"zxy": zxy}
-            for c in passthru:
-                out[c] = pdf[c].to_numpy()[keep]
-            if key_field:
-                out["_fidf"] = fid_fields_vec(out[key_field])
+            if normalized:
+                nk = len(ki)
+                out["_li"] = np.full(nk, layer_index, dtype=np.int32)
+                if key_field:
+                    fids = pdf[key_field].to_numpy()
+                    out["_sk"] = fids[ki]
+                    fall = fid_fields_vec(fids)
+                    out["_fidf"] = [fall[i] for i in ki.tolist()]
+                else:
+                    out["_sk"] = np.zeros(nk, dtype=np.int64)
+                    out["_fidf"] = [None] * nk
+                out["_gt"] = gt[ki]
+                out["_geomf"] = [gf[i] for i in ki.tolist()]
+                col_blobs = [
+                    _value_blobs_batch(_attr_convert_batch(
+                        pdf[k].to_numpy(), t)) for k, t in attr_items]
+                _vals_columns(out, col_blobs, ki, nv)
+                if add_imp:
+                    out["_imp"] = pdf[imp_col].to_numpy()[ki]
             else:
-                out["_fidf"] = [None] * int(keep.sum())
-            out["_gt"] = gt[keep]
-            out["_geomf"] = [f for f, k in zip(gf, keep) if k]
+                for c in passthru:
+                    out[c] = pdf[c].to_numpy()[ki]
+                if key_field:
+                    out["_fidf"] = fid_fields_vec(out[key_field])
+                else:
+                    out["_fidf"] = [None] * len(ki)
+                out["_gt"] = gt[ki]
+                out["_geomf"] = [gf[i] for i in ki.tolist()]
             yield pd.DataFrame(out)
 
     return features.mapInPandas(run, out_schema)
 
 
+# per-flush candidate-row cap for the fused supercover stage: bounds
+# one Arrow batch's in-flight fan-out (candidate index arrays + encoded
+# streams) regardless of zoom depth — a z0-z14 span over long
+# geometries would otherwise materialize the whole 15-zoom fan-out in
+# one worker before yielding (ADVICE r4)
+FUSED_CANDIDATE_CAP = 262_144
+
+
 def with_wkb_supercover_encoded_fields(features: DataFrame, spec,
-                                       minzoom: int, maxzoom: int) -> DataFrame:
+                                       minzoom: int, maxzoom: int,
+                                       normalized: bool = False,
+                                       candidate_cap: int | None = None,
+                                       n_vals: int | None = None,
+                                       ) -> DataFrame:
     """FUSED supercover assignment + map-side encode for WKB layers:
     one mapInPandas stage computes the tile cover (functions/tilecover)
     AND runs the vecmvt clip/encode pipeline over the candidate index
     views — candidate rows never cross an Arrow boundary carrying raw
     WKB, and each feature's WKB is decoded once per batch for the
-    cover plus once per (feature, zoom) in the encode (adjacent-dup
-    replay), instead of serialized+decoded per candidate.
+    cover plus once per (feature, zoom-chunk) in the encode
+    (adjacent-dup replay), instead of serialized+decoded per candidate.
+
+    Candidates are encoded and yielded in chunks of at most
+    FUSED_CANDIDATE_CAP rows (never mid-zoom-coherence-critical: chunk
+    boundaries only affect batching, bytes per row are identical), so
+    deep pyramids (z0-z14) cannot balloon one worker's memory with the
+    whole zoom-span fan-out.
 
     Byte-equal to assign_supercover_tiles_multi -> with_wkb_encoded_
     fields (asserted in tests/test_tilecover.py); usable whenever the
     layer has no post_assign hook and no only_tiles restriction (those
-    need the assigned rows as a DataFrame between the stages)."""
+    need the assigned rows as a DataFrame between the stages).
+    normalized=True emits normalized rows (see with_wkb_encoded_fields)."""
     import pandas as pd
 
     from sparktiles.functions.tilecover import cover_cells_zoom
@@ -250,21 +351,30 @@ def with_wkb_supercover_encoded_fields(features: DataFrame, spec,
         wkb_row_fields_vec,
     )
 
+    cap = int(candidate_cap or FUSED_CANDIDATE_CAP)
     extent = spec.extent
     mvt_buffer = int(spec.extent * spec.buffer_px / 256)
     bf = float(spec.buffer_px) / 256.0
     key_field = spec.key_field
+    attr_items = list(spec.attr_fields.items())
+    layer_index = spec.index
+    imp_col = spec.importance_col
+    add_imp = normalized and spec.max_features_per_tile and imp_col
     passthru = list(spec.attr_fields)
     if key_field:
         passthru = [key_field] + [c for c in passthru if c != key_field]
-    if spec.importance_col and spec.importance_col not in passthru:
-        passthru.append(spec.importance_col)
-    in_schema = features.schema
-    out_fields = ["zxy long"]
-    for c in passthru:
-        out_fields.append(f"`{c}` {in_schema[c].dataType.simpleString()}")
-    out_fields += ["_fidf binary", "_gt tinyint", "_geomf binary"]
-    out_schema = ", ".join(out_fields)
+    if imp_col and imp_col not in passthru:
+        passthru.append(imp_col)
+    if normalized:
+        nv = n_vals if n_vals is not None else len(attr_items)
+        out_schema = norm_schema(nv) + (", _imp double" if add_imp else "")
+    else:
+        in_schema = features.schema
+        out_fields = ["zxy long"]
+        for c in passthru:
+            out_fields.append(f"`{c}` {in_schema[c].dataType.simpleString()}")
+        out_fields += ["_fidf binary", "_gt tinyint", "_geomf binary"]
+        out_schema = ", ".join(out_fields)
 
     def run(batches):
         for pdf in batches:
@@ -272,36 +382,66 @@ def with_wkb_supercover_encoded_fields(features: DataFrame, spec,
                 continue
             blobs = pdf["geom"].to_numpy()
             pt, ln, pg = decode_wkb_batch(blobs)
-            rows_all, z_all, x_all, y_all = [], [], [], []
+            if normalized:
+                col_blobs = [
+                    _value_blobs_batch(_attr_convert_batch(
+                        pdf[k].to_numpy(), t)) for k, t in attr_items]
+                fall = fid_fields_vec(
+                    pdf[key_field].to_numpy()) if key_field else None
+                sk_all = pdf[key_field].to_numpy() if key_field else None
+                imp_all = pdf[imp_col].to_numpy() if add_imp else None
+
+            def flush(idx, zs, xs, ys):
+                gf, gt = wkb_row_fields_vec(
+                    blobs[idx], zs, xs, ys, extent, mvt_buffer)
+                keep = np.array([f is not None for f in gf], dtype=bool)
+                if not keep.any():
+                    return None
+                ki = idx[keep]
+                out = {"zxy": (zs[keep] << 58) ^ (xs[keep] << 29) ^ ys[keep]}
+                if normalized:
+                    nk = len(ki)
+                    out["_li"] = np.full(nk, layer_index, dtype=np.int32)
+                    if key_field:
+                        out["_sk"] = sk_all[ki]
+                        out["_fidf"] = [fall[i] for i in ki.tolist()]
+                    else:
+                        out["_sk"] = np.zeros(nk, dtype=np.int64)
+                        out["_fidf"] = [None] * nk
+                    out["_gt"] = gt[keep]
+                    out["_geomf"] = [f for f in gf if f is not None]
+                    _vals_columns(out, col_blobs, ki, nv)
+                    if add_imp:
+                        out["_imp"] = imp_all[ki]
+                else:
+                    for c in passthru:
+                        out[c] = pdf[c].to_numpy()[ki]
+                    if key_field:
+                        out["_fidf"] = fid_fields_vec(out[key_field])
+                    else:
+                        out["_fidf"] = [None] * len(ki)
+                    out["_gt"] = gt[keep]
+                    out["_geomf"] = [f for f in gf if f is not None]
+                return pd.DataFrame(out)
+
+            pend, pend_n = [], 0
             for z in range(minzoom, maxzoom + 1):
                 r, cx, cy = cover_cells_zoom(pt, ln, pg, z, bf)
-                if len(r):
-                    rows_all.append(r)
-                    z_all.append(np.full(len(r), z, dtype=np.int64))
-                    x_all.append(cx)
-                    y_all.append(cy)
-            if not rows_all:
-                continue
-            idx = np.concatenate(rows_all)
-            zs = np.concatenate(z_all)
-            xs = np.concatenate(x_all)
-            ys = np.concatenate(y_all)
-            gf, gt = wkb_row_fields_vec(
-                blobs[idx], zs, xs, ys, extent, mvt_buffer)
-            keep = np.array([f is not None for f in gf], dtype=bool)
-            if not keep.any():
-                continue
-            ki = idx[keep]
-            out = {"zxy": (zs[keep] << 58) ^ (xs[keep] << 29) ^ ys[keep]}
-            for c in passthru:
-                out[c] = pdf[c].to_numpy()[ki]
-            if key_field:
-                out["_fidf"] = fid_fields_vec(out[key_field])
-            else:
-                out["_fidf"] = [None] * int(keep.sum())
-            out["_gt"] = gt[keep]
-            out["_geomf"] = [f for f in gf if f is not None]
-            yield pd.DataFrame(out)
+                for s in range(0, len(r), cap):
+                    e = s + cap
+                    rs = r[s:e]
+                    pend.append((rs, np.full(len(rs), z, dtype=np.int64),
+                                 cx[s:e], cy[s:e]))
+                    pend_n += len(rs)
+                    if pend_n >= cap:
+                        out = flush(*[np.concatenate(p) for p in zip(*pend)])
+                        pend, pend_n = [], 0
+                        if out is not None:
+                            yield out
+            if pend:
+                out = flush(*[np.concatenate(p) for p in zip(*pend)])
+                if out is not None:
+                    yield out
 
     return features.mapInPandas(run, out_schema)
 
@@ -340,6 +480,196 @@ def with_point_tile_coords(features: DataFrame, extent: int,
         .withColumn("zxy", pack_zxy_expr())
         .drop("px", "py", "z", "x", "y")
     )
+
+
+def _normalize_point_prepped(features: DataFrame, spec,
+                             n_vals: int | None = None) -> DataFrame:
+    """Normalized-row emitter for point layers: input is the
+    with_point_tile_coords output (zxy, ix, iy, attrs, key); one
+    mapInPandas computes the fid/geom wire pieces (point_row_fields_vec)
+    and per-batch pre-encoded attr Value blobs — the point twin of the
+    normalized WKB emitters, ahead of the single multi-layer shuffle."""
+    import pandas as pd
+
+    key_field = spec.key_field
+    attr_items = list(spec.attr_fields.items())
+    layer_index = spec.index
+    nv = n_vals if n_vals is not None else len(attr_items)
+
+    def run(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
+            fids = pdf[key_field].to_numpy() if key_field else None
+            ff, gf = C.point_row_fields_vec(
+                fids, pdf["ix"].to_numpy(), pdf["iy"].to_numpy())
+            col_blobs = [
+                _value_blobs_batch(_attr_convert_batch(
+                    pdf[k].to_numpy(), t)) for k, t in attr_items]
+            out = {
+                "zxy": pdf["zxy"].to_numpy(),
+                "_li": np.full(n, layer_index, dtype=np.int32),
+                "_sk": fids if key_field else np.zeros(n, dtype=np.int64),
+                "_fidf": ff if ff is not None else [None] * n,
+                "_gt": np.full(n, C.GEOM_POINT, dtype=np.int8),
+                "_geomf": gf,
+            }
+            _vals_columns(out, col_blobs, np.arange(n), nv)
+            yield pd.DataFrame(out)
+
+    return features.mapInPandas(run, norm_schema(nv))
+
+
+def normalize_layer_df(features: DataFrame, spec,
+                       zoom_range: tuple[int, int] | None = None,
+                       n_vals: int | None = None) -> DataFrame:
+    """One layer -> normalized rows (norm_schema), entirely MAP-SIDE (the density cap
+    is the one exception — it needs a per-tile window). This is the
+    per-layer half of the single-shuffle multi-layer spine: the caller
+    unions every layer's normalized frame and runs ONE (zxy) grouped
+    pass (assemble_normalized) doing per-layer dictionary encode +
+    ordered concat + gzip + md5.
+
+    features: assigned rows (z,x,y present) for points / non-fused WKB,
+    or the RAW feature frame with zoom_range for the fused supercover
+    WKB path.
+    """
+    key_field = spec.key_field
+    fused = zoom_range is not None and spec.geometry_kind == "wkb"
+    geom_cols = ["px", "py"] if spec.geometry_kind == "point" else ["geom"]
+    needed = ([] if fused else ["z", "x", "y"]) + geom_cols + list(spec.attr_fields)
+    if key_field and key_field not in needed:
+        needed.append(key_field)
+    if spec.importance_col and spec.importance_col not in needed:
+        needed.append(spec.importance_col)
+    features = features.select(*dict.fromkeys(needed))
+
+    cap = spec.max_features_per_tile
+    if spec.geometry_kind == "point":
+        mvt_buffer = int(spec.extent * spec.buffer_px / 256)
+        feats = with_point_tile_coords(features, spec.extent, mvt_buffer)
+        if cap:
+            # identical window to _prep_layer_features (pre-normalize,
+            # so ordering columns are still raw)
+            from pyspark.sql.window import Window
+
+            order = []
+            if spec.importance_col:
+                order.append(F.desc(spec.importance_col))
+            order.append(F.col(key_field or needed[-1]))
+            w = Window.partitionBy("zxy").orderBy(*order)
+            feats = (feats.withColumn("_dr", F.row_number().over(w))
+                     .where(F.col("_dr") <= cap).drop("_dr"))
+        return _normalize_point_prepped(feats, spec, n_vals)
+
+    if fused:
+        norm = with_wkb_supercover_encoded_fields(
+            features, spec, zoom_range[0], zoom_range[1], normalized=True,
+            n_vals=n_vals)
+    else:
+        norm = with_wkb_encoded_fields(features, spec, normalized=True,
+                                       n_vals=n_vals)
+    if cap:
+        from pyspark.sql.window import Window
+
+        order = []
+        if spec.importance_col:
+            order.append(F.desc("_imp"))
+        order.append(F.col("_sk"))
+        w = Window.partitionBy("zxy").orderBy(*order)
+        norm = (norm.withColumn("_dr", F.row_number().over(w))
+                .where(F.col("_dr") <= cap).drop("_dr"))
+    if "_imp" in norm.columns:
+        norm = norm.drop("_imp")
+    return norm
+
+
+def assemble_normalized(norm: DataFrame, specs,
+                        gzip_level: int | None = None) -> DataFrame:
+    """The single-shuffle multi-layer tile builder: input is the union
+    of normalize_layer_df frames (norm_schema width-aligned); ONE repartition on the
+    packed zxy key + within-partition sort (zxy, _li, _sk), then one
+    grouped pass per tile that dictionary-encodes each layer's values,
+    frames its features, concatenates layer messages in _li order,
+    gzips, and md5s — the multi-layer twin of
+    encode_and_assemble_single. Output: z,x,y,mvt,tile_id.
+
+    Byte parity with assemble_tiles(union(encode_layer_df(...)))
+    (pytest-asserted) with one deliberate nuance: value dictionaries
+    dedupe by ENCODED BYTES with a per-batch (type,value) memo, so
+    mixed +-0.0 within one tile-layer-column can differ from the
+    two-phase path's per-group raw-value memo — numerically equal
+    either way."""
+    frame_by_idx = {}
+    for spec in specs:
+        keys = list(spec.attr_fields)
+        frame_by_idx[spec.index] = (
+            C.layer_frame_blobs(spec.layer_id, keys, spec.extent),
+            [C.varint_cached(ki) for ki in range(len(keys))],
+            len(keys),
+        )
+
+    def tile(arrs: dict, s: int, e: int) -> list[tuple]:
+        z, tx, ty = unpack_zxy(int(arrs["zxy"][s]))
+        li = arrs["_li"]
+        fidf = arrs["_fidf"]
+        gts = arrs["_gt"]
+        geomf = arrs["_geomf"]
+        pieces = []
+        i = s
+        while i < e:
+            lcur = int(li[i])
+            j = i
+            while j < e and li[j] == lcur:
+                j += 1
+            (header, keys_blob, extent_blob), key_bytes, n_attr = \
+                frame_by_idx[lcur]
+            vcols = [arrs[f"_v{a}"] for a in range(n_attr)]
+            values: list[bytes] = []
+            value_idx: dict[bytes, int] = {}
+            parts: list[bytes] = []
+            vc = C.varint_cached
+            for r in range(i, j):
+                tags = b""
+                for ki in range(n_attr):
+                    ev = vcols[ki][r]
+                    if ev is None:
+                        continue
+                    vi = value_idx.get(ev)
+                    if vi is None:
+                        vi = value_idx[ev] = len(values)
+                        values.append(ev)
+                    tags += key_bytes[ki] + vc(vi)
+                if tags:
+                    tags = b"\x12" + vc(len(tags)) + tags
+                ff = fidf[r]
+                if ff is None:
+                    ff = b""
+                gf = geomf[r]
+                tfield = _GTYPE_FIELD_BYTES[int(gts[r])]
+                body_len = len(ff) + len(tags) + 2 + len(gf)
+                parts.append(b"\x12" + vc(body_len) + ff + tags + tfield + gf)
+            body = header
+            body += b"".join(parts)
+            body += keys_blob
+            body += b"".join(b"\x22" + vc(len(v)) + v for v in values)
+            body += extent_blob
+            pieces.append(C._len_field(3, body))
+            i = j
+        blob = b"".join(pieces)
+        if gzip_level is not None:
+            blob = C.gzip_blob(blob, gzip_level)
+        return [(z, tx, ty, blob, hashlib.md5(blob).hexdigest())]
+
+    return grouped_map_sorted(
+        norm, ["zxy"], tile,
+        "z int, x long, y long, mvt binary, tile_id string",
+        sort_extra=["_li", "_sk"],
+    )
+
+
+_GTYPE_FIELD_BYTES = {g: b"\x18" + bytes([g]) for g in (1, 2, 3)}
 
 
 # ------------------------------------------------------------- grouped map

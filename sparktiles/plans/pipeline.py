@@ -34,9 +34,9 @@ from pyspark.sql import functions as F
 from sparktiles.functions import mvtcodec as C
 from sparktiles.operators.mvt import (
     LayerSpec,
-    assemble_tiles,
+    assemble_normalized,
     encode_and_assemble_single,
-    encode_layer_df,
+    normalize_layer_df,
 )
 from sparktiles.operators.pyramid import (
     assign_point_tiles,
@@ -162,27 +162,41 @@ class TileBuild:
     def _generate_tiles_at(self, z: int, only_tiles: DataFrame | None) -> DataFrame:
         """Run the layer pipelines for zoom z -> z,x,y,mvt,tile_id for
         every NON-EMPTY tile (optionally restricted to only_tiles)."""
+        return self._build_tiles((z, z), only_tiles)
+
+    def _build_tiles(self, zr: tuple[int, int],
+                     only_tiles: DataFrame | None) -> DataFrame:
+        """All layers -> z,x,y,mvt,tile_id for the zoom range, with ONE
+        wide (zxy) shuffle: single-layer builds fuse encode+assemble
+        (encode_and_assemble_single); multi-layer builds union per-layer
+        NORM_SCHEMA frames map-side and run the single-shuffle assembly
+        (assemble_normalized) — the per-layer encode shuffles + blob
+        reshuffle of the old two-phase path are gone."""
         if len(self.layer_frames) == 1:
             spec, feats = self.layer_frames[0]
             if self._can_fuse(spec, only_tiles):
                 return encode_and_assemble_single(
-                    feats, spec, self.cfg.gzip_level, zoom_range=(z, z))
-            assigned = self._assign(feats, spec, z, z)
+                    feats, spec, self.cfg.gzip_level, zoom_range=zr)
+            assigned = self._assign(feats, spec, *zr)
             if only_tiles is not None:
                 assigned = assigned.join(only_tiles, ["z", "x", "y"], "left_semi")
             return encode_and_assemble_single(assigned, spec, self.cfg.gzip_level)
-        blobs = None
+        # all layers share the widest _v column set so the union lines up
+        n_vals = max(len(s.attr_fields) for s, _ in self.layer_frames)
+        norm = None
         for spec, feats in self.layer_frames:
             if self._can_fuse(spec, only_tiles):
-                lb = encode_layer_df(feats, spec, zoom_range=(z, z))
+                nf = normalize_layer_df(feats, spec, zoom_range=zr,
+                                        n_vals=n_vals)
             else:
-                assigned = self._assign(feats, spec, z, z)
+                assigned = self._assign(feats, spec, *zr)
                 if only_tiles is not None:
                     assigned = assigned.join(only_tiles, ["z", "x", "y"],
                                              "left_semi")
-                lb = encode_layer_df(assigned, spec)
-            blobs = lb if blobs is None else blobs.unionByName(lb)
-        return assemble_tiles(blobs, self.cfg.gzip_level)
+                nf = normalize_layer_df(assigned, spec, n_vals=n_vals)
+            norm = nf if norm is None else norm.unionByName(nf)
+        return assemble_normalized(
+            norm, [s for s, _ in self.layer_frames], self.cfg.gzip_level)
 
     def _assign(self, feats: DataFrame, spec, minz: int, maxz: int) -> DataFrame:
         """Tile-assign a layer frame for [minz, maxz]: points via column
@@ -246,30 +260,11 @@ class TileBuild:
                 "tile_id",
             )
 
-        # ---- phase 1: all non-empty tiles, one shuffle
+        # ---- phase 1: all non-empty tiles, one shuffle (single- and
+        # multi-layer alike: _build_tiles fuses per-layer encode and
+        # tile assembly into one (zxy) grouped pass)
         if not (self.store / "tiles_all" / "_SUCCESS").exists():
-            zr = (cfg.minzoom, cfg.maxzoom)
-            if len(self.layer_frames) == 1:
-                # single-layer: encode + gzip + md5 in the same grouped
-                # pass — one (z,x,y) shuffle for the whole pyramid
-                spec, feats = self.layer_frames[0]
-                if self._can_fuse(spec, None):
-                    tiles = encode_and_assemble_single(
-                        feats, spec, cfg.gzip_level, zoom_range=zr)
-                else:
-                    assigned = self._assign(feats, spec, *zr)
-                    tiles = encode_and_assemble_single(
-                        assigned, spec, cfg.gzip_level)
-            else:
-                blobs = None
-                for spec, feats in self.layer_frames:
-                    if self._can_fuse(spec, None):
-                        lb = encode_layer_df(feats, spec, zoom_range=zr)
-                    else:
-                        assigned = self._assign(feats, spec, *zr)
-                        lb = encode_layer_df(assigned, spec)
-                    blobs = lb if blobs is None else blobs.unionByName(lb)
-                tiles = assemble_tiles(blobs, cfg.gzip_level)
+            tiles = self._build_tiles((cfg.minzoom, cfg.maxzoom), None)
             tiles.write.mode("overwrite").partitionBy("z").parquet(tiles_all_path)
 
         def tiles_at(z):

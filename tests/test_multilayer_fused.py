@@ -1,0 +1,159 @@
+"""Single-shuffle multi-layer spine (assemble_normalized) parity.
+
+The two-phase multi-layer path (per-layer encode_layer_df shuffles +
+assemble_tiles blob reshuffle) is the byte-semantics reference; the
+fused path must emit identical tiles with ONE exchange in the plan.
+"""
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparktiles.operators.mvt import (
+    LayerSpec,
+    assemble_normalized,
+    assemble_tiles,
+    encode_layer_df,
+    normalize_layer_df,
+)
+from sparktiles.operators.pyramid import (
+    assign_point_tiles_multi,
+    assign_supercover_tiles_multi,
+)
+from sparktiles.sources.geoparse import build_features
+from sparktiles.sources.lines import generate_lines
+from sparktiles.sources.pages import generate_pages
+from sparktiles.sources.polygons import generate_polygons
+
+ZMAX = 5
+
+
+def _three_layer_frames(spark):
+    feats = build_features(generate_pages(spark, 300))
+    lines = generate_lines(spark, n=40).withColumnRenamed(
+        "line_id", "feature_id")
+    polys = generate_polygons(spark, n_grid=5).withColumnRenamed(
+        "poly_id", "feature_id")
+    return [
+        (LayerSpec(layer_id="place", index=0,
+                   attr_fields={"name": "string"}, buffer_px=8), feats),
+        (LayerSpec(layer_id="transportation", index=1,
+                   attr_fields={"class": "string", "name": "string"},
+                   buffer_px=4, geometry_kind="wkb"), lines),
+        (LayerSpec(layer_id="boundary", index=2,
+                   attr_fields={"admin_class": "string", "name": "string"},
+                   buffer_px=4, geometry_kind="wkb"), polys),
+    ]
+
+
+def _two_phase(spark, frames, gzip_level):
+    blobs = None
+    for spec, feats in frames:
+        if spec.geometry_kind == "wkb":
+            lb = encode_layer_df(feats, spec, zoom_range=(0, ZMAX))
+        else:
+            assigned = assign_point_tiles_multi(
+                feats, 0, ZMAX, buffer_px=spec.buffer_px)
+            lb = encode_layer_df(assigned, spec)
+        blobs = lb if blobs is None else blobs.unionByName(lb)
+    return assemble_tiles(blobs, gzip_level)
+
+
+def _fused(spark, frames, gzip_level):
+    n_vals = max(len(s.attr_fields) for s, _ in frames)
+    norm = None
+    for spec, feats in frames:
+        if spec.geometry_kind == "wkb":
+            nf = normalize_layer_df(feats, spec, zoom_range=(0, ZMAX),
+                                    n_vals=n_vals)
+        else:
+            assigned = assign_point_tiles_multi(
+                feats, 0, ZMAX, buffer_px=spec.buffer_px)
+            nf = normalize_layer_df(assigned, spec, n_vals=n_vals)
+        norm = nf if norm is None else norm.unionByName(nf)
+    return assemble_normalized(norm, [s for s, _ in frames], gzip_level)
+
+
+def _tiles_dict(df):
+    return {(r.z, r.x, r.y): (bytes(r.mvt), r.tile_id) for r in df.collect()}
+
+
+@pytest.mark.parametrize("gzip_level", [None, 6])
+def test_fused_multilayer_byte_parity(spark, gzip_level):
+    frames = _three_layer_frames(spark)
+    want = _tiles_dict(_two_phase(spark, frames, gzip_level))
+    got = _tiles_dict(_fused(spark, frames, gzip_level))
+    assert got == want
+    assert len(got) > 50
+    # every tile that has the line layer keeps layer order place <
+    # transportation < boundary (decode spot check on the largest tile)
+    from sparktiles.functions.mvtcodec import decode_tile
+
+    big = max(got.items(), key=lambda kv: len(kv[1][0]))
+    layers = list(decode_tile(big[1][0]).keys())
+    assert layers == sorted(
+        layers, key=["place", "transportation", "boundary"].index)
+
+
+def test_fused_multilayer_single_exchange(spark):
+    """The whole multi-layer build shows exactly ONE Exchange — the
+    zxy repartition ahead of the grouped assembly (VERDICT r4 next #2:
+    the old path had one exchange per layer plus the blob reshuffle)."""
+    frames = _three_layer_frames(spark)
+    tiles = _fused(spark, frames, None)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        tiles.explain("formatted")
+    plan = buf.getvalue()
+    # formatted explain lists each node twice (tree + detail header);
+    # count the detail headers "(N) Exchange"
+    import re
+
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+
+
+def test_fused_multilayer_attr_types_and_cap(spark):
+    """Parity under: number/bool attrs with nulls, a no-key layer, and
+    a density-capped layer with importance ordering."""
+    feats = build_features(generate_pages(spark, 400)).select(
+        "feature_id", "px", "py", "name",
+        (F.col("feature_id") % 7 == 0).alias("flag"),
+        F.when(F.col("feature_id") % 5 == 0, None)
+        .otherwise((F.col("feature_id") % 1000) / 8.0).alias("score"),
+        (F.col("feature_id") % 100).cast("double").alias("imp"),
+    )
+    lines = generate_lines(spark, n=30).withColumnRenamed(
+        "line_id", "feature_id").withColumn(
+        "rank_n", (F.col("feature_id") % 9).cast("double"))
+    specs = [
+        LayerSpec(layer_id="poi", index=0,
+                  attr_fields={"name": "string", "flag": "bool",
+                               "score": "number"},
+                  buffer_px=8, max_features_per_tile=6,
+                  importance_col="imp"),
+        LayerSpec(layer_id="roads", index=1,
+                  attr_fields={"class": "string", "rank_n": "number"},
+                  key_field=None, buffer_px=4, geometry_kind="wkb"),
+    ]
+    frames = [(specs[0], feats), (specs[1], lines)]
+
+    def two_phase():
+        assigned = assign_point_tiles_multi(feats, 0, ZMAX, buffer_px=8)
+        a = encode_layer_df(assigned, specs[0])
+        la = assign_supercover_tiles_multi(lines, 0, ZMAX, buffer_px=4)
+        b = encode_layer_df(la, specs[1])
+        return assemble_tiles(a.unionByName(b), 6)
+
+    def fused():
+        assigned = assign_point_tiles_multi(feats, 0, ZMAX, buffer_px=8)
+        na = normalize_layer_df(assigned, specs[0], n_vals=3)
+        nb = normalize_layer_df(lines, specs[1], zoom_range=(0, ZMAX),
+                                n_vals=3)
+        return assemble_normalized(na.unionByName(nb), specs, 6)
+
+    want = _tiles_dict(two_phase())
+    got = _tiles_dict(fused())
+    assert got == want
+    assert len(got) > 20

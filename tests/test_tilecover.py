@@ -292,3 +292,32 @@ def test_fused_supercover_encode_byte_parity(spark):
                encode_layer_df(asg, spec).collect()}
         assert fused == two, layer_id
         assert fused, layer_id
+
+
+def test_fused_supercover_chunked_cap_parity(spark):
+    """A tiny candidate_cap forces many mid-zoom flushes; the emitted
+    rows must be identical to the unchunked stage (memory cap changes
+    batching only, never bytes — ADVICE r4 deep-zoom fan-out bound)."""
+    from sparktiles.operators.mvt import (
+        LayerSpec,
+        with_wkb_supercover_encoded_fields,
+    )
+    from sparktiles.sources.lines import generate_lines
+
+    lines = generate_lines(spark, n=24).withColumnRenamed(
+        "line_id", "feature_id")
+    spec = LayerSpec(layer_id="transportation", index=0,
+                     attr_fields={"class": "string"}, key_field="feature_id",
+                     buffer_px=4, geometry_kind="wkb")
+
+    def rows(cap):
+        df = with_wkb_supercover_encoded_fields(
+            lines, spec, 0, 7, candidate_cap=cap)
+        return sorted(
+            (r.zxy, r.feature_id, bytes(r._fidf), int(r._gt), bytes(r._geomf))
+            for r in df.collect())
+
+    base = rows(None)
+    assert base == rows(17)
+    assert base == rows(1)
+    assert len(base) > 500
