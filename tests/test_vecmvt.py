@@ -234,3 +234,133 @@ def test_mixed_endian_multi_children_parity():
     xs = [1] * len(wkbs)
     ys = [1] * len(wkbs)
     run_parity(wkbs, zs, xs, ys, 64)
+
+
+def test_decode_wkb_batch_vec_scalar_parity():
+    """The vectorized structure walk must produce exactly the scalar
+    walk's flat family structures for every geometry type, including
+    adjacent-duplicate runs, Nones, NaN-empty points, empty rings/parts,
+    and multi-geometries; uniform big-endian batches take the vectorized
+    path too; mixed-endian and SRID batches must FALL BACK (vec returns
+    None) and still decode correctly end-to-end."""
+    import struct
+
+    from sparktiles.functions.vecmvt import (
+        _decode_wkb_batch_scalar,
+        _decode_wkb_batch_vec,
+        decode_wkb_batch,
+    )
+
+    rng = np.random.RandomState(123)
+
+    def w(fmt, *vals):
+        return struct.pack(fmt, *vals)
+
+    def head(fmt, code):
+        return (b"\x01" if fmt == "<" else b"\x00") + w(fmt + "I", code)
+
+    def pt(fmt="<", nan=False):
+        x, y = (np.nan, np.nan) if nan else tuple(rng.randn(2) * 1e6)
+        return head(fmt, 1) + w(fmt + "dd", x, y)
+
+    def mpt(npts, fmt="<"):
+        b = head(fmt, 4) + w(fmt + "I", npts)
+        for _ in range(npts):
+            b += head(fmt, 1) + w(fmt + "dd", *(rng.randn(2) * 1e6))
+        return b
+
+    def ls(nv, fmt="<"):
+        b = head(fmt, 2) + w(fmt + "I", nv)
+        for _ in range(nv):
+            b += w(fmt + "dd", *(rng.randn(2) * 1e6))
+        return b
+
+    def mls(parts, fmt="<"):
+        b = head(fmt, 5) + w(fmt + "I", len(parts))
+        for nv in parts:
+            b += head(fmt, 2) + w(fmt + "I", nv)
+            for _ in range(nv):
+                b += w(fmt + "dd", *(rng.randn(2) * 1e6))
+        return b
+
+    def ring_bytes(nv, fmt="<"):
+        b = w(fmt + "I", nv)
+        for _ in range(nv):
+            b += w(fmt + "dd", *(rng.randn(2) * 1e6))
+        return b
+
+    def poly(rings, fmt="<"):
+        b = head(fmt, 3) + w(fmt + "I", len(rings))
+        for nv in rings:
+            b += ring_bytes(nv, fmt)
+        return b
+
+    def mpoly(polys, fmt="<"):
+        b = head(fmt, 6) + w(fmt + "I", len(polys))
+        for rings in polys:
+            b += head(fmt, 3) + w(fmt + "I", len(rings))
+            for nv in rings:
+                b += ring_bytes(nv, fmt)
+        return b
+
+    def gen_one(fmt="<"):
+        r = rng.randint(12)
+        if r == 0:
+            return None
+        if r == 1:
+            return pt(fmt, nan=True)
+        if r == 2:
+            return pt(fmt)
+        if r == 3:
+            return mpt(rng.randint(0, 4), fmt)
+        if r == 4:
+            return ls(rng.randint(0, 6), fmt)
+        if r == 5:
+            return mls([rng.randint(0, 5) for _ in range(rng.randint(0, 4))], fmt)
+        if r == 6:
+            return poly([rng.randint(0, 6) for _ in range(rng.randint(0, 4))], fmt)
+        if r == 7:
+            return mpoly([[rng.randint(0, 5) for _ in range(rng.randint(0, 3))]
+                          for _ in range(rng.randint(0, 3))], fmt)
+        if r == 8:
+            return head(fmt, 7) + w(fmt + "I", 0)  # GeometryCollection
+        if r == 9:
+            return poly([5, 0, 4], fmt)            # empty hole
+        if r == 10:
+            return poly([0, 4], fmt)               # empty shell
+        return mls([3], fmt)
+
+    def flats_equal(a, b):
+        pta, lna, pga = a
+        ptb, lnb, pgb = b
+        for fa, fb in ((pta, ptb), (lna, lnb)):
+            assert np.array_equal(fa.coords, fb.coords)
+            assert np.array_equal(fa.off, fb.off)
+            assert np.array_equal(fa.part_row, fb.part_row)
+        assert np.array_equal(pga.coords, pgb.coords)
+        assert np.array_equal(pga.off, pgb.off)
+        assert np.array_equal(pga.part_poly, pgb.part_poly)
+        assert np.array_equal(pga.poly_row, pgb.poly_row)
+        assert np.array_equal(pga.ring_is_shell, pgb.ring_is_shell)
+
+    for trial in range(30):
+        fmt = ">" if trial % 5 == 4 else "<"
+        items = []
+        for _ in range(rng.randint(1, 40)):
+            g = gen_one(fmt)
+            items.extend([g] * rng.randint(1, 4))  # adjacent-dup runs
+        blobs = np.array(items, dtype=object)
+        vec = _decode_wkb_batch_vec(blobs)
+        assert vec is not None, (trial, "uniform batch must vectorize")
+        flats_equal(vec, _decode_wkb_batch_scalar(blobs))
+
+    # mixed endianness -> fallback; SRID flag -> fallback
+    mixed = np.array([ls(3, "<"), ls(3, ">")], dtype=object)
+    assert _decode_wkb_batch_vec(mixed) is None
+    srid = head("<", 2 | 0x20000000) + w("<I", 4326) + w("<I", 1) + \
+        w("<dd", 1.0, 2.0)
+    assert _decode_wkb_batch_vec(np.array([srid], dtype=object)) is None
+    # and decode_wkb_batch dispatch still decodes both correctly
+    a = decode_wkb_batch(mixed)
+    b = _decode_wkb_batch_scalar(mixed)
+    flats_equal(a, b)
