@@ -549,9 +549,10 @@ def normalize_layer_df(features: DataFrame, spec,
     if spec.geometry_kind == "point":
         mvt_buffer = int(spec.extent * spec.buffer_px / 256)
         feats = with_point_tile_coords(features, spec.extent, mvt_buffer)
-        if cap:
+        if cap and _kernel_cap(spec) is None:
             # identical window to _prep_layer_features (pre-normalize,
-            # so ordering columns are still raw)
+            # so ordering columns are still raw); key-ordered caps are
+            # sliced inside the assembly kernel instead (_kernel_cap)
             from pyspark.sql.window import Window
 
             order = []
@@ -570,7 +571,7 @@ def normalize_layer_df(features: DataFrame, spec,
     else:
         norm = with_wkb_encoded_fields(features, spec, normalized=True,
                                        n_vals=n_vals)
-    if cap:
+    if cap and _kernel_cap(spec) is None:
         from pyspark.sql.window import Window
 
         order = []
@@ -608,6 +609,7 @@ def assemble_normalized(norm: DataFrame, specs,
             C.layer_frame_blobs(spec.layer_id, keys, spec.extent),
             [C.varint_cached(ki) for ki in range(len(keys))],
             len(keys),
+            _kernel_cap(spec),
         )
 
     def tile(arrs: dict, s: int, e: int) -> list[tuple]:
@@ -623,14 +625,15 @@ def assemble_normalized(norm: DataFrame, specs,
             j = i
             while j < e and li[j] == lcur:
                 j += 1
-            (header, keys_blob, extent_blob), key_bytes, n_attr = \
+            (header, keys_blob, extent_blob), key_bytes, n_attr, kcap = \
                 frame_by_idx[lcur]
+            je = j if kcap is None else min(j, i + kcap)
             vcols = [arrs[f"_v{a}"] for a in range(n_attr)]
             values: list[bytes] = []
             value_idx: dict[bytes, int] = {}
             parts: list[bytes] = []
             vc = C.varint_cached
-            for r in range(i, j):
+            for r in range(i, je):
                 tags = b""
                 for ki in range(n_attr):
                     ev = vcols[ki][r]
@@ -856,6 +859,21 @@ def _attr_convert_batch(vals: np.ndarray, kind: str) -> np.ndarray:
     return out
 
 
+def _kernel_cap(spec) -> int | None:
+    """Density cap applied INSIDE the grouped encode kernel: when the
+    cap ordering is the sort key alone (no importance column), the
+    grouped pass's within-partition sort (zxy, key) already puts each
+    tile's K smallest keys first, so slicing the group to K rows is
+    byte-identical to the Window row_number() <= K path — with the
+    window's whole extra shuffle+sort of the fan-out eliminated.
+    Importance-ordered caps keep the window (selection order differs
+    from the encode's key order, so a slice can't reproduce it)."""
+    if spec.max_features_per_tile and spec.key_field \
+            and not spec.importance_col:
+        return int(spec.max_features_per_tile)
+    return None
+
+
 def _make_layer_encoder(spec: LayerSpec):
     """Build the per-(z,x,y)-group encode kernel for one layer:
     fn(cols, s, e) -> [(z, x, y, layer_index, blob)] or [] when every
@@ -869,6 +887,7 @@ def _make_layer_encoder(spec: LayerSpec):
     kind = spec.geometry_kind
     frame_blobs = C.layer_frame_blobs(
         layer_id, [k for k, _ in attr_items], extent)
+    kcap = _kernel_cap(spec)
 
     del mvt_buffer  # applied map-side for both kinds
 
@@ -878,7 +897,11 @@ def _make_layer_encoder(spec: LayerSpec):
         # fid/geometry wire pieces arrive varint-packed and attrs are
         # pre-converted per batch (_attr_convert_batch in the prep
         # hook); this kernel only dictionary-encodes attrs and joins
-        # cached pieces
+        # cached pieces. Kernel-level density cap: rows are sorted by
+        # key within the group, so the first kcap rows ARE the capped
+        # selection (see _kernel_cap).
+        if kcap is not None and e - s > kcap:
+            e = s + kcap
         z, tx, ty = unpack_zxy(int(arrs["zxy"][s]))
         attr_cols = [(k, arrs["_ac_" + k][s:e]) for k, _t in attr_items]
         blob = C.encode_layer_points_prepped(
@@ -945,14 +968,16 @@ def _prep_layer_features(features: DataFrame, spec: LayerSpec,
         features = with_wkb_encoded_fields(features, spec)
     group_keys = ["zxy"]
 
-    if spec.max_features_per_tile:
+    if spec.max_features_per_tile and _kernel_cap(spec) is None:
         # density cap — the LabelGrid/rank pattern the reference uses to
         # bound label density (sql/LabelGrid.sql:20-29): a hot tile
         # (one city = one (z,x,y) key) keeps only the top-N features,
         # bounding both encode time and tile bytes. Ordering is
-        # importance desc (if given) then key for determinism. The cap
-        # counts features that survive the clip (the map-side transform
-        # runs first for both kinds), so a capped tile carries exactly N.
+        # importance desc then key for determinism. The cap counts
+        # features that survive the clip (the map-side transform runs
+        # first for both kinds), so a capped tile carries exactly N.
+        # Key-ordered caps skip this window entirely — the encode
+        # kernel slices the sorted group instead (_kernel_cap).
         from pyspark.sql.window import Window
 
         order = []

@@ -419,11 +419,13 @@ class TileBuild:
                     F.lit(empty_id).alias("tile_id"),
                 )
                 map_rows = gen_map.unionByName(empties)
-                imputed_count = 0
+                n_gen_listed = None
             else:
                 parents = self.read_tile_map(z - 1)
                 dups = dup_tile_ids(parents, z - 1)
                 imputed, gen_list = impute_children(parents, dups)
+                gen_list = gen_list.cache()
+                n_gen_listed = gen_list.count()
                 tiles = self._generate_tiles_at(z, gen_list)
                 gen_map = tiles.select(
                     F.col("z").alias("zoom_level"),
@@ -440,7 +442,6 @@ class TileBuild:
                     F.lit(empty_id).alias("tile_id"),
                 )
                 map_rows = imputed.unionByName(gen_map).unionByName(gen_empties)
-                imputed_count = 0
 
             # checkpoint barrier: persist this zoom (AQE coalesces output
             # partitions; at cluster scale this is an Iceberg snapshot)
@@ -462,6 +463,11 @@ class TileBuild:
                 "n_nonempty": persisted.where(F.col("tile_id") != empty_id).count(),
                 "wall_s": round(time.time() - t0, 3),
             }
+            if n_gen_listed is not None:
+                # impute savings (A11): children the walk actually
+                # generated vs inherited from duplicate parents
+                stats["n_generate_listed"] = n_gen_listed
+                stats["n_imputed"] = n_tiles - n_gen_listed
             self.metrics.append(stats)
             self._mark_zoom(z, stats)
             total_tiles += n_tiles

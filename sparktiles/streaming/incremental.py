@@ -23,11 +23,18 @@ from pyspark.sql import functions as F
 from sparktiles.operators.pyramid import assign_point_tiles, tile_multiplier
 
 
-def changed_features(old_pages: DataFrame, new_pages: DataFrame) -> DataFrame:
+def changed_features(old_pages: DataFrame, new_pages: DataFrame,
+                     old_hashes: DataFrame | None = None) -> DataFrame:
     """Rows whose text changed, appeared, or disappeared between two
     corpus snapshots; key = url (input_hint invariant). Output: url,
-    change ('added'|'removed'|'updated')."""
-    o = old_pages.select("url", F.sha2("text", 256).alias("h_old"))
+    change ('added'|'removed'|'updated').
+
+    old_hashes: optional standing (url, h_old sha256-hex) table. At
+    scale the ingest pipeline records the text hash alongside each row
+    (an Iceberg column), so a diff pass reads the hash table instead of
+    re-hashing the full old corpus — pass it here to skip that scan."""
+    o = (old_hashes.select("url", "h_old") if old_hashes is not None
+         else old_pages.select("url", F.sha2("text", 256).alias("h_old")))
     n = new_pages.select("url", F.sha2("text", 256).alias("h_new"))
     j = o.join(n, "url", "full_outer")
     return j.select(

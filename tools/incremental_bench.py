@@ -125,46 +125,70 @@ def main():
     out["n_changed_urls"] = removed.count() + updated.count() + 300
     p2.count()
 
-    # the standing FEATURE table (at scale: Iceberg, cell-partitioned;
-    # built once with snapshot 1, incrementally MERGEd after) — the
-    # incremental path must not re-geoparse the unchanged corpus
+    # the standing snapshot-1 state (at scale: Iceberg tables, built
+    # once at ingest and incrementally MERGEd after) — the incremental
+    # path must not re-derive any of it per pass:
+    #   feats1       cell-partitioned feature table
+    #   feats1_cells feature -> PRUNE_Z cell index (incl. buffered
+    #                neighbors) — the partition-pruning column
+    #   hash1        url -> sha256(text) recorded at ingest
+    PRUNE_Z = 6
+    from sparktiles.operators.pyramid import assign_point_tiles
+
     build_features(p1).write.mode("overwrite").parquet(tmp + "/feats1")
     feats1 = spark.read.parquet(tmp + "/feats1")
+    assign_point_tiles(feats1, PRUNE_Z, buffer_px=BUF).select(
+        "url", "feature_id", "x", "y").write.mode("overwrite").parquet(
+        tmp + "/feats1_cells")
+    feats1_cells = spark.read.parquet(tmp + "/feats1_cells")
+    p1.select("url", F.sha2("text", 256).alias("h_old")).write.mode(
+        "overwrite").parquet(tmp + "/hash1")
+    hash1 = spark.read.parquet(tmp + "/hash1")
 
     # ---- incremental path
     inv_count = {}
     phases = {}
 
-    def regenerate(inv, diff):
+    def regenerate(inv, diff, feats_touched):
         from sparktiles.operators.pyramid import assign_point_tiles, tile_multiplier
 
         inv = inv.cache()
         inv_count["n"] = inv.count()
         # feature-table MERGE (cost ∝ change rate): drop changed urls'
-        # features, re-geoparse ONLY touched pages
-        touched = p2.join(diff.where(F.col("change") != "removed"),
-                          "url", "left_semi")
+        # features, re-geoparse ONLY touched pages (already cached by
+        # the invalidation phase — the diff's features are computed
+        # ONCE per pass, not once per consumer)
         t0 = time.time()
         feats2 = feats1.join(diff, "url", "left_anti").unionByName(
-            build_features(touched).select(*feats1.columns)).cache()
+            feats_touched.select(*feats1.columns)).cache()
         phases["n_feats2"] = feats2.count()
         phases["feature_merge_s"] = round(time.time() - t0, 2)
         # coarse pruning (the Iceberg cell-partition-pruning stand-in):
         # only features in a PRUNE_Z cell overlapping the invalidation
         # list reach the per-zoom assignment; everything else is never
-        # fanned out
+        # fanned out. The unchanged corpus prunes via the STANDING cell
+        # index (no assignment math, no corpus-wide shuffle — at scale
+        # this is partition pruning on the cell-partitioned table);
+        # only the touched features' cells are computed fresh.
         # valid for z >= PRUNE_Z only: a tile's buffered envelope is
         # inside its z6 ancestor's buffered envelope (buffer width
         # halves per zoom step down). Tiles at z < PRUNE_Z aggregate
         # (nearly) the whole corpus by construction — they are few
         # (< 4^PRUNE_Z total) and get the unpruned feature set.
-        PRUNE_Z = 6
         t0 = time.time()
         prune_cells = tile_multiplier(inv.where(F.col("z") >= PRUNE_Z),
                                       PRUNE_Z, PRUNE_Z).select("x", "y")
-        cand = assign_point_tiles(feats2, PRUNE_Z, buffer_px=BUF).join(
-            prune_cells, ["x", "y"], "left_semi").drop("z", "x", "y") \
-            .dropDuplicates(["feature_id"]).cache()
+        cand_old_ids = feats1_cells \
+            .join(F.broadcast(diff), "url", "left_anti") \
+            .join(F.broadcast(prune_cells), ["x", "y"], "left_semi") \
+            .select("feature_id").dropDuplicates(["feature_id"])
+        cand_new = assign_point_tiles(feats_touched, PRUNE_Z,
+                                      buffer_px=BUF).join(
+            F.broadcast(prune_cells), ["x", "y"], "left_semi") \
+            .drop("z", "x", "y").dropDuplicates(["feature_id"])
+        cand = feats1.join(cand_old_ids, "feature_id",
+                           "left_semi").unionByName(
+            cand_new.select(*feats1.columns)).cache()
         phases["n_pruned_feats"] = cand.count()
         phases["prune_s"] = round(time.time() - t0, 2)
         high = assign_point_tiles_multi(cand, PRUNE_Z, MAXZ, buffer_px=BUF) \
@@ -191,7 +215,8 @@ def main():
 
     t_all = time.time()
     t0 = time.time()
-    diff = changed_features(p1, p2).cache()
+    # ingest-time hash table stands in for re-hashing the old corpus
+    diff = changed_features(p1, p2, old_hashes=hash1).cache()
     diff.count()
     phases["diff_s"] = round(time.time() - t0, 2)
 
@@ -200,16 +225,16 @@ def main():
                       "url", "left_semi")
     old_touched = p1.join(diff.where(F.col("change") != "added"),
                           "url", "left_semi")
-    feats_new = build_features(touched)
-    changed = feats_new.unionByName(
-        build_features(old_touched).select(*feats_new.columns))
+    feats_touched = build_features(touched).cache()
+    changed = feats_touched.unionByName(
+        build_features(old_touched).select(*feats_touched.columns))
     inv = (assign_point_tiles_multi(changed, 0, MAXZ, buffer_px=BUF)
            .select("z", "x", "y").distinct().cache())
     inv.count()
     phases["invalidation_s"] = round(time.time() - t0, 2)
 
     t0 = time.time()
-    fresh = regenerate(inv, diff)
+    fresh = regenerate(inv, diff, feats_touched)
     fresh.write.mode("overwrite").parquet(tmp + "/map_delta")
     phases["regenerate_delta_s"] = round(time.time() - t0, 2)
     out["incremental_s"] = round(time.time() - t_all, 2)
