@@ -549,10 +549,12 @@ def normalize_layer_df(features: DataFrame, spec,
     if spec.geometry_kind == "point":
         mvt_buffer = int(spec.extent * spec.buffer_px / 256)
         feats = with_point_tile_coords(features, spec.extent, mvt_buffer)
-        if cap and _kernel_cap(spec) is None:
+        if cap:
             # identical window to _prep_layer_features (pre-normalize,
-            # so ordering columns are still raw); key-ordered caps are
-            # sliced inside the assembly kernel instead (_kernel_cap)
+            # so ordering columns are still raw). The multi-layer spine
+            # keeps the window for every cap: per-layer sub-groups live
+            # inside one zxy group, so the single-layer paths' group
+            # compaction can't apply (the kernel slice then no-ops)
             from pyspark.sql.window import Window
 
             order = []
@@ -571,7 +573,7 @@ def normalize_layer_df(features: DataFrame, spec,
     else:
         norm = with_wkb_encoded_fields(features, spec, normalized=True,
                                        n_vals=n_vals)
-    if cap and _kernel_cap(spec) is None:
+    if cap:
         from pyspark.sql.window import Window
 
         order = []
@@ -684,6 +686,7 @@ def grouped_map_sorted(
     out_schema: str,
     sort_extra: list[str] | None = None,
     prep=None,
+    group_cap: int | None = None,
 ):
     """applyInPandas-equivalent with per-BATCH (not per-group) Python
     overhead: repartition on the keys, sort within partitions, then
@@ -702,6 +705,14 @@ def grouped_map_sorted(
     `prep`, if given, runs once per merged Arrow batch and returns extra
     batch-aligned arrays merged into `arrs` (group-independent per-row
     precompute; held-back rows are re-prepped with the next batch).
+
+    `group_cap`: keep only the first N rows of every group (rows are
+    sorted, so these are the cap's selection) BEFORE prep runs — the
+    kernel-level density cap's compaction step. Without it a capped hot
+    group (one z0 tile = the whole corpus) would pay Arrow + prep for
+    millions of rows it then slices away. The held-back partial group
+    is capped too (its continuation rows sort later, so the first N of
+    the partial prefix are final).
     """
     import pandas as pd
 
@@ -717,6 +728,19 @@ def grouped_map_sorted(
         for extra in keys[1:]:
             k = (k << 29) ^ arrs[extra].astype(np.int64)
         return k  # single pre-packed key column passes through unchanged
+
+    def _cap_groups(arrs, starts, ends, cap, cols):
+        """Compact every group to its first `cap` rows (sorted order =
+        the cap's selection); recompute boundaries for the compacted
+        arrays. O(total kept rows)."""
+        lens = np.minimum(ends - starts, cap)
+        if int(lens.sum()) == int(ends[-1] - starts[0]) and starts[0] == 0:
+            return arrs, starts, ends
+        sel = np.repeat(starts, lens) + _group_local_arange(lens)
+        arrs = {c: arrs[c][sel] for c in cols}
+        new_ends = np.cumsum(lens)
+        new_starts = np.concatenate([[0], new_ends[:-1]])
+        return arrs, new_starts, new_ends
 
     def run(batches):
         leftover = None  # dict of numpy arrays for the trailing group
@@ -740,11 +764,18 @@ def grouped_map_sorted(
             # hold back the final group — it may continue in next batch
             if len(starts) > 1:
                 hold = starts[-1]
-                leftover = {c: arrs[c][hold:] for c in in_cols}
+                he = min(ends[-1], hold + group_cap) if group_cap else ends[-1]
+                leftover = {c: arrs[c][hold:he] for c in in_cols}
                 starts, ends = starts[:-1], ends[:-1]
             else:
-                leftover = {c: arrs[c] for c in in_cols}
+                he = min(ends[-1], group_cap) if group_cap else ends[-1]
+                leftover = {c: arrs[c][:he] for c in in_cols}
                 continue
+            if group_cap is not None:
+                arrs, starts, ends = _cap_groups(
+                    arrs, starts, ends, group_cap, in_cols)
+            if prep is not None:
+                arrs = {**arrs, **prep(arrs)}
             rows = []
             for s, e in zip(starts, ends):
                 rows.extend(fn(arrs, int(s), int(e)))
@@ -752,12 +783,15 @@ def grouped_map_sorted(
                 yield pd.DataFrame(rows, columns=out_cols)
         if leftover is not None and len(next(iter(leftover.values()))):
             arrs = leftover
-            if prep is not None:
-                arrs = {**arrs, **prep(arrs)}
             k = packed_key(arrs)
             cuts = np.flatnonzero(k[1:] != k[:-1]) + 1
             starts = np.concatenate([[0], cuts])
             ends = np.concatenate([cuts, [len(k)]])
+            if group_cap is not None:
+                arrs, starts, ends = _cap_groups(
+                    arrs, starts, ends, group_cap, in_cols)
+            if prep is not None:
+                arrs = {**arrs, **prep(arrs)}
             rows = []
             for s, e in zip(starts, ends):
                 rows.extend(fn(arrs, int(s), int(e)))
@@ -765,6 +799,16 @@ def grouped_map_sorted(
                 yield pd.DataFrame(rows, columns=out_cols)
 
     return part.mapInPandas(run, out_schema)
+
+
+def _group_local_arange(counts: np.ndarray) -> np.ndarray:
+    """[0..c0), [0..c1), ... concatenated."""
+    total = int(counts.sum())
+    if total == 0:
+        return np.zeros(0, dtype=np.int64)
+    starts = np.zeros(len(counts), dtype=np.int64)
+    starts[1:] = np.cumsum(counts[:-1])
+    return np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
 
 
 # ------------------------------------------------------------- layer encode
@@ -1013,6 +1057,7 @@ def encode_layer_df(features: DataFrame, spec: LayerSpec,
         "z int, x long, y long, layer_index int, mvtl binary",
         sort_extra=[spec.key_field] if spec.key_field else None,
         prep=_make_batch_prep(spec),
+        group_cap=_kernel_cap(spec),
     )
 
 
@@ -1047,6 +1092,7 @@ def encode_and_assemble_single(features: DataFrame, spec: LayerSpec,
         "z int, x long, y long, mvt binary, tile_id string",
         sort_extra=[spec.key_field] if spec.key_field else None,
         prep=_make_batch_prep(spec),
+        group_cap=_kernel_cap(spec),
     )
 
 

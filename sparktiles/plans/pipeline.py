@@ -403,7 +403,10 @@ class TileBuild:
             if z <= cfg.mid_zoom or z == cfg.minzoom:
                 # pyramid scheme: every tile of the zoom
                 universe = tile_pyramid(self.spark, z, z, cfg.bounds_lonlat)
-                tiles = self._generate_tiles_at(z, None)
+                # persisted: the zoom's tiles feed THREE consumers (map
+                # rows, empties anti-join, images) — without it the
+                # whole encode pipeline re-runs per consumer
+                tiles = self._generate_tiles_at(z, None).persist()
                 gen_map = tiles.select(
                     F.col("z").alias("zoom_level"),
                     F.col("x").alias("tile_column"),
@@ -426,7 +429,7 @@ class TileBuild:
                 imputed, gen_list = impute_children(parents, dups)
                 gen_list = gen_list.cache()
                 n_gen_listed = gen_list.count()
-                tiles = self._generate_tiles_at(z, gen_list)
+                tiles = self._generate_tiles_at(z, gen_list).persist()
                 gen_map = tiles.select(
                     F.col("z").alias("zoom_level"),
                     F.col("x").alias("tile_column"),
@@ -454,6 +457,7 @@ class TileBuild:
                 )
             )
             images.write.mode("overwrite").parquet(self._img_path(z))
+            tiles.unpersist()
 
             persisted = self.read_tile_map(z)
             n_tiles = persisted.count()

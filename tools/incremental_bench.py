@@ -71,7 +71,8 @@ def main():
     def full_map(pages_df):
         feats = build_features(pages_df)
         assigned = assign_point_tiles_multi(feats, 0, MAXZ, buffer_px=BUF)
-        tiles = encode_and_assemble_single(assigned, spec, 6)
+        # persisted: consumed twice (map rows + empties anti-join)
+        tiles = encode_and_assemble_single(assigned, spec, 6).localCheckpoint()
         uni = tile_pyramid(spark, 0, MAXZ)
         empties = uni.join(tiles.select("z", "x", "y"), ["z", "x", "y"],
                            "left_anti").select(
@@ -133,6 +134,8 @@ def main():
     #                neighbors) — the partition-pruning column
     #   hash1        url -> sha256(text) recorded at ingest
     PRUNE_Z = 6
+    from pyspark.sql.window import Window
+
     from sparktiles.operators.pyramid import assign_point_tiles
 
     build_features(p1).write.mode("overwrite").parquet(tmp + "/feats1")
@@ -144,6 +147,22 @@ def main():
     p1.select("url", F.sha2("text", 256).alias("h_old")).write.mode(
         "overwrite").parquet(tmp + "/hash1")
     hash1 = spark.read.parquet(tmp + "/hash1")
+    # low-zoom cap thresholds: tiles BELOW PRUNE_Z aggregate (nearly)
+    # the whole corpus, so cell pruning can't help them — but their
+    # content is density-capped (512 by feature_id), so the standing
+    # state records each low tile's (512 + S_SLACK)th assigned id.
+    # An incremental pass then keeps only candidates <= threshold
+    # (plus every touched feature); the slack absorbs backfill from
+    # removed features, exactness guarded per tile (and by the final
+    # merged == full-rebuild check).
+    S_SLACK = 1024
+    _wnd = Window.partitionBy("z", "x", "y").orderBy("feature_id")
+    assign_point_tiles_multi(feats1, 0, PRUNE_Z - 1, buffer_px=BUF) \
+        .withColumn("_r", F.row_number().over(_wnd)) \
+        .where(F.col("_r") == 512 + S_SLACK) \
+        .select("z", "x", "y", F.col("feature_id").alias("thr")) \
+        .write.mode("overwrite").parquet(tmp + "/thr_low")
+    thr_low = spark.read.parquet(tmp + "/thr_low")
 
     # ---- incremental path
     inv_count = {}
@@ -152,15 +171,19 @@ def main():
     def regenerate(inv, diff, feats_touched):
         from sparktiles.operators.pyramid import assign_point_tiles, tile_multiplier
 
-        inv = inv.cache()
         inv_count["n"] = inv.count()
         # feature-table MERGE (cost ∝ change rate): drop changed urls'
         # features, re-geoparse ONLY touched pages (already cached by
         # the invalidation phase — the diff's features are computed
         # ONCE per pass, not once per consumer)
         t0 = time.time()
-        feats2 = feats1.join(diff, "url", "left_anti").unionByName(
-            feats_touched.select(*feats1.columns)).cache()
+        # the standing-table MERGE at scale rewrites only the files
+        # holding changed urls (Iceberg MERGE INTO), cost ∝ change
+        # rate — so the timed merge here is the DELTA only; the merged
+        # view stays a (parquet ∪ checkpointed-delta) virtual union
+        # with broadcast anti-join, NOT a full-table copy
+        feats2 = feats1.join(F.broadcast(diff), "url", "left_anti") \
+            .unionByName(feats_touched.select(*feats1.columns))
         phases["n_feats2"] = feats2.count()
         phases["feature_merge_s"] = round(time.time() - t0, 2)
         # coarse pruning (the Iceberg cell-partition-pruning stand-in):
@@ -188,15 +211,84 @@ def main():
             .drop("z", "x", "y").dropDuplicates(["feature_id"])
         cand = feats1.join(cand_old_ids, "feature_id",
                            "left_semi").unionByName(
-            cand_new.select(*feats1.columns)).cache()
+            cand_new.select(*feats1.columns)).localCheckpoint()
         phases["n_pruned_feats"] = cand.count()
         phases["prune_s"] = round(time.time() - t0, 2)
         high = assign_point_tiles_multi(cand, PRUNE_Z, MAXZ, buffer_px=BUF) \
             .join(inv.where(F.col("z") >= PRUNE_Z), ["z", "x", "y"], "left_semi")
-        low = assign_point_tiles_multi(feats2, 0, PRUNE_Z - 1, buffer_px=BUF) \
-            .join(inv.where(F.col("z") < PRUNE_Z), ["z", "x", "y"], "left_semi")
+        # low zooms: candidates cut to the standing threshold window
+        # (+ every touched feature). Guard: if any tile lost more than
+        # S_SLACK//2 old in-window features, its slack may not cover
+        # the cap backfill -> that tile falls back to the full scan.
+        t0 = time.time()
+        inv_low = inv.where(F.col("z") < PRUNE_Z)
+        old_changed_low = assign_point_tiles_multi(
+            feats1.join(F.broadcast(
+                diff.where(F.col("change") != "added")), "url", "left_semi"),
+            0, PRUNE_Z - 1, buffer_px=BUF) \
+            .join(F.broadcast(inv_low), ["z", "x", "y"], "left_semi")
+        bad = old_changed_low.join(
+            F.broadcast(thr_low), ["z", "x", "y"]) \
+            .where(F.col("feature_id") <= F.col("thr")) \
+            .groupBy("z", "x", "y").count() \
+            .where(F.col("count") > S_SLACK // 2).select("z", "x", "y")
+        phases["n_lowcap_fallback_tiles"] = bad.count()
+        tch = diff.where(F.col("change") != "removed") \
+            .select("url").withColumn("_tch", F.lit(True))
+        # per-zoom prefilter: for the low zooms where EVERY invalidated
+        # tile has a standing threshold (driver-checked, tiles are few),
+        # only features under the zoom-max threshold (or touched) can
+        # appear in any capped tile — the corpus-wide fan-out collapses
+        # to the threshold window for those zooms. Zooms with any
+        # untruncated invalidated tile keep the full fan-out (exact).
+        inv_low_rows = [(r.z, r.x, r.y) for r in inv_low.collect()]
+        thr_map = {(r.z, r.x, r.y): r.thr for r in thr_low.join(
+            F.broadcast(inv_low), ["z", "x", "y"], "left_semi").collect()}
+        kpre = -1
+        for z in range(0, PRUNE_Z):
+            tiles_z = [t for t in inv_low_rows if t[0] == z]
+            if tiles_z and all(t in thr_map for t in tiles_z):
+                kpre = z
+            else:
+                break
+        def _asg(df, z0, z1):
+            return assign_point_tiles_multi(df, z0, z1, buffer_px=BUF) \
+                .join(F.broadcast(inv_low), ["z", "x", "y"], "left_semi")
+        if kpre >= 0:
+            maxthr = max(v for (z, _x, _y), v in thr_map.items()
+                         if z <= kpre)
+            pre = feats2.join(F.broadcast(tch), "url", "left") \
+                .where((F.col("feature_id") <= F.lit(maxthr))
+                       | F.col("_tch").isNotNull()).drop("_tch")
+            low_all = _asg(pre, 0, kpre)
+            if kpre + 1 < PRUNE_Z:
+                low_all = low_all.unionByName(
+                    _asg(feats2, kpre + 1, PRUNE_Z - 1))
+        else:
+            low_all = _asg(feats2, 0, PRUNE_Z - 1)
+        phases["n_lowpre_zooms"] = kpre + 1
+        low_pruned = low_all \
+            .join(F.broadcast(bad), ["z", "x", "y"], "left_anti") \
+            .join(F.broadcast(thr_low), ["z", "x", "y"], "left") \
+            .join(F.broadcast(tch), "url", "left") \
+            .where(F.col("thr").isNull()
+                   | (F.col("feature_id") <= F.col("thr"))
+                   | F.col("_tch").isNotNull()) \
+            .drop("thr", "_tch")
+        low_fallback = low_all.join(
+            F.broadcast(bad), ["z", "x", "y"], "left_semi")
+        low = low_pruned.unionByName(low_fallback)
+        phases["lowcap_guard_s"] = round(time.time() - t0, 2)
+        if os.environ.get("INC_DEBUG"):
+            t0 = time.time(); phases["dbg_low_rows"] = low.count()
+            phases["dbg_low_s"] = round(time.time() - t0, 2)
+            t0 = time.time(); phases["dbg_high_rows"] = high.count()
+            phases["dbg_high_s"] = round(time.time() - t0, 2)
         assigned = high.unionByName(low)
-        tiles = encode_and_assemble_single(assigned, spec, 6)
+        tiles = encode_and_assemble_single(assigned, spec, 6).localCheckpoint()
+        if os.environ.get("INC_DEBUG"):
+            t0 = time.time(); phases["dbg_tiles_rows"] = tiles.count()
+            phases["dbg_tiles_s"] = round(time.time() - t0, 2)
         gen = tiles.select(
             F.col("z").alias("zoom_level"), F.col("x").alias("tile_column"),
             F.col("y").alias("tile_row"), "tile_id")
@@ -216,26 +308,33 @@ def main():
     t_all = time.time()
     t0 = time.time()
     # ingest-time hash table stands in for re-hashing the old corpus
-    diff = changed_features(p1, p2, old_hashes=hash1).cache()
-    diff.count()
+    diff = changed_features(p1, p2, old_hashes=hash1).localCheckpoint()
     phases["diff_s"] = round(time.time() - t0, 2)
 
     t0 = time.time()
     touched = p2.join(diff.where(F.col("change") != "removed"),
                       "url", "left_semi")
-    old_touched = p1.join(diff.where(F.col("change") != "added"),
-                          "url", "left_semi")
-    feats_touched = build_features(touched).cache()
+    feats_touched = build_features(touched).localCheckpoint()
+    # OLD positions come from the STANDING feature table (no second
+    # geoparse pass over the old corpus)
+    old_feats = feats1.join(
+        F.broadcast(diff.where(F.col("change") != "added")),
+        "url", "left_semi")
     changed = feats_touched.unionByName(
-        build_features(old_touched).select(*feats_touched.columns))
+        old_feats.select(*feats_touched.columns))
     inv = (assign_point_tiles_multi(changed, 0, MAXZ, buffer_px=BUF)
-           .select("z", "x", "y").distinct().cache())
-    inv.count()
+           .select("z", "x", "y").distinct().localCheckpoint())
     phases["invalidation_s"] = round(time.time() - t0, 2)
 
     t0 = time.time()
     fresh = regenerate(inv, diff, feats_touched)
-    fresh.write.mode("overwrite").parquet(tmp + "/map_delta")
+    if os.environ.get("INC_DEBUG"):
+        phases["dbg_regen_build_s"] = round(time.time() - t0, 2)
+        tw = time.time()
+        fresh.write.mode("overwrite").parquet(tmp + "/map_delta")
+        phases["dbg_write_s"] = round(time.time() - tw, 2)
+    else:
+        fresh.write.mode("overwrite").parquet(tmp + "/map_delta")
     phases["regenerate_delta_s"] = round(time.time() - t0, 2)
     out["incremental_s"] = round(time.time() - t_all, 2)
     out["invalidated_tiles"] = inv_count["n"]

@@ -77,8 +77,7 @@ def run_leg(cpus: int, n_pages: int, maxzoom: int, gzip_level=6) -> dict:
     from sparktiles.sources.geoparse import build_features
     from sparktiles.sources.lines import generate_lines
     from sparktiles.sources.polygons import generate_polygons
-    from sparktiles.operators.mvt import (
-        LayerSpec, assemble_tiles, encode_and_assemble_single, encode_layer_df)
+    from sparktiles.operators.mvt import LayerSpec, encode_and_assemble_single
     from sparktiles.operators.pyramid import assign_point_tiles_multi
     from sparktiles.plans.config import FieldDef, LayerDef, TilesetDef
     from sparktiles.plans.pipeline import BuildConfig, TileBuild, make_point_layer_frames
@@ -165,8 +164,10 @@ def run_leg(cpus: int, n_pages: int, maxzoom: int, gzip_level=6) -> dict:
         out["mvt_tiles_per_s"] = round(n_nonempty / dt1, 1)
 
         # ---- multi-layer point+line+polygon build: the WKB (vecmvt)
-        # map-side encode + two-shuffle encode/assemble path every real
-        # tileset uses (reference tests/testlayers/testmaptiles.yaml)
+        # map-side encode + SINGLE-SHUFFLE normalized assembly (round 5
+        # fused the per-layer encode shuffles and the blob reshuffle
+        # into one zxy exchange) — the path every real tileset uses
+        # (reference tests/testlayers/testmaptiles.yaml)
         # round 4: supercover assignment cut the line layer's absolute
         # cost 6x, shortening the ml phase into VM-noise territory;
         # 2.5x more lines restores a meaningful phase length AND makes
@@ -193,11 +194,7 @@ def run_leg(cpus: int, n_pages: int, maxzoom: int, gzip_level=6) -> dict:
         for _ in range(2):
             sb0 = total_shuffle_write(spark)
             t0 = time.time()
-            blobs = None
-            for sp, fr in ml_frames:
-                lb = encode_layer_df(mlb._assign(fr, sp, 0, maxzoom), sp)
-                blobs = lb if blobs is None else blobs.unionByName(lb)
-            tiles = assemble_tiles(blobs, gzip_level)
+            tiles = mlb._build_tiles((0, maxzoom), None)
             tiles.write.mode("overwrite").partitionBy("z").parquet(
                 store + "/ml_tiles")
             ml_times.append(time.time() - t0)
