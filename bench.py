@@ -201,6 +201,53 @@ def main():
     extra["tiles_8attr"] = a8_tiles
     extra["tiles_8attr_per_s"] = round(a8_tiles / dt, 1)
 
+    # ---- attr-heavy WKB leg: 8 declared fields on the LINE/POLYGON
+    # layers too (the reference's attribute-heavy layers are not just
+    # points — e.g. tests/testlayers/mountain_peak carries 5+ fields on
+    # real geometries): exercises _attr_convert_batch + the per-batch
+    # Value-blob encode through the fused supercover WKB path and the
+    # single-shuffle multi-layer assembly
+    def wkb8(df):
+        return df.select(
+            "*",
+            ((F.col("feature_id") % 100000) / 7.0).alias("pop"),
+            (F.col("feature_id") % 5).cast("int").alias("layer_n"),
+            (F.col("feature_id") % 2 == 0).alias("oneway"),
+            F.format_string("R%d", F.col("feature_id") % 53).alias("ref"),
+            (F.col("feature_id") % 900).cast("double").alias("ele_n"),
+            F.format_string("net%d", F.col("feature_id") % 7).alias("network"),
+        )
+
+    wkb_attrs = {"class": "string", "name": "string", "pop": "number",
+                 "layer_n": "number", "oneway": "bool", "ref": "string",
+                 "ele_n": "number", "network": "string"}
+    lines8 = wkb8(lines).cache()
+    polys8 = wkb8(polys.withColumnRenamed("admin_class", "class")).cache()
+    lines8.count(), polys8.count()
+    ml8_frames = [
+        (LayerSpec(layer_id="place", index=0, attr_fields={"name": "string"},
+                   buffer_px=8), feats),
+        (LayerSpec(layer_id="transportation", index=1, attr_fields=wkb_attrs,
+                   buffer_px=4, geometry_kind="wkb"), lines8),
+        (LayerSpec(layer_id="boundary", index=2, attr_fields=wkb_attrs,
+                   buffer_px=4, geometry_kind="wkb"), polys8),
+    ]
+
+    def build_ml8():
+        store = tempfile.mkdtemp(prefix="sparktiles_ml8_", dir=tmp_base)
+        try:
+            b = TileBuild(spark, ml8_frames, BuildConfig(
+                store_dir=store, minzoom=0, maxzoom=MAXZOOM,
+                mid_zoom=min(5, MAXZOOM), gzip_level=GZIP_LEVEL))
+            return b.build_fast()["tiles"]
+        finally:
+            shutil.rmtree(store, ignore_errors=True)
+
+    dt, ml8_tiles = min_of(build_ml8)
+    timings["tile_pyramid_3layer_8attr"] = round(dt, 3)
+    extra["tiles_3layer_8attr"] = ml8_tiles
+    extra["tiles_3layer_8attr_per_s"] = round(ml8_tiles / dt, 1)
+
     # ---- representative operator queries
     for name in [
         "tile_assign_points", "pip_join_broadcast", "knn_join",

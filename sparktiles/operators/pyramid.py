@@ -55,8 +55,15 @@ def tile_pyramid(
         lon0, lat0, lon1, lat1 = bounds_lonlat
         x0, y1 = lonlat_to_tile_exprs(F.lit(lon0), F.lit(lat0), F.col("z"))
         x1, y0 = lonlat_to_tile_exprs(F.lit(lon1), F.lit(lat1), F.col("z"))
+    strips = zs.select(
+        "z", F.explode(F.sequence(x0, x1)).alias("x"),
+        y0.alias("y0"), y1.alias("y1"))
+    # spread the x-strips before the y-explode: without this every
+    # zoom's ENTIRE universe streams out of the single task holding its
+    # z-row (one thread emitting 268M rows at z14); the strip shuffle
+    # is tiny (sum 2^z rows) and the y-explode then runs on every core
     return (
-        zs.select("z", F.explode(F.sequence(x0, x1)).alias("x"), y0.alias("y0"), y1.alias("y1"))
+        strips.repartition(F.col("z"), F.col("x"))
         .select("z", "x", F.explode(F.sequence("y0", "y1")).alias("y"))
     )
 

@@ -39,6 +39,10 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+# local mode: driver JVM = executor; the z14 equality pass scans the
+# 358M-row map repeatedly — give it headroom beyond the 8g test default
+os.environ.setdefault("SPARK_DRIVER_MEM", "32g")
+
 N_PAGES = int(os.environ.get("DEEP_PAGES", "400000"))
 MAXZ = int(os.environ.get("DEEP_MAXZ", "14"))
 MIDZ = int(os.environ.get("DEEP_MIDZ", "8"))

@@ -39,6 +39,10 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+# local mode: driver JVM = executor; deep-zoom legs (z13: 119M-row
+# universe + 14-zoom fan-out) need more than the 8g test default
+os.environ.setdefault("SPARK_DRIVER_MEM", "32g")
+
 N_PAGES = int(os.environ.get("INC_PAGES", "400000"))
 MAXZ = int(os.environ.get("INC_MAXZ", "10"))
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))

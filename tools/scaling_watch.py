@@ -25,13 +25,13 @@ from pathlib import Path
 
 ROOT = Path(__file__).resolve().parent.parent
 LOCK = Path("/tmp/sparktiles_scaling.lock")
-OUT = ROOT / "BENCH_SCALING_R3_ATTEMPTS.jsonl"
+OUT = ROOT / "BENCH_SCALING_R5_ATTEMPTS.jsonl"
 GATE = 0.85
 
 
 def compute_control() -> dict:
     """2v8 pinned compute+bandwidth control via hw_scaling_control.py,
-    reading its stdout JSON (the file it writes is restored after)."""
+    reading its stdout JSON (the file it writes is restored after (kept for history))."""
     proc = subprocess.run(
         [sys.executable, str(ROOT / "tools/hw_scaling_control.py"), "2", "8"],
         capture_output=True, text=True, cwd=str(ROOT), timeout=600)
@@ -96,14 +96,21 @@ def main():
         with OUT.open("a") as f:
             f.write(json.dumps(rec) + "\n")
         te = run.get("scaling_efficiency_tiles")
+        ml = run.get("scaling_efficiency_multilayer")
         norm = run.get("hw_norm", {})
-        print(f"[watch] fired: tiles={te} norm={norm} "
+        print(f"[watch] fired: tiles={te} ml={ml} norm={norm} "
               f"join={run.get('scaling_efficiency_join')} "
               f"clean={rec['clean']}", flush=True)
-        best = max(te or 0, norm.get("tiles") or 0)
-        if best >= 0.8 and rec["clean"]:
-            print("[watch] target met on a clean draw, stopping", flush=True)
+        # round-5 target: the multi-layer leg (now the single-shuffle
+        # spine) at raw >= 0.8 on a clean draw
+        best_ml = max(ml or 0, norm.get("multilayer") or 0)
+        if (ml or 0) >= 0.8 and rec["clean"]:
+            print("[watch] ml target met raw on a clean draw, stopping",
+                  flush=True)
             return
+        if best_ml >= 0.8 and rec["clean"]:
+            print("[watch] ml target met normalized; continuing for a raw pass",
+                  flush=True)
         time.sleep(600)
     print("[watch] deadline reached", flush=True)
 
