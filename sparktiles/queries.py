@@ -1963,3 +1963,144 @@ def event_type_pivot(spark, sf_dir):
         F.sum(F.when(et == "purchase", 1).otherwise(0)).alias("purchases"),
         F.sum(F.when(~et.isin("click", "view", "purchase"), 1).otherwise(0)).alias("other"),
     )
+
+
+# ------------------------------------------------- multilayer fused spine
+
+_MVT_ML_SQL = _mvt_cand_sql() + f""", custpts AS (
+  SELECT c_custkey AS key,
+         {_LON_SQL.format(k='c_custkey')} AS lon,
+         {_LAT_SQL.format(k='c_custkey')} AS lat
+  FROM customer
+), m2 AS (
+  SELECT 'C' || CAST(key AS VARCHAR) AS name, lon / 180.0 * {HALF!r} AS mx,
+         {_MERCY_SQL.format(lat='lat', pi=PI, half=HALF)} AS my
+  FROM custpts
+), zf2 AS (
+  SELECT name, z,
+         (mx + {HALF!r}) / {WORLD_MERC_WIDTH!r} * POW(2.0, z) AS fx,
+         ({HALF!r} - my) / {WORLD_MERC_WIDTH!r} * POW(2.0, z) AS fy,
+         CAST(POW(2.0, z) AS BIGINT) - 1 AS top
+  FROM m2, (SELECT UNNEST([0, 1, 2, 3, 4]) AS z)
+), tl2 AS (
+  SELECT name, z, fx, fy, top,
+         CAST(FLOOR(fx) AS BIGINT) AS tx, CAST(FLOOR(fy) AS BIGINT) AS ty
+  FROM zf2
+), cand2 AS (
+  SELECT name, z, tx + dx AS x, ty + dy AS y
+  FROM tl2, (VALUES (0, 0), (-1, 0), (1, 0), (0, -1), (0, 1),
+                   (-1, -1), (1, -1), (-1, 1), (1, 1)) AS o(dx, dy)
+  WHERE (dx = 0 OR (dx = -1 AND fx - tx < 0.03125 AND tx > 0)
+               OR (dx = 1 AND tx + 1 - fx < 0.03125 AND tx < top))
+    AND (dy = 0 OR (dy = -1 AND fy - ty < 0.03125 AND ty > 0)
+               OR (dy = 1 AND ty + 1 - fy < 0.03125 AND ty < top))
+), la AS (
+  SELECT z, x, y, 0 AS ord, 'place' AS layer,
+         CAST(COUNT(*) AS BIGINT) AS n_features,
+         md5(string_agg(name, ',' ORDER BY name)) AS names_md5
+  FROM cand GROUP BY z, x, y
+), lb AS (
+  SELECT z, x, y, 1 AS ord, 'poi' AS layer,
+         CAST(COUNT(*) AS BIGINT) AS n_features,
+         md5(string_agg(name, ',' ORDER BY name)) AS names_md5
+  FROM cand2 GROUP BY z, x, y
+), u AS (SELECT * FROM la UNION ALL SELECT * FROM lb)
+SELECT CAST(z AS INT) AS z, x, y, layer, n_features, names_md5,
+       CAST(ROW_NUMBER() OVER (PARTITION BY z, x, y ORDER BY ord) - 1
+            AS INT) AS layer_pos
+FROM u
+"""
+
+_MVT_ML_STORE_CACHE: dict = {}
+
+
+def _mvt_ml_built(spark, sf_dir):
+    """Two-layer flagship store (place: page mentions; poi: customer
+    points) built through the SINGLE-SHUFFLE multi-layer spine
+    (normalize_layer_df union -> assemble_normalized, round 5) — the
+    path every multi-layer tileset runs."""
+    import tempfile
+
+    from sparktiles.operators.mvt import LayerSpec
+    from sparktiles.plans.pipeline import BuildConfig, TileBuild
+    from sparktiles.sources.geoparse import build_features
+
+    if sf_dir in _MVT_ML_STORE_CACHE:
+        return _MVT_ML_STORE_CACHE[sf_dir]
+    docs = _t(spark, sf_dir, "documents")
+    pid = (F.col("doc_id") * 7 + 1) % 10000
+    lon = ((pid * 37).cast("double") % 344) - 172.0 + 0.1234567
+    lat = ((pid * 13).cast("double") % 136) - 68.0 + 0.0891011
+    mention = F.format_string("Name_%d (%.5f; %.5f)", pid, lat, lon)
+    pages = docs.select(
+        F.format_string("https://example.org/doc/%d", F.col("doc_id")).alias("url"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        F.encode(F.concat(F.col("text"), F.lit(" "), mention), "utf-8").alias("html"),
+        F.concat(F.col("text"), F.lit(" "), mention).alias("text"),
+        F.col("lang"),
+    )
+    feats = build_features(pages)
+    key = F.col("c_custkey")
+    cfeats = _t(spark, sf_dir, "customer").select(
+        key.cast("long").alias("feature_id"),
+        _merc_x(_lon(key)).alias("px"), _merc_y(_lat(key)).alias("py"),
+        F.format_string("C%d", key).alias("name"),
+    )
+    frames = [
+        (LayerSpec(layer_id="place", index=0,
+                   attr_fields={"name": "string"}, buffer_px=8), feats),
+        (LayerSpec(layer_id="poi", index=1,
+                   attr_fields={"name": "string"}, buffer_px=8), cfeats),
+    ]
+    store = tempfile.mkdtemp(prefix="sparktiles_qml_")
+    b = TileBuild(spark, frames, BuildConfig(
+        store_dir=store, minzoom=0, maxzoom=4, mid_zoom=2, gzip_level=None))
+    b.build_fast()
+    _MVT_ML_STORE_CACHE[sf_dir] = (store, b)
+    return store, b
+
+
+@q("mvt_multilayer_fused", _MVT_ML_SQL)
+def mvt_multilayer_fused_q(spark, sf_dir):
+    """Multi-layer fused-spine content check: a 2-layer pyramid built
+    with ONE (zxy) shuffle (per-layer map-side normalization, grouped
+    per-layer dictionary encode + ordered concat) is decoded back out
+    of the tile BYTES and per-(tile, layer) feature counts, sorted-name
+    hashes AND the layer's POSITION inside the blob are hash-checked
+    against DuckDB recomputing all three from the source tables — so
+    layer framing, the layer-index concat order, and both layers'
+    dictionary encodes are gated cross-engine."""
+    import hashlib
+
+    import pandas as pd
+
+    from sparktiles.functions import mvtcodec as C
+
+    store, _b = _mvt_ml_built(spark, sf_dir)
+    tiles = (
+        spark.read.option("basePath", f"{store}/tiles_all")
+        .parquet(f"{store}/tiles_all")
+        .select(F.col("z").cast("int").alias("z"), "x", "y", "mvt")
+    )
+
+    def dec(batches):
+        for pdf in batches:
+            rows = []
+            for z, x, y, mvt in zip(pdf["z"], pdf["x"], pdf["y"], pdf["mvt"]):
+                blob = bytes(mvt)
+                if not blob:
+                    continue
+                for pos, (name, lyr) in enumerate(C.decode_tile(blob).items()):
+                    vals = sorted(str(f["attrs"].get("name"))
+                                  for f in lyr["features"])
+                    rows.append((int(z), int(x), int(y), name, len(vals),
+                                 hashlib.md5(",".join(vals).encode()).hexdigest(),
+                                 pos))
+            if rows:
+                yield pd.DataFrame(rows, columns=[
+                    "z", "x", "y", "layer", "n_features", "names_md5",
+                    "layer_pos"])
+
+    return tiles.mapInPandas(
+        dec, "z int, x long, y long, layer string, n_features long, "
+             "names_md5 string, layer_pos int")
