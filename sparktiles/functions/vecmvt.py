@@ -147,6 +147,11 @@ def _decode_wkb_batch_vec(blobs):
     big = b"".join(reps)
     a8 = np.frombuffer(big, dtype=np.uint8)
     starts = _cumsum0(lens)[:-1]
+    # per-rep end offsets: every count/span read below is bounds-checked
+    # against the OWNING rep's end (not just the concatenated buffer),
+    # so a truncated/corrupt blob falls back to the scalar walk (which
+    # raises) instead of silently gathering the next blob's bytes
+    ends = starts + lens
     eb = a8[starts]
     if not (eb == eb[0]).all():
         return None
@@ -186,6 +191,8 @@ def _decode_wkb_batch_vec(blobs):
     # ---------------- Point
     g1 = np.flatnonzero(t == 1)
     if len(g1):
+        if (lens[g1] < 21).any():
+            return None
         idx = doff[g1][:, None] + np.arange(16)
         xy = gather_f8(idx.ravel()).reshape(-1, 2)
         keep = (xy[:, 0] == xy[:, 0]) | (xy[:, 1] == xy[:, 1])
@@ -200,6 +207,8 @@ def _decode_wkb_batch_vec(blobs):
     g4 = np.flatnonzero(t == 4)
     if len(g4):
         npts = _u32_at(a8, doff[g4], le)
+        if (doff[g4] + 4 + 21 * npts.astype(np.int64) > ends[g4]).any():
+            return None
         C = int(npts.sum())
         if C:
             hdr_pos = (np.repeat(doff[g4] + 4, npts)
@@ -219,6 +228,8 @@ def _decode_wkb_batch_vec(blobs):
     g2 = np.flatnonzero(t == 2)
     if len(g2):
         cnt = _u32_at(a8, doff[g2], le)
+        if (doff[g2] + 4 + 16 * cnt.astype(np.int64) > ends[g2]).any():
+            return None
         nz = np.flatnonzero(cnt > 0)
         if len(nz):
             l_rep.append(g2[nz])
@@ -238,10 +249,14 @@ def _decode_wkb_batch_vec(blobs):
             a = np.flatnonzero(remaining > 0)
             if not len(a):
                 break
+            if (cur[a] + 9 > ends[g5[a]]).any():
+                return None
             hdr = a8[cur[a][:, None] + np.arange(5)]
             if (hdr != want2).any():
                 return None
             m = _u32_at(a8, cur[a] + 5, le)
+            if (cur[a] + 9 + 16 * m.astype(np.int64) > ends[g5[a]]).any():
+                return None
             nz = np.flatnonzero(m > 0)
             if len(nz):
                 l_rep.append(g5[a[nz]])
@@ -265,7 +280,11 @@ def _decode_wkb_batch_vec(blobs):
             a = np.flatnonzero(remaining > 0)
             if not len(a):
                 break
+            if (cur[a] + 4 > ends[g3[a]]).any():
+                return None
             cnt = _u32_at(a8, cur[a], le)
+            if (cur[a] + 4 + 16 * cnt.astype(np.int64) > ends[g3[a]]).any():
+                return None
             if k == 0:
                 shell_ok[a] = cnt > 0
             r_acc.append((a, np.full(len(a), k, dtype=np.int64),
@@ -296,6 +315,8 @@ def _decode_wkb_batch_vec(blobs):
             a = np.flatnonzero(poly_remaining > 0)
             if not len(a):
                 break
+            if (cur[a] + 9 > ends[g6[a]]).any():
+                return None
             hdr = a8[cur[a][:, None] + np.arange(5)]
             if (hdr != want3).any():
                 return None
@@ -309,7 +330,12 @@ def _decode_wkb_batch_vec(blobs):
                 aa = np.flatnonzero(rem_r > 0)
                 if not len(aa):
                     break
+                if (cur[a[aa]] + 4 > ends[g6[a[aa]]]).any():
+                    return None
                 cnt = _u32_at(a8, cur[a[aa]], le)
+                if (cur[a[aa]] + 4 + 16 * cnt.astype(np.int64)
+                        > ends[g6[a[aa]]]).any():
+                    return None
                 if rk == 0:
                     shell_ok[aa] = cnt > 0
                 r_acc.append((aa, np.full(len(aa), rk, dtype=np.int64),

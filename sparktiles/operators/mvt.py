@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from sparktiles.functions import geom as G
 from sparktiles.functions import mvtcodec as C
 from sparktiles.functions.tilemath import TILEBBOX_MAX, tile_bbox
+from sparktiles.functions.vecmvt import _ragged_arange
 
 DEFAULT_EXTENT = 4096
 _MASK29 = (1 << 29) - 1
@@ -250,9 +251,19 @@ def with_wkb_encoded_fields(features: DataFrame, spec,
         passthru = [key_field] + [c for c in passthru if c != key_field]
     if imp_col and imp_col not in passthru:
         passthru.append(imp_col)
+    # cap tie-break for keyless capped layers: _sk is constant 0 then,
+    # so carry the same raw column _prep_layer_features orders its
+    # window by (`key_field or needed[-1]` = the last projected
+    # attr/importance column) as `_ord` — keeps the normalized cap's
+    # selection deterministic and parity with the two-phase path
+    ord_col = (passthru[-1] if normalized and spec.max_features_per_tile
+               and not key_field and passthru else None)
     if normalized:
         nv = n_vals if n_vals is not None else len(attr_items)
         out_schema = norm_schema(nv) + (", _imp double" if add_imp else "")
+        if ord_col:
+            out_schema += (", _ord "
+                           + features.schema[ord_col].dataType.simpleString())
     else:
         in_schema = features.schema
         out_fields = ["zxy long"]
@@ -280,10 +291,9 @@ def with_wkb_encoded_fields(features: DataFrame, spec,
                 nk = len(ki)
                 out["_li"] = np.full(nk, layer_index, dtype=np.int32)
                 if key_field:
-                    fids = pdf[key_field].to_numpy()
-                    out["_sk"] = fids[ki]
-                    fall = fid_fields_vec(fids)
-                    out["_fidf"] = [fall[i] for i in ki.tolist()]
+                    fids = pdf[key_field].to_numpy()[ki]
+                    out["_sk"] = fids
+                    out["_fidf"] = fid_fields_vec(fids)
                 else:
                     out["_sk"] = np.zeros(nk, dtype=np.int64)
                     out["_fidf"] = [None] * nk
@@ -295,6 +305,8 @@ def with_wkb_encoded_fields(features: DataFrame, spec,
                 _vals_columns(out, col_blobs, ki, nv)
                 if add_imp:
                     out["_imp"] = pdf[imp_col].to_numpy()[ki]
+                if ord_col:
+                    out["_ord"] = pdf[ord_col].to_numpy()[ki]
             else:
                 for c in passthru:
                     out[c] = pdf[c].to_numpy()[ki]
@@ -365,9 +377,15 @@ def with_wkb_supercover_encoded_fields(features: DataFrame, spec,
         passthru = [key_field] + [c for c in passthru if c != key_field]
     if imp_col and imp_col not in passthru:
         passthru.append(imp_col)
+    # keyless-cap tie-break column — see with_wkb_encoded_fields
+    ord_col = (passthru[-1] if normalized and spec.max_features_per_tile
+               and not key_field and passthru else None)
     if normalized:
         nv = n_vals if n_vals is not None else len(attr_items)
         out_schema = norm_schema(nv) + (", _imp double" if add_imp else "")
+        if ord_col:
+            out_schema += (", _ord "
+                           + features.schema[ord_col].dataType.simpleString())
     else:
         in_schema = features.schema
         out_fields = ["zxy long"]
@@ -390,6 +408,7 @@ def with_wkb_supercover_encoded_fields(features: DataFrame, spec,
                     pdf[key_field].to_numpy()) if key_field else None
                 sk_all = pdf[key_field].to_numpy() if key_field else None
                 imp_all = pdf[imp_col].to_numpy() if add_imp else None
+                ord_all = pdf[ord_col].to_numpy() if ord_col else None
 
             def flush(idx, zs, xs, ys):
                 gf, gt = wkb_row_fields_vec(
@@ -413,6 +432,8 @@ def with_wkb_supercover_encoded_fields(features: DataFrame, spec,
                     _vals_columns(out, col_blobs, ki, nv)
                     if add_imp:
                         out["_imp"] = imp_all[ki]
+                    if ord_col:
+                        out["_ord"] = ord_all[ki]
                 else:
                     for c in passthru:
                         out[c] = pdf[c].to_numpy()[ki]
@@ -579,12 +600,16 @@ def normalize_layer_df(features: DataFrame, spec,
         order = []
         if spec.importance_col:
             order.append(F.desc("_imp"))
-        order.append(F.col("_sk"))
+        # keyed layers: _sk IS the key column; keyless: _sk is constant
+        # 0, so order by the carried raw tie-break column instead
+        # (mirrors _prep_layer_features' `key_field or needed[-1]`)
+        order.append(F.col("_ord" if "_ord" in norm.columns else "_sk"))
         w = Window.partitionBy("zxy").orderBy(*order)
         norm = (norm.withColumn("_dr", F.row_number().over(w))
                 .where(F.col("_dr") <= cap).drop("_dr"))
-    if "_imp" in norm.columns:
-        norm = norm.drop("_imp")
+    for aux in ("_imp", "_ord"):
+        if aux in norm.columns:
+            norm = norm.drop(aux)
     return norm
 
 
@@ -652,7 +677,7 @@ def assemble_normalized(norm: DataFrame, specs,
                 if ff is None:
                     ff = b""
                 gf = geomf[r]
-                tfield = _GTYPE_FIELD_BYTES[int(gts[r])]
+                tfield = C._GTYPE_FIELD[int(gts[r])]
                 body_len = len(ff) + len(tags) + 2 + len(gf)
                 parts.append(b"\x12" + vc(body_len) + ff + tags + tfield + gf)
             body = header
@@ -673,8 +698,6 @@ def assemble_normalized(norm: DataFrame, specs,
         sort_extra=["_li", "_sk"],
     )
 
-
-_GTYPE_FIELD_BYTES = {g: b"\x18" + bytes([g]) for g in (1, 2, 3)}
 
 
 # ------------------------------------------------------------- grouped map
@@ -736,7 +759,7 @@ def grouped_map_sorted(
         lens = np.minimum(ends - starts, cap)
         if int(lens.sum()) == int(ends[-1] - starts[0]) and starts[0] == 0:
             return arrs, starts, ends
-        sel = np.repeat(starts, lens) + _group_local_arange(lens)
+        sel = np.repeat(starts, lens) + _ragged_arange(lens)
         arrs = {c: arrs[c][sel] for c in cols}
         new_ends = np.cumsum(lens)
         new_starts = np.concatenate([[0], new_ends[:-1]])
@@ -751,11 +774,6 @@ def grouped_map_sorted(
             if leftover is not None:
                 arrs = {c: np.concatenate([leftover[c], arrs[c]]) for c in in_cols}
                 leftover = None
-            if prep is not None:
-                # batch-level vectorized precompute (group-independent
-                # per-row pieces); held-back rows are re-prepped with
-                # the next batch since leftover keeps only raw columns
-                arrs = {**arrs, **prep(arrs)}
             k = packed_key(arrs)
             # boundary indices between consecutive distinct keys
             cuts = np.flatnonzero(k[1:] != k[:-1]) + 1
@@ -801,16 +819,6 @@ def grouped_map_sorted(
     return part.mapInPandas(run, out_schema)
 
 
-def _group_local_arange(counts: np.ndarray) -> np.ndarray:
-    """[0..c0), [0..c1), ... concatenated."""
-    total = int(counts.sum())
-    if total == 0:
-        return np.zeros(0, dtype=np.int64)
-    starts = np.zeros(len(counts), dtype=np.int64)
-    starts[1:] = np.cumsum(counts[:-1])
-    return np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
-
-
 # ------------------------------------------------------------- layer encode
 
 @dataclass
@@ -846,10 +854,13 @@ def _attr_value(v, kind: str):
     if kind == "number":
         # integer inputs stay exact ints (MVT int_value is 64-bit) — no
         # round-trip through float, which would lose |v| >= 2**53;
-        # float inputs become int only when exactly representable
+        # float inputs become int only when exactly representable.
+        # int_value is an int64: anything outside its range would WRAP
+        # in the varint encoder, so demote those to double instead
         if isinstance(v, (int, np.integer)) and not isinstance(
                 v, (bool, np.bool_)):
-            return int(v)
+            iv = int(v)
+            return iv if -(2 ** 63) <= iv < 2 ** 63 else float(iv)
         f = float(v)
         return int(f) if f.is_integer() and abs(f) < 2**53 else f
     return str(v)
@@ -870,6 +881,10 @@ def _attr_convert_batch(vals: np.ndarray, kind: str) -> np.ndarray:
     if kind == "number":
         if vals.dtype.kind in "iu":
             out[:] = vals.tolist()                      # python ints
+            if vals.dtype.kind == "u" and vals.dtype.itemsize == 8:
+                big = np.flatnonzero(vals >= np.uint64(2 ** 63))
+                for i in big.tolist():                  # int64 overflow
+                    out[i] = float(out[i])              # -> double_value
             return out
         if vals.dtype.kind == "f":
             f = vals.astype(np.float64, copy=False)

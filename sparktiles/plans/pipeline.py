@@ -458,6 +458,8 @@ class TileBuild:
             )
             images.write.mode("overwrite").parquet(self._img_path(z))
             tiles.unpersist()
+            if n_gen_listed is not None:
+                gen_list.unpersist()
 
             persisted = self.read_tile_map(z)
             n_tiles = persisted.count()

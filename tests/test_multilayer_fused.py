@@ -206,3 +206,39 @@ def test_kernel_cap_matches_window_cap(spark):
     # sanity: cap actually binds somewhere
     full = _tiles_dict(encode_and_assemble_single(assigned, uncapped, 6))
     assert any(full[k] != got[k] for k in got)
+
+
+def test_fused_keyless_capped_wkb_parity_and_determinism(spark):
+    """Density cap on a KEYLESS WKB layer: the normalized frame's _sk
+    is constant 0 there, so the cap window must order by the carried
+    raw tie-break column (_ord — same `key_field or needed[-1]` rule as
+    the two-phase window) for a deterministic selection and byte parity
+    with the two-phase path. rank_n is unique per feature so the cap
+    pick is tie-free."""
+    lines = generate_lines(spark, n=60).withColumn(
+        "rank_n", F.col("line_id").cast("double")).drop("line_id")
+    spec = LayerSpec(layer_id="roads", index=0,
+                     attr_fields={"class": "string", "rank_n": "number"},
+                     key_field=None, buffer_px=4, geometry_kind="wkb",
+                     max_features_per_tile=3)
+
+    def two_phase():
+        la = assign_supercover_tiles_multi(lines, 0, ZMAX, buffer_px=4)
+        return assemble_tiles(encode_layer_df(la, spec), None)
+
+    def fused():
+        nb = normalize_layer_df(lines, spec, zoom_range=(0, ZMAX), n_vals=2)
+        assert "_ord" not in nb.columns  # dropped before the union
+        return assemble_normalized(nb, [spec], None)
+
+    want = _tiles_dict(two_phase())
+    got = _tiles_dict(fused())
+    assert got == want
+    assert got == _tiles_dict(fused())  # stable across runs
+    assert len(got) > 10
+    # the cap actually bit somewhere: some tile holds exactly 3 features
+    from sparktiles.functions.mvtcodec import decode_tile
+
+    n_feats = [len(decode_tile(mvt)["roads"]["features"])
+               for mvt, _tid in got.values()]
+    assert max(n_feats) == 3

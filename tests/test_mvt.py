@@ -234,6 +234,19 @@ def test_attr_convert_batch_fuzz_parity():
     assert type(_av(2**53 + 1, "number")) is int
     assert _av(float(2**53), "number") == float(2**53)
     assert type(_av(float(2**53), "number")) is float
+    # ints OUTSIDE int64 (uint64 hash columns, python bigints) demote
+    # to double_value on both paths — int_value is an int64 varint and
+    # would silently wrap them (ADVICE r5)
+    check(np.array([2**63, 2**64 - 1, 2**63 - 1, 5], dtype=np.uint64),
+          "number")
+    check(np.array([None, 2**63, -(2**63) - 1, 2**70, -(2**63), 7],
+                   dtype=object), "number")
+    assert _av(2**63, "number") == float(2**63)
+    assert type(_av(2**63, "number")) is float
+    assert _av(-(2**63), "number") == -(2**63)
+    assert type(_av(-(2**63), "number")) is int
+    from sparktiles.functions.mvtcodec import decode_value, encode_value
+    assert decode_value(encode_value(_av(2**63, "number"))) == float(2**63)
     f = rng.randn(n) * 10 ** rng.randint(0, 12, size=n)
     f[::7] = np.nan
     f[::11] = np.rint(f[::11])

@@ -364,3 +364,57 @@ def test_decode_wkb_batch_vec_scalar_parity():
     a = decode_wkb_batch(mixed)
     b = _decode_wkb_batch_scalar(mixed)
     flats_equal(a, b)
+
+
+def test_truncated_wkb_bails_out_of_vec_path():
+    """Corrupt/truncated blobs must not silently gather coordinate
+    bytes from the NEXT rep in the concatenated buffer: the vec walk
+    bounds-checks every count/span read against the owning rep's end
+    and returns None (scalar fallback, which raises), at every
+    structure level and for the truncated-blob-last case too."""
+    import struct
+
+    from sparktiles.functions.vecmvt import (
+        _decode_wkb_batch_scalar,
+        _decode_wkb_batch_vec,
+    )
+
+    rng = np.random.RandomState(7)
+
+    def head(code):
+        return b"\x01" + struct.pack("<I", code)
+
+    def ls(nv, claim=None):
+        b = head(2) + struct.pack("<I", claim if claim is not None else nv)
+        for _ in range(nv):
+            b += struct.pack("<dd", *(rng.randn(2) * 1e6))
+        return b
+
+    def poly(rings, claim_first=None):
+        b = head(3) + struct.pack("<I", len(rings))
+        for k, nv in enumerate(rings):
+            n_claim = claim_first if (k == 0 and claim_first) else nv
+            b += struct.pack("<I", n_claim)
+            for _ in range(nv):
+                b += struct.pack("<dd", *(rng.randn(2) * 1e6))
+        return b
+
+    good = ls(4)
+    bad_cases = [
+        ls(4, claim=10),                 # LineString: count > held verts
+        ls(4)[:-5],                      # truncated coord bytes
+        head(1) + b"\x00" * 8,           # Point: 8 of 16 coord bytes
+        head(4) + struct.pack("<I", 3) + (head(1) + b"\x00" * 16),  # MultiPoint
+        poly([4, 4], claim_first=9),     # Polygon ring overruns
+        head(5) + struct.pack("<I", 2) + ls(3),   # MultiLineString missing part
+        head(6) + struct.pack("<I", 1) + poly([4], claim_first=7)[0:],  # MPoly
+    ]
+    for j, bad in enumerate(bad_cases):
+        for blobs in ([good, bad, good], [good, bad]):  # bad mid + bad LAST
+            arr = np.array(blobs, dtype=object)
+            assert _decode_wkb_batch_vec(arr) is None, (j, len(blobs))
+            with pytest.raises(Exception):
+                _decode_wkb_batch_scalar(arr)
+    # well-formed batches still take the vec path
+    assert _decode_wkb_batch_vec(np.array([good, good], dtype=object)) \
+        is not None

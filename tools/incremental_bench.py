@@ -279,9 +279,16 @@ def main():
                    | (F.col("feature_id") <= F.col("thr"))
                    | F.col("_tch").isNotNull()) \
             .drop("thr", "_tch")
-        low_fallback = low_all.join(
-            F.broadcast(bad), ["z", "x", "y"], "left_semi")
-        low = low_pruned.unionByName(low_fallback)
+        if phases["n_lowcap_fallback_tiles"]:
+            # true full scan for bad tiles: re-assign from the UNFILTERED
+            # corpus (low_all for zooms <= kpre was prefiltered to the
+            # maxthr window, so it cannot serve as the fallback source)
+            low_fallback = assign_point_tiles_multi(
+                feats2, 0, PRUNE_Z - 1, buffer_px=BUF) \
+                .join(F.broadcast(bad), ["z", "x", "y"], "left_semi")
+            low = low_pruned.unionByName(low_fallback)
+        else:
+            low = low_pruned
         phases["lowcap_guard_s"] = round(time.time() - t0, 2)
         if os.environ.get("INC_DEBUG"):
             t0 = time.time(); phases["dbg_low_rows"] = low.count()
