@@ -65,10 +65,18 @@ def main():
                "compute_eff": ce, "bandwidth_eff": be}
         print(f"[watch] attempt {attempt}: compute_eff={ce} "
               f"bandwidth_eff={be} load={load1:.1f}", flush=True)
-        if ce < GATE:
+        # single-core speed floor: quiet-box history reads ~480-570;
+        # both rejected r5 draws started a leg at 406-432 (co-tenant or
+        # interactive load) — don't fire into that state at all
+        sys.path.insert(0, str(ROOT / "tools"))
+        from scaling_bench import core_index
+        ci = core_index()
+        rec["core_index"] = round(ci, 1)
+        if ce < GATE or ci < 480:
             rec["fired"] = False
             with OUT.open("a") as f:
                 f.write(json.dumps(rec) + "\n")
+            print(f"[watch] not firing (ci={ci:.0f})", flush=True)
             time.sleep(600)
             continue
         # quiet window: fire one pinned run (the 2-core leg of a 400k
@@ -93,6 +101,17 @@ def main():
         except Exception:
             rec["compute_eff_after"] = None
         rec["clean"] = (rec["compute_eff_after"] or 0) >= GATE
+        # per-leg core-index stability: all four before/after readings
+        # in the quiet band and within 12% of each other — catches the
+        # mid-phase decay that inflated draw 1's early N legs
+        try:
+            cis = [run[leg][k] for leg in ("N(local[2])", "4N(local[8])")
+                   for k in ("core_index_before", "core_index_after")]
+            rec["ci_stable"] = (min(cis) >= 470
+                               and max(cis) / min(cis) <= 1.12)
+        except Exception:
+            rec["ci_stable"] = False
+        rec["clean"] = rec["clean"] and rec["ci_stable"]
         with OUT.open("a") as f:
             f.write(json.dumps(rec) + "\n")
         te = run.get("scaling_efficiency_tiles")
