@@ -766,53 +766,73 @@ def grouped_map_sorted(
         return arrs, new_starts, new_ends
 
     def run(batches):
-        leftover = None  # dict of numpy arrays for the trailing group
+        # trailing-group carry: a CHUNK LIST (one slice per batch the
+        # group spans), concatenated exactly once when the group
+        # completes — a hot group spanning B batches (z0 = the whole
+        # corpus in one group) costs O(n) copies, not the O(n*B) of
+        # re-concatenating an accumulator every batch
+        held: list[dict] = []
+        held_n = 0
+        held_key = 0
+
+        def flush_held():
+            if len(held) == 1:
+                arrs = held[0]
+            else:
+                arrs = {c: np.concatenate([ch[c] for ch in held])
+                        for c in in_cols}
+            if group_cap is not None:
+                arrs = {c: arrs[c][:group_cap] for c in in_cols}
+            if prep is not None:
+                arrs = {**arrs, **prep(arrs)}
+            return fn(arrs, 0, len(arrs[in_cols[0]]))
+
         for pdf in batches:
             if not len(pdf):
                 continue
             arrs = {c: pdf[c].to_numpy() for c in in_cols}
-            if leftover is not None:
-                arrs = {c: np.concatenate([leftover[c], arrs[c]]) for c in in_cols}
-                leftover = None
             k = packed_key(arrs)
+            rows = []
+            start0 = 0
+            if held:
+                if int(k[0]) == held_key:
+                    diff = np.flatnonzero(k != k[0])
+                    cut0 = int(diff[0]) if len(diff) else len(k)
+                    if group_cap is None or held_n < group_cap:
+                        take = cut0 if group_cap is None else min(
+                            cut0, group_cap - held_n)
+                        held.append({c: arrs[c][:take] for c in in_cols})
+                        held_n += take
+                    if cut0 == len(k):
+                        continue  # whole batch continues the held group
+                    start0 = cut0
+                rows.extend(flush_held())
+                held, held_n = [], 0
             # boundary indices between consecutive distinct keys
-            cuts = np.flatnonzero(k[1:] != k[:-1]) + 1
-            starts = np.concatenate([[0], cuts])
+            kk = k[start0:]
+            cuts = np.flatnonzero(kk[1:] != kk[:-1]) + 1 + start0
+            starts = np.concatenate([[start0], cuts])
             ends = np.concatenate([cuts, [len(k)]])
             # hold back the final group — it may continue in next batch
-            if len(starts) > 1:
-                hold = starts[-1]
-                he = min(ends[-1], hold + group_cap) if group_cap else ends[-1]
-                leftover = {c: arrs[c][hold:he] for c in in_cols}
-                starts, ends = starts[:-1], ends[:-1]
-            else:
-                he = min(ends[-1], group_cap) if group_cap else ends[-1]
-                leftover = {c: arrs[c][:he] for c in in_cols}
-                continue
-            if group_cap is not None:
-                arrs, starts, ends = _cap_groups(
-                    arrs, starts, ends, group_cap, in_cols)
-            if prep is not None:
-                arrs = {**arrs, **prep(arrs)}
-            rows = []
-            for s, e in zip(starts, ends):
-                rows.extend(fn(arrs, int(s), int(e)))
+            hold = int(starts[-1])
+            he = min(int(ends[-1]), hold + group_cap) if group_cap \
+                else int(ends[-1])
+            held = [{c: arrs[c][hold:he] for c in in_cols}]
+            held_n = he - hold
+            held_key = int(k[hold])
+            starts, ends = starts[:-1], ends[:-1]
+            if len(starts):
+                if group_cap is not None:
+                    arrs, starts, ends = _cap_groups(
+                        arrs, starts, ends, group_cap, in_cols)
+                if prep is not None:
+                    arrs = {**arrs, **prep(arrs)}
+                for s, e in zip(starts, ends):
+                    rows.extend(fn(arrs, int(s), int(e)))
             if rows:
                 yield pd.DataFrame(rows, columns=out_cols)
-        if leftover is not None and len(next(iter(leftover.values()))):
-            arrs = leftover
-            k = packed_key(arrs)
-            cuts = np.flatnonzero(k[1:] != k[:-1]) + 1
-            starts = np.concatenate([[0], cuts])
-            ends = np.concatenate([cuts, [len(k)]])
-            if group_cap is not None:
-                arrs, starts, ends = _cap_groups(
-                    arrs, starts, ends, group_cap, in_cols)
-            if prep is not None:
-                arrs = {**arrs, **prep(arrs)}
-            rows = []
-            for s, e in zip(starts, ends):
-                rows.extend(fn(arrs, int(s), int(e)))
+        if held and held_n:
+            rows = flush_held()
             if rows:
                 yield pd.DataFrame(rows, columns=out_cols)
 

@@ -242,3 +242,36 @@ def test_fused_keyless_capped_wkb_parity_and_determinism(spark):
     n_feats = [len(decode_tile(mvt)["roads"]["features"])
                for mvt, _tid in got.values()]
     assert max(n_feats) == 3
+
+
+def test_batch_spanning_groups_chunked_carry(spark):
+    """Groups spanning many Arrow batches (the z0 hot-tile shape) are
+    carried as a chunk list and concatenated once; bytes must be
+    identical to the single-batch run, with and without a key-ordered
+    kernel cap, including when one group spans ALL batches."""
+    feats = build_features(generate_pages(spark, 400))
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key, None)
+
+    def build(cap):
+        spec = LayerSpec(layer_id="place", index=0,
+                         attr_fields={"name": "string"}, buffer_px=8,
+                         max_features_per_tile=cap)
+        from sparktiles.operators.mvt import encode_and_assemble_single
+        assigned = assign_point_tiles_multi(feats, 0, 2, buffer_px=8)
+        return _tiles_dict(encode_and_assemble_single(assigned, spec, None))
+
+    try:
+        for cap in (None, 7):
+            spark.conf.set(key, "10000")
+            want = build(cap)
+            spark.conf.set(key, "37")  # z0 group spans ~11 batches
+            got = build(cap)
+            assert got == want, f"cap={cap}"
+            assert (0, 0, 0) in got  # the whole-corpus z0 group
+            assert len(want) == 21   # z0-z2 full universe
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
