@@ -29,9 +29,16 @@ def get_spark(
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
         shuffle_partitions = max(2 * cpus, 8)
+    b = SparkSession.builder.appName(app_name)
+    # Under spark-submit the JVM gateway already exists (PythonRunner
+    # exports PYSPARK_GATEWAY_PORT) and carries the --master / cluster
+    # deploy conf; forcing local[N] here would silently turn a cluster
+    # job into a driver-local one. Only self-managed sessions pick a
+    # local master.
+    if "PYSPARK_GATEWAY_PORT" not in os.environ:
+        b = b.master(f"local[{cpus}]")
     b = (
-        SparkSession.builder.appName(app_name)
-        .master(f"local[{cpus}]")
+        b
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
