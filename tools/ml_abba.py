@@ -19,8 +19,11 @@ Protocol per rep (fresh pinned JVM, like a cluster executor):
   the rep time (first run absorbs JIT/codegen warmup).
 
 usage: python tools/ml_abba.py [n_pages] [maxzoom] [low] [high]
+       python tools/ml_abba.py --single [n_pages] [maxzoom] [low] [high]
        (defaults 400000 10 2 8)
-Writes BENCH_SCALING_R5_ABBA.json and prints it.
+--single measures the single-layer fused encode phase instead (same
+workload as tools/ml_stagedecomp.py --single). Writes
+BENCH_SCALING_R5_ABBA.json (or BENCH_SINGLE_ABBA.json) and prints it.
 """
 
 from __future__ import annotations
@@ -65,7 +68,8 @@ def prep(n_pages: int, feats_dir: str) -> None:
     spark.stop()
 
 
-def run_rep(cpus: int, maxzoom: int, feats_dir: str, n_pages: int) -> dict:
+def run_rep(cpus: int, maxzoom: int, feats_dir: str, n_pages: int,
+            single: bool = False) -> dict:
     os.environ["SPARK_DRIVER_MEM"] = "24g"
     from sparktiles.operators.mvt import LayerSpec
     from sparktiles.plans.config import FieldDef, LayerDef, TilesetDef
@@ -81,7 +85,10 @@ def run_rep(cpus: int, maxzoom: int, feats_dir: str, n_pages: int) -> dict:
                       extra_conf={"spark.ui.enabled": "true"})
     spark.sparkContext.setLogLevel("ERROR")
 
-    feats = spark.read.parquet(feats_dir).cache()
+    # prep writes few large parquet files; a real corpus at this per-core
+    # scale arrives as many splits. Repartition (untimed, absorbed into
+    # cache materialization) so the map stage isn't granularity-starved.
+    feats = spark.read.parquet(feats_dir).repartition(4 * cpus).cache()
     out["n_features"] = feats.count()
     tileset = TilesetDef(
         name="scaling",
@@ -107,15 +114,30 @@ def run_rep(cpus: int, maxzoom: int, feats_dir: str, n_pages: int) -> dict:
     base = "/dev/shm" if Path("/dev/shm").exists() else None
     store = tempfile.mkdtemp(prefix=f"sparktiles_abba_{cpus}_", dir=base)
     try:
-        mlb = TileBuild(spark, ml_frames, BuildConfig(
-            store_dir=store + "/ml", minzoom=0, maxzoom=maxzoom,
-            mid_zoom=6, gzip_level=6))
+        if single:
+            from sparktiles.operators.mvt import encode_and_assemble_single
+            from sparktiles.operators.pyramid import assign_point_tiles_multi
+            spec_ = ml_frames[0][0]
+
+            def build_once():
+                assigned = assign_point_tiles_multi(
+                    f_, 0, maxzoom, buffer_px=spec_.buffer_px)
+                encode_and_assemble_single(assigned, spec_, 6) \
+                    .write.mode("overwrite").partitionBy("z") \
+                    .parquet(store + "/ml_tiles")
+        else:
+            mlb = TileBuild(spark, ml_frames, BuildConfig(
+                store_dir=store + "/ml", minzoom=0, maxzoom=maxzoom,
+                mid_zoom=6, gzip_level=6))
+
+            def build_once():
+                mlb._build_tiles((0, maxzoom), None).write \
+                    .mode("overwrite").partitionBy("z") \
+                    .parquet(store + "/ml_tiles")
         times = []
         for _ in range(2):
             t0 = time.time()
-            tiles = mlb._build_tiles((0, maxzoom), None)
-            tiles.write.mode("overwrite").partitionBy("z").parquet(
-                store + "/ml_tiles")
+            build_once()
             times.append(round(time.time() - t0, 2))
         out["ml_times_s"] = times
         out["ml_encode_s"] = min(times)
@@ -132,17 +154,22 @@ def main() -> None:
     if sys.argv[1:2] == ["--rep"]:
         cpus, maxzoom, feats_dir, n_pages = (
             int(sys.argv[2]), int(sys.argv[3]), sys.argv[4], int(sys.argv[5]))
+        single = sys.argv[6:7] == ["single"]
         print("REPRESULT " + json.dumps(run_rep(cpus, maxzoom, feats_dir,
-                                                n_pages)))
+                                                n_pages, single=single)))
         return
     if sys.argv[1:2] == ["--prep"]:
         prep(int(sys.argv[2]), sys.argv[3])
         return
 
-    n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 400_000
-    maxzoom = int(sys.argv[2]) if len(sys.argv) > 2 else 10
-    low = int(sys.argv[3]) if len(sys.argv) > 3 else 2
-    high = int(sys.argv[4]) if len(sys.argv) > 4 else 8
+    argv = sys.argv[1:]
+    single = argv[:1] == ["--single"]
+    if single:
+        argv = argv[1:]
+    n_pages = int(argv[0]) if len(argv) > 0 else 400_000
+    maxzoom = int(argv[1]) if len(argv) > 1 else 10
+    low = int(argv[2]) if len(argv) > 2 else 2
+    high = int(argv[3]) if len(argv) > 3 else 8
 
     base = "/dev/shm" if Path("/dev/shm").exists() else None
     work = tempfile.mkdtemp(prefix="sparktiles_abba_in_", dir=base)
@@ -153,7 +180,8 @@ def main() -> None:
         reps = []
         for i, cpus in enumerate((low, high, high, low)):
             cmd = [sys.executable, __file__, "--rep", str(cpus),
-                   str(maxzoom), feats_dir, str(n_pages)]
+                   str(maxzoom), feats_dir, str(n_pages)] \
+                + (["single"] if single else [])
             if shutil.which("taskset"):
                 cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
             proc = subprocess.run(cmd, capture_output=True, text=True,
@@ -188,9 +216,11 @@ def main() -> None:
     p1, p2 = pair(a1, b1), pair(a2, b2)
     cis = [x for r in reps
            for x in (r["core_index_before"], r["core_index_after"])]
+    phase_name = "single-layer fused encode" if single else "ml"
     result = {
-        "protocol": f"ABBA ml-phase only, A=local[{low}] B=local[{high}] "
-                    "pinned, min-of-2 per rep, fresh JVM per rep",
+        "protocol": f"ABBA {phase_name} phase only, A=local[{low}] "
+                    f"B=local[{high}] pinned, min-of-2 per rep, "
+                    "fresh JVM per rep",
         "n_pages": n_pages, "maxzoom": maxzoom,
         "reps": reps,
         "pair1": p1, "pair2": p2,
@@ -201,8 +231,9 @@ def main() -> None:
             {r["ml_nonempty_tiles"] for r in reps}) == 1,
     }
     print(json.dumps(result, indent=1))
-    (ROOT / "BENCH_SCALING_R5_ABBA.json").write_text(
-        json.dumps(result, indent=1))
+    out_name = "BENCH_SINGLE_ABBA.json" if single \
+        else "BENCH_SCALING_R5_ABBA.json"
+    (ROOT / out_name).write_text(json.dumps(result, indent=1))
 
 
 if __name__ == "__main__":

@@ -67,7 +67,9 @@ def run_leg(cpus: int, maxzoom: int, feats_dir: str, n_pages: int,
     spark = get_spark(f"ml-decomp-{cpus}", cpus=cpus,
                       extra_conf={"spark.ui.enabled": "true"})
     spark.sparkContext.setLogLevel("ERROR")
-    feats = spark.read.parquet(feats_dir).cache()
+    # same input-granularity treatment as ml_abba.run_rep: prep writes few
+    # large files; repartition (untimed) to the splits a real corpus has
+    feats = spark.read.parquet(feats_dir).repartition(4 * cpus).cache()
     feats.count()
     tileset = TilesetDef(
         name="scaling",
