@@ -188,7 +188,9 @@ def main():
         # with broadcast anti-join, NOT a full-table copy
         feats2 = feats1.join(F.broadcast(diff), "url", "left_anti") \
             .unionByName(feats_touched.select(*feats1.columns))
-        phases["n_feats2"] = feats2.count()
+        # (its row count is instrumentation, not pipeline work — counted
+        # untimed after the pass)
+        inv_count["feats2"] = feats2
         phases["feature_merge_s"] = round(time.time() - t0, 2)
         # coarse pruning (the Iceberg cell-partition-pruning stand-in):
         # only features in a PRUNE_Z cell overlapping the invalidation
@@ -220,10 +222,26 @@ def main():
         phases["prune_s"] = round(time.time() - t0, 2)
         high = assign_point_tiles_multi(cand, PRUNE_Z, MAXZ, buffer_px=BUF) \
             .join(inv.where(F.col("z") >= PRUNE_Z), ["z", "x", "y"], "left_semi")
-        # low zooms: candidates cut to the standing threshold window
-        # (+ every touched feature). Guard: if any tile lost more than
-        # S_SLACK//2 old in-window features, its slack may not cover
-        # the cap backfill -> that tile falls back to the full scan.
+        # low zooms: two exact pruning regimes (both guarded by the
+        # final merged == full-rebuild equality check):
+        #   mid-low [PRUNE_Z-3, PRUNE_Z-1] — STANDING-cell-index
+        #     pruning. A z-tile's 8px buffered envelope is 8/4096 of a
+        #     tile width = 2^(6-z-9) PRUNE_Z-cell widths (< 1 cell for
+        #     every z < PRUNE_Z), so it lies inside the tile's PRUNE_Z
+        #     descendants + their ring-1 neighbors: the tile's
+        #     candidates are a semi-join of the cell index against that
+        #     driver-enumerated (few-hundred-cell) set — no corpus
+        #     fan-out. These are exactly the zooms where cap thresholds
+        #     usually DON'T exist (a z5 window holds ~corpus/1024 <
+        #     cap+slack features — untruncated), which previously
+        #     forced the full fan-out.
+        #   deep-low [0, PRUNE_Z-4] — threshold-window prefilter
+        #     (+ every touched feature): these tiles aggregate too many
+        #     cells for the index but are always deeply truncated by
+        #     the density cap. Guard: if any tile lost more than
+        #     S_SLACK//2 old in-window features, its slack may not
+        #     cover the cap backfill -> that tile falls back to the
+        #     full scan.
         t0 = time.time()
         inv_low = inv.where(F.col("z") < PRUNE_Z)
         old_changed_low = assign_point_tiles_multi(
@@ -246,10 +264,36 @@ def main():
         # to the threshold window for those zooms. Zooms with any
         # untruncated invalidated tile keep the full fan-out (exact).
         inv_low_rows = [(r.z, r.x, r.y) for r in inv_low.collect()]
+        CELL_OK_Z = PRUNE_Z - 3
+        n_cells = 1 << PRUNE_Z
+        cells = set()
+        for z, x, y in inv_low_rows:
+            if z < CELL_OK_Z:
+                continue
+            s = PRUNE_Z - z
+            for cx in range((x << s) - 1, ((x + 1) << s) + 1):
+                for cy in range(max(0, (y << s) - 1),
+                                min(n_cells - 1, ((y + 1) << s)) + 1):
+                    cells.add((cx % n_cells, cy))
+        phases["n_mid_cells"] = len(cells)
+        if cells:
+            mid_cells = spark.createDataFrame(sorted(cells), "x int, y int")
+            inv_mid = inv_low.where(F.col("z") >= CELL_OK_Z)
+            cand_mid_ids = feats1_cells \
+                .join(F.broadcast(diff), "url", "left_anti") \
+                .join(F.broadcast(mid_cells), ["x", "y"], "left_semi") \
+                .select("feature_id").dropDuplicates(["feature_id"])
+            cand_mid = feats1.join(cand_mid_ids, "feature_id", "left_semi") \
+                .unionByName(feats_touched.select(*feats1.columns))
+            mid_low = assign_point_tiles_multi(
+                cand_mid, CELL_OK_Z, PRUNE_Z - 1, buffer_px=BUF) \
+                .join(F.broadcast(inv_mid), ["z", "x", "y"], "left_semi")
+        else:
+            mid_low = None
         thr_map = {(r.z, r.x, r.y): r.thr for r in thr_low.join(
             F.broadcast(inv_low), ["z", "x", "y"], "left_semi").collect()}
         kpre = -1
-        for z in range(0, PRUNE_Z):
+        for z in range(0, CELL_OK_Z):
             tiles_z = [t for t in inv_low_rows if t[0] == z]
             if tiles_z and all(t in thr_map for t in tiles_z):
                 kpre = z
@@ -258,18 +302,29 @@ def main():
         def _asg(df, z0, z1):
             return assign_point_tiles_multi(df, z0, z1, buffer_px=BUF) \
                 .join(F.broadcast(inv_low), ["z", "x", "y"], "left_semi")
-        if kpre >= 0:
+        deep_rows = [t for t in inv_low_rows if t[0] < CELL_OK_Z]
+        if not deep_rows:
+            low_deep = None
+        elif kpre >= 0:
             maxthr = max(v for (z, _x, _y), v in thr_map.items()
                          if z <= kpre)
             pre = feats2.join(F.broadcast(tch), "url", "left") \
                 .where((F.col("feature_id") <= F.lit(maxthr))
                        | F.col("_tch").isNotNull()).drop("_tch")
-            low_all = _asg(pre, 0, kpre)
-            if kpre + 1 < PRUNE_Z:
-                low_all = low_all.unionByName(
-                    _asg(feats2, kpre + 1, PRUNE_Z - 1))
+            low_deep = _asg(pre, 0, kpre)
+            if kpre + 1 < CELL_OK_Z:
+                low_deep = low_deep.unionByName(
+                    _asg(feats2, kpre + 1, CELL_OK_Z - 1))
         else:
-            low_all = _asg(feats2, 0, PRUNE_Z - 1)
+            low_deep = _asg(feats2, 0, CELL_OK_Z - 1)
+        if low_deep is None and mid_low is None:
+            low_all = _asg(feats2.limit(0), 0, 0)
+        elif low_deep is None:
+            low_all = mid_low
+        elif mid_low is None:
+            low_all = low_deep
+        else:
+            low_all = low_deep.unionByName(mid_low)
         phases["n_lowpre_zooms"] = kpre + 1
         low_pruned = low_all \
             .join(F.broadcast(bad), ["z", "x", "y"], "left_anti") \
@@ -349,6 +404,7 @@ def main():
     phases["regenerate_delta_s"] = round(time.time() - t0, 2)
     out["incremental_s"] = round(time.time() - t_all, 2)
     out["invalidated_tiles"] = inv_count["n"]
+    phases["n_feats2"] = inv_count.pop("feats2").count()  # untimed
     out.update(phases)
 
     # ---- from-scratch rebuild of snapshot 2
