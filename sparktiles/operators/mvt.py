@@ -739,9 +739,27 @@ def grouped_map_sorted(
     """
     import pandas as pd
 
-    part = df.repartition(*[F.col(k) for k in keys]).sortWithinPartitions(
-        *(keys + (sort_extra or []))
-    )
+    # Partition-count policy for this exchange (measured, BENCH.md
+    # round-5 "granularity" section): encode cost is CPU-per-row while
+    # AQE sizes by shuffle BYTES, and in the fused build the same
+    # tasks also write the partitioned store, where every extra
+    # partition costs ~35 ms of file/commit overhead. So the optimum
+    # depends on compute-per-task: a compute-heavy corpus wants >= 1
+    # wave per core (AQE's byte advisory starved an 8-core 988k-point
+    # encode down to 3-8 tasks -> idle_share 0.47), while a small
+    # corpus wants AQE's few-large-files choice (forcing 128
+    # partitions on the sf0.1 bench cost +70% wall, all in the
+    # write). Default: AQE-managed. Set
+    # `spark.sparktiles.encodePartitions` (e.g. 4x total cores) when
+    # encode compute, not file count, dominates — the scaling tools
+    # do.
+    n_enc = df.sparkSession.conf.get("spark.sparktiles.encodePartitions", None)
+    part_cols = [F.col(k) for k in keys]
+    part = (
+        df.repartition(int(n_enc), *part_cols)
+        if n_enc
+        else df.repartition(*part_cols)
+    ).sortWithinPartitions(*(keys + (sort_extra or [])))
 
     out_cols = [s.strip().split()[0].strip("`") for s in out_schema.split(",")]
     in_cols = [f.name for f in df.schema]

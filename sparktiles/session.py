@@ -28,13 +28,7 @@ def get_spark(
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
-        # 4 waves per core: the encode stages are grouped-map pandas UDFs
-        # whose per-partition cost is CPU-dominated and mildly skewed by
-        # tile density, so one-task-per-core schedules straggle (measured
-        # idle_share 0.47 at 8 cores with 8-12 tasks,
-        # BENCH_SINGLE_STAGEDECOMP.json). AQE still coalesces when the
-        # data is genuinely small.
-        shuffle_partitions = max(4 * cpus, 16)
+        shuffle_partitions = max(2 * cpus, 8)
     b = SparkSession.builder.appName(app_name)
     # Under spark-submit the JVM gateway already exists (PythonRunner
     # exports PYSPARK_GATEWAY_PORT) and carries the --master / cluster
@@ -49,13 +43,13 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # AQE's 64 MB advisory target is sized for byte-bound SQL ops;
-        # MVT encode burns ~4.5 MB/s/core (measured), so a 64 MB encode
-        # partition is a ~15 s task and coalescing to one-wave-per-core
-        # leaves cores idle behind stragglers. 8 MB keeps encode tasks
-        # ~2 s and 2-4 waves deep; the shuffle_partitions cap above
-        # still bounds task count at large scale.
-        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+        # NOTE: the AQE byte advisory stays at its 64 MB default.
+        # Globally lowering it to 8 MB was measured ~11% slower at 32
+        # cores (it fragments every byte-bound exchange; grid in
+        # BENCH.md). For compute-heavy tile encodes where AQE's byte
+        # sizing starves wave coverage (3-8 tasks on 8 cores), set
+        # `spark.sparktiles.encodePartitions` — see grouped_map_sorted
+        # in operators/mvt.py for the measured tradeoff.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
         .config("spark.sql.files.maxPartitionBytes", "134217728")

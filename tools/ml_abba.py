@@ -82,7 +82,12 @@ def run_rep(cpus: int, maxzoom: int, feats_dir: str, n_pages: int,
     out: dict = {"cpus": cpus, "load1": round(os.getloadavg()[0], 2),
                  "core_index_before": core_index()}
     spark = get_spark(f"ml-abba-{cpus}", cpus=cpus,
-                      extra_conf={"spark.ui.enabled": "true"})
+                      extra_conf={"spark.ui.enabled": "true",
+                                  # compute-heavy corpus: pin the encode
+                                  # exchange at 4 waves/core (see
+                                  # grouped_map_sorted, operators/mvt.py)
+                                  "spark.sparktiles.encodePartitions":
+                                  str(4 * cpus)})
     spark.sparkContext.setLogLevel("ERROR")
 
     # prep writes few large parquet files; a real corpus at this per-core

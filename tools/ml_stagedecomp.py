@@ -65,7 +65,12 @@ def run_leg(cpus: int, maxzoom: int, feats_dir: str, n_pages: int,
     from sparktiles.sources.polygons import generate_polygons
 
     spark = get_spark(f"ml-decomp-{cpus}", cpus=cpus,
-                      extra_conf={"spark.ui.enabled": "true"})
+                      extra_conf={"spark.ui.enabled": "true",
+                                  # compute-heavy corpus: pin the encode
+                                  # exchange at 4 waves/core (see
+                                  # grouped_map_sorted, operators/mvt.py)
+                                  "spark.sparktiles.encodePartitions":
+                                  str(4 * cpus)})
     spark.sparkContext.setLogLevel("ERROR")
     # same input-granularity treatment as ml_abba.run_rep: prep writes few
     # large files; repartition (untimed) to the splits a real corpus has

@@ -85,7 +85,12 @@ def run_leg(cpus: int, n_pages: int, maxzoom: int, gzip_level=6) -> dict:
     # UI on for this bench only: shuffle-write bytes come from the
     # per-stage REST metrics
     spark = get_spark(f"scaling-{cpus}", cpus=cpus,
-                      extra_conf={"spark.ui.enabled": "true"})
+                      extra_conf={"spark.ui.enabled": "true",
+                                  # compute-heavy corpus: pin the encode
+                                  # exchange at 4 waves/core (see
+                                  # grouped_map_sorted, operators/mvt.py)
+                                  "spark.sparktiles.encodePartitions":
+                                  str(4 * cpus)})
     spark.sparkContext.setLogLevel("ERROR")
     out: dict = {"cpus": cpus, "core_index_before": core_index()}
 
