@@ -262,3 +262,48 @@ def test_attr_convert_batch_fuzz_parity():
                  dtype=object)
     check(s, "string")
     check(rng.randint(0, 100, size=20), "string")
+
+
+def test_encode_partitions_conf_pins_exchange(spark):
+    """`spark.sparktiles.encodePartitions` must pin the grouped-encode
+    exchange to an explicit partition count (exempt from AQE's byte
+    sizing — AQE starved an 8-core encode to 3-8 tasks, BENCH.md
+    round-5 granularity section) WITHOUT changing output bytes."""
+    from pyspark.sql import functions as F
+
+    from sparktiles.operators.mvt import LayerSpec, encode_and_assemble_single
+
+    feats = spark.range(2000).select(
+        (F.col("id") % 3).cast("int").alias("z"),
+        (F.col("id") % 4).cast("long").alias("x"),
+        (F.col("id") % 5).cast("long").alias("y"),
+        F.col("id").alias("feature_id"),
+        (F.col("id") % 4096).cast("double").alias("px"),
+        (F.col("id") * 13 % 4096).cast("double").alias("py"),
+        F.format_string("n%d", F.col("id")).alias("name"),
+    )
+    spec = LayerSpec(layer_id="place", index=0,
+                     attr_fields={"name": "string"}, key_field="feature_id")
+
+    def tiles():
+        return {(r.z, r.x, r.y): (r.tile_id, bytes(r.mvt)) for r in
+                encode_and_assemble_single(feats, spec, None).collect()}
+
+    base = tiles()
+    assert base
+    try:
+        spark.conf.set("spark.sparktiles.encodePartitions", "7")
+        pinned_df = encode_and_assemble_single(feats, spec, None)
+        plan = pinned_df._jdf.queryExecution().analyzed().toString()
+        # RepartitionByExpression with an explicit numPartitions
+        assert "RepartitionByExpression" in plan and ", 7" in plan
+        pinned = {(r.z, r.x, r.y): (r.tile_id, bytes(r.mvt)) for r in
+                  pinned_df.collect()}
+        assert pinned == base
+    finally:
+        spark.conf.unset("spark.sparktiles.encodePartitions")
+    # unset again -> no explicit count in the plan
+    plan = encode_and_assemble_single(feats, spec, None) \
+        ._jdf.queryExecution().analyzed().toString()
+    assert "RepartitionByExpression" in plan
+    assert ", 7" not in plan
