@@ -542,6 +542,142 @@ def _normalize_point_prepped(features: DataFrame, spec,
     return features.mapInPandas(run, norm_schema(nv))
 
 
+def _normalize_point_fused(features: DataFrame, spec, minz: int, maxz: int,
+                           n_vals: int | None = None) -> DataFrame:
+    """Fused assign + ST_AsMVTGeom + normalize for POINT layers: the
+    per-zoom tile fan-out happens INSIDE the kernel, the point twin of
+    the fused supercover WKB stage.
+
+    Scale effect: the exploded path materializes ~(maxz-minz+1) rows
+    per feature JVM-side and ships that whole fan-out across Arrow into
+    Python just to varint-pack it (the measured ml map stage: 988k
+    features -> 11.9M Arrow rows). Here each base feature crosses Arrow
+    exactly once and each attribute encodes to its Value wire blob once
+    per base row — candidates gather shared blob objects — so map-side
+    memory traffic drops ~10x on the layer kind that dominates real
+    tilesets' row counts. Output rows are byte-identical to
+    assign_point_tiles_multi -> with_point_tile_coords ->
+    _normalize_point_prepped (pytest row-level parity): every float op
+    below mirrors the Catalyst expression sequence exactly (same IEEE
+    double op order, floor, round-half-even rint; reference tile-bbox
+    semantics per openmaptiles-tools sqltomvt.py:197-242)."""
+    import pandas as pd
+
+    from sparktiles.functions.tilemath import (
+        HALF_WORLD,
+        TILEBBOX_MAX,
+        WORLD_MERC_WIDTH,
+    )
+
+    key_field = spec.key_field
+    attr_items = list(spec.attr_fields.items())
+    layer_index = spec.index
+    extent = spec.extent
+    mvt_buffer = int(extent * spec.buffer_px / 256)
+    lo, hi = -float(mvt_buffer), float(extent + mvt_buffer)
+    bf = float(spec.buffer_px) / 256.0
+    imp_col = spec.importance_col
+    cap = spec.max_features_per_tile
+    add_imp = bool(cap and imp_col)
+    # cap tie-break parity with the two-phase path's window ordering
+    # (`key_field or needed[-1]`, see normalize_layer_df): keyless
+    # capped layers carry the raw tie-break column as _ord
+    passthru = list(spec.attr_fields)
+    if imp_col and imp_col not in passthru:
+        passthru.append(imp_col)
+    ord_col = None
+    if cap and not key_field:
+        ord_col = passthru[-1] if passthru else "py"
+    nv = n_vals if n_vals is not None else len(attr_items)
+    out_schema = norm_schema(nv) + (", _imp double" if add_imp else "")
+    if ord_col:
+        out_schema += (", _ord "
+                       + features.schema[ord_col].dataType.simpleString())
+
+    def run(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
+            px = pdf["px"].to_numpy()
+            py = pdf["py"].to_numpy()
+            fids = pdf[key_field].to_numpy() if key_field else None
+            # attr -> Value blob ONCE per base row; candidates gather
+            col_blobs = [
+                _value_blobs_batch(_attr_convert_batch(
+                    pdf[k].to_numpy(), t)) for k, t in attr_items]
+            base = np.arange(n, dtype=np.int64)
+            parts = []
+            for z in range(minz, maxz + 1):
+                n2 = 2.0 ** z
+                # assign_point_tiles: own tile + buffered edge neighbors
+                fx = (px + HALF_WORLD) / WORLD_MERC_WIDTH * n2
+                fy = (HALF_WORLD - py) / WORLD_MERC_WIDTH * n2
+                tx = np.floor(fx).astype(np.int64)
+                ty = np.floor(fy).astype(np.int64)
+                top = np.int64(n2 - 1.0)
+                west = ((fx - tx) < bf) & (tx > 0)
+                east = ((tx + 1 - fx) < bf) & (tx < top)
+                north = ((fy - ty) < bf) & (ty > 0)
+                south = ((ty + 1 - fy) < bf) & (ty < top)
+                cids, cxs, cys = [base], [tx], [ty]
+                for cond, dx, dy in ((west, -1, 0), (east, 1, 0),
+                                     (north, 0, -1), (south, 0, 1),
+                                     (west & north, -1, -1),
+                                     (east & north, 1, -1),
+                                     (west & south, -1, 1),
+                                     (east & south, 1, 1)):
+                    k = np.flatnonzero(cond)
+                    if len(k):
+                        cids.append(k)
+                        cxs.append(tx[k] + dx)
+                        cys.append(ty[k] + dy)
+                idx = np.concatenate(cids)
+                cx = np.concatenate(cxs)
+                cy = np.concatenate(cys)
+                # with_point_tile_coords: tile-local coords + clip
+                res = (TILEBBOX_MAX * 2.0) / n2
+                xmin = -TILEBBOX_MAX + cx.astype(np.float64) * res
+                xmax = xmin + res
+                ymax = TILEBBOX_MAX - cy.astype(np.float64) * res
+                scale = float(extent) / (xmax - xmin)
+                ix = np.rint((px[idx] - xmin) * scale)
+                iy = np.rint((ymax - py[idx]) * scale)
+                keep = (ix >= lo) & (ix <= hi) & (iy >= lo) & (iy <= hi)
+                if not keep.any():
+                    continue
+                k = np.flatnonzero(keep)
+                zxy = ((np.int64(z) << 58) ^ (cx[k] << 29)) ^ cy[k]
+                parts.append((idx[k], zxy, ix[k].astype(np.int32),
+                              iy[k].astype(np.int32)))
+            if not parts:
+                continue
+            idx = np.concatenate([p[0] for p in parts])
+            zxy = np.concatenate([p[1] for p in parts])
+            ixc = np.concatenate([p[2] for p in parts])
+            iyc = np.concatenate([p[3] for p in parts])
+            m = len(idx)
+            fid_c = fids[idx] if fids is not None else None
+            ff, gf = C.point_row_fields_vec(fid_c, ixc, iyc)
+            out = {
+                "zxy": zxy,
+                "_li": np.full(m, layer_index, dtype=np.int32),
+                "_sk": (fid_c if fid_c is not None
+                        else np.zeros(m, dtype=np.int64)),
+                "_fidf": ff if ff is not None else [None] * m,
+                "_gt": np.full(m, C.GEOM_POINT, dtype=np.int8),
+                "_geomf": gf,
+            }
+            _vals_columns(out, col_blobs, idx, nv)
+            if add_imp:
+                out["_imp"] = pdf[imp_col].to_numpy()[idx]
+            if ord_col:
+                out["_ord"] = pdf[ord_col].to_numpy()[idx]
+            yield pd.DataFrame(out)
+
+    return features.mapInPandas(run, out_schema)
+
+
 def normalize_layer_df(features: DataFrame, spec,
                        zoom_range: tuple[int, int] | None = None,
                        n_vals: int | None = None) -> DataFrame:
@@ -553,13 +689,15 @@ def normalize_layer_df(features: DataFrame, spec,
     ordered concat + gzip + md5.
 
     features: assigned rows (z,x,y present) for points / non-fused WKB,
-    or the RAW feature frame with zoom_range for the fused supercover
-    WKB path.
+    or the RAW feature frame with zoom_range for the fused paths
+    (supercover WKB, in-kernel fan-out points).
     """
     key_field = spec.key_field
     fused = zoom_range is not None and spec.geometry_kind == "wkb"
+    fused_pt = zoom_range is not None and spec.geometry_kind == "point"
     geom_cols = ["px", "py"] if spec.geometry_kind == "point" else ["geom"]
-    needed = ([] if fused else ["z", "x", "y"]) + geom_cols + list(spec.attr_fields)
+    needed = (([] if (fused or fused_pt) else ["z", "x", "y"])
+              + geom_cols + list(spec.attr_fields))
     if key_field and key_field not in needed:
         needed.append(key_field)
     if spec.importance_col and spec.importance_col not in needed:
@@ -567,6 +705,10 @@ def normalize_layer_df(features: DataFrame, spec,
     features = features.select(*dict.fromkeys(needed))
 
     cap = spec.max_features_per_tile
+    if fused_pt:
+        norm = _normalize_point_fused(features, spec, zoom_range[0],
+                                      zoom_range[1], n_vals)
+        return _normalized_cap(norm, spec)
     if spec.geometry_kind == "point":
         mvt_buffer = int(spec.extent * spec.buffer_px / 256)
         feats = with_point_tile_coords(features, spec.extent, mvt_buffer)
@@ -594,6 +736,13 @@ def normalize_layer_df(features: DataFrame, spec,
     else:
         norm = with_wkb_encoded_fields(features, spec, normalized=True,
                                        n_vals=n_vals)
+    return _normalized_cap(norm, spec)
+
+
+def _normalized_cap(norm: DataFrame, spec) -> DataFrame:
+    """Density cap over already-normalized rows (the fused paths' cap):
+    per-zxy window ordered by importance desc then the tie-break."""
+    cap = spec.max_features_per_tile
     if cap:
         from pyspark.sql.window import Window
 

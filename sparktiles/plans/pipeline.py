@@ -151,12 +151,18 @@ class TileBuild:
 
     # ------------------------------------------------------------ build
 
-    def _can_fuse(self, spec, only_tiles) -> bool:
-        """WKB layers with no post_assign hook and no tile restriction
-        take the FUSED supercover-assign + encode stage: candidate rows
-        never cross Arrow carrying raw WKB (the hook / only_tiles need
-        the assigned rows as a DataFrame between the stages)."""
-        return (spec.geometry_kind == "wkb" and spec.post_assign is None
+    def _can_fuse(self, spec, only_tiles,
+                  kinds: tuple = ("wkb",)) -> bool:
+        """Layers with no post_assign hook and no tile restriction take
+        a FUSED assign + encode stage (the hook / only_tiles need the
+        assigned rows as a DataFrame between the stages): WKB layers
+        via the supercover kernel — candidate rows never cross Arrow
+        carrying raw WKB; point layers (multi-layer spine only) via the
+        in-kernel fan-out — base rows cross Arrow exactly once. The
+        single-layer point path stays JVM-assigned: there the fan-out
+        feeds the exchange directly with NO map-side Python at all, so
+        fusing would add an Arrow crossing instead of removing one."""
+        return (spec.geometry_kind in kinds and spec.post_assign is None
                 and only_tiles is None)
 
     def _generate_tiles_at(self, z: int, only_tiles: DataFrame | None) -> DataFrame:
@@ -185,7 +191,7 @@ class TileBuild:
         n_vals = max(len(s.attr_fields) for s, _ in self.layer_frames)
         norm = None
         for spec, feats in self.layer_frames:
-            if self._can_fuse(spec, only_tiles):
+            if self._can_fuse(spec, only_tiles, kinds=("wkb", "point")):
                 nf = normalize_layer_df(feats, spec, zoom_range=zr,
                                         n_vals=n_vals)
             else:

@@ -244,6 +244,130 @@ def test_fused_keyless_capped_wkb_parity_and_determinism(spark):
     assert max(n_feats) == 3
 
 
+def _norm_rows(df):
+    rows = []
+    for r in df.collect():
+        d = r.asDict()
+        rows.append(tuple(
+            bytes(v) if isinstance(v, (bytes, bytearray)) else v
+            for _, v in sorted(d.items())))
+    return sorted(rows)
+
+
+def test_fused_point_norm_rows_parity(spark):
+    """The in-kernel point fan-out (_normalize_point_fused) emits the
+    EXACT row set of the exploded path (assign_point_tiles_multi ->
+    with_point_tile_coords -> _normalize_point_prepped): every column
+    of every normalized row, including buffered edge-neighbor
+    duplicates and the clip filter."""
+    spec = LayerSpec(layer_id="place", index=0,
+                     attr_fields={"name": "string"}, buffer_px=8)
+    feats = build_features(generate_pages(spark, 350)).select(
+        "feature_id", "px", "py", "name")
+    fused = normalize_layer_df(feats, spec, zoom_range=(0, ZMAX), n_vals=1)
+    assigned = assign_point_tiles_multi(feats, 0, ZMAX, buffer_px=8)
+    prepped = normalize_layer_df(assigned, spec, n_vals=1)
+    assert fused.columns == prepped.columns
+    got, want = _norm_rows(fused), _norm_rows(prepped)
+    assert len(got) > len(feats.collect())  # fan-out happened
+    assert got == want
+
+
+def test_fused_point_multilayer_byte_parity(spark):
+    """3-layer build with the point layer ALSO fused (zoom_range) vs
+    the two-phase reference: identical tiles."""
+    frames = _three_layer_frames(spark)
+    want = _tiles_dict(_two_phase(spark, frames, 6))
+    n_vals = max(len(s.attr_fields) for s, _ in frames)
+    norm = None
+    for spec, feats in frames:
+        nf = normalize_layer_df(feats, spec, zoom_range=(0, ZMAX),
+                                n_vals=n_vals)
+        norm = nf if norm is None else norm.unionByName(nf)
+    got = _tiles_dict(assemble_normalized(
+        norm, [s for s, _ in frames], 6))
+    assert got == want
+    assert len(got) > 50
+
+
+def test_fused_point_cap_importance_parity(spark):
+    """Fused point path under the density cap: keyed + importance
+    ordering, and keyless with a carried _ord tie-break — byte parity
+    with the two-phase window selection."""
+    feats = build_features(generate_pages(spark, 400)).select(
+        "feature_id", "px", "py", "name",
+        (F.col("feature_id") % 100).cast("double").alias("imp"))
+
+    keyed = LayerSpec(layer_id="poi", index=0,
+                      attr_fields={"name": "string"}, buffer_px=8,
+                      max_features_per_tile=6, importance_col="imp")
+    # tie-free keyless cap: unique importance per feature
+    uniq = feats.withColumn("imp", F.col("feature_id").cast("double"))
+    keyless = LayerSpec(layer_id="poi", index=0,
+                        attr_fields={"name": "string"}, key_field=None,
+                        buffer_px=8, max_features_per_tile=4,
+                        importance_col="imp")
+    for spec, f_ in ((keyed, feats), (keyless, uniq)):
+        assigned = assign_point_tiles_multi(f_, 0, ZMAX,
+                                            buffer_px=spec.buffer_px)
+        want = _tiles_dict(assemble_tiles(encode_layer_df(assigned, spec),
+                                          None))
+        nf = normalize_layer_df(f_, spec, zoom_range=(0, ZMAX), n_vals=1)
+        assert "_imp" not in nf.columns and "_ord" not in nf.columns
+        got = _tiles_dict(assemble_normalized(nf, [spec], None))
+        assert got == want, spec.key_field
+        assert len(got) > 20
+        # cap binds somewhere
+        from sparktiles.functions.mvtcodec import decode_tile
+
+        cap = spec.max_features_per_tile
+        sizes = [len(decode_tile(m)["poi"]["features"])
+                 for m, _t in got.values()]
+        assert max(sizes) == cap
+
+
+def test_build_tiles_fused_point_plan(spark):
+    """TileBuild's multi-layer spine with fused point + WKB layers:
+    exactly ONE Exchange and NO Generate (explode) node — the point
+    fan-out happens inside the kernel now."""
+    import re
+
+    from sparktiles.plans.config import FieldDef, LayerDef, TilesetDef
+    from sparktiles.plans.pipeline import (BuildConfig, TileBuild,
+                                           make_point_layer_frames)
+
+    # localCheckpoint the source so the page generator's own posexplode
+    # (synthetic-data plumbing) leaves the plan — the assertion below is
+    # about the SPINE having no fan-out Generate, not the test fixture.
+    feats = build_features(generate_pages(spark, 200)).localCheckpoint()
+    tileset = TilesetDef(name="t", layers=[
+        LayerDef(id="place", fields=[FieldDef("name")], buffer_size=8)],
+        minzoom=0, maxzoom=ZMAX)
+    f_ = make_point_layer_frames(feats, tileset)[0][1]
+    lines = generate_lines(spark, n=20).withColumnRenamed(
+        "line_id", "feature_id")
+    frames = [
+        (LayerSpec(layer_id="place", index=0,
+                   attr_fields={"name": "string"}, buffer_px=8), f_),
+        (LayerSpec(layer_id="transportation", index=1,
+                   attr_fields={"class": "string"}, buffer_px=4,
+                   geometry_kind="wkb"), lines),
+    ]
+    import tempfile
+
+    mlb = TileBuild(spark, frames, BuildConfig(
+        store_dir=tempfile.mkdtemp(prefix="sparktiles_fpt_"),
+        minzoom=0, maxzoom=ZMAX, gzip_level=None))
+    tiles = mlb._build_tiles((0, ZMAX), None)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        tiles.explain("formatted")
+    plan = buf.getvalue()
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert not re.search(r"\(\d+\) Generate", plan), plan
+    assert tiles.count() > 20
+
+
 def test_batch_spanning_groups_chunked_carry(spark):
     """Groups spanning many Arrow batches (the z0 hot-tile shape) are
     carried as a chunk list and concatenated once; bytes must be
