@@ -18,6 +18,7 @@ Analysis family:
 - quality_scores       length/punctuation/stopword/token-length stats
 - token_counts         whitespace + regex word tokenization counts
 - fingerprint          winnowing-style min-hash of char shingles
+- repetition_signals   Gopher-style dup/top n-gram fractions + gate
 
 All operators are DataFrame->DataFrame, shuffle only on their group
 keys, and keep heavy work in JVM built-ins (higher-order functions) —
@@ -316,4 +317,62 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     ).where(F.col("i") + window <= F.col("_L") + 1)
     return e.groupBy("doc_id").agg(
         F.min(F.md5(F.expr(f"substr(_t, i, {window})"))).alias("fingerprint")
+    )
+
+
+def repetition_signals(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       top2_threshold: float = 0.20,
+                       dup3_threshold: float = 0.30) -> DataFrame:
+    """Gopher-style per-document repetition signals (Rae et al. 2021,
+    "Scaling Language Models", appendix A1.1 repetition filters): for
+    token n-grams, the fraction of all n-gram occurrences covered by
+    the single most frequent n-gram (top_2gram_frac) and by n-grams
+    that occur more than once (dup_2gram_frac / dup_3gram_frac), plus
+    a boolean gate at the given thresholds.
+
+    Scale path: explode n-grams -> groupBy(doc, gram) -> groupBy(doc).
+    Catalyst's partial aggregation combines (doc, gram) counts
+    map-side, so the shuffle carries only DISTINCT grams per document
+    and nothing is row-local O(n_tokens^2) — 100k-token documents cost
+    the same per token as 100-token ones. Documents too short to have
+    an n-gram keep zero fractions (left join back to the base frame).
+    """
+    toks = F.split(F.col(text_col), " ")
+    base = df.select(F.col(id_col).alias("doc_id"), toks.alias("_ts"))
+
+    def gram_stats(n: int, prefix: str) -> DataFrame:
+        # element_at is 1-based on both engines' SQL; guard short docs
+        # (sequence(1, 0) would count DOWN, not produce empty)
+        parts = ", ".join(f"element_at(_ts, i + {j})" for j in range(n))
+        grams = F.expr(
+            f"CASE WHEN size(_ts) < {n} THEN array() "
+            f"ELSE transform(sequence(1, size(_ts) - {n - 1}), "
+            f"i -> concat_ws(' ', {parts})) END")
+        g = base.select("doc_id", F.explode(grams).alias("g"))
+        c = g.groupBy("doc_id", "g").agg(F.count("*").alias("cnt"))
+        return c.groupBy("doc_id").agg(
+            F.sum("cnt").alias(f"n_{prefix}"),
+            (F.max("cnt").cast("double") / F.sum("cnt")
+             ).alias(f"_top_{prefix}"),
+            (F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0))
+             .cast("double") / F.sum("cnt")).alias(f"_dup_{prefix}"),
+        )
+
+    g2 = gram_stats(2, "2grams")
+    g3 = gram_stats(3, "3grams")
+    out = (base.select("doc_id")
+           .join(g2, "doc_id", "left").join(g3, "doc_id", "left"))
+    top2 = F.round(F.coalesce("_top_2grams", F.lit(0.0)), 4)
+    dup2 = F.round(F.coalesce("_dup_2grams", F.lit(0.0)), 4)
+    dup3 = F.round(F.coalesce("_dup_3grams", F.lit(0.0)), 4)
+    return out.select(
+        "doc_id",
+        F.coalesce("n_2grams", F.lit(0)).alias("n_2grams"),
+        top2.alias("top_2gram_frac"),
+        dup2.alias("dup_2gram_frac"),
+        F.coalesce("n_3grams", F.lit(0)).alias("n_3grams"),
+        dup3.alias("dup_3gram_frac"),
+        ((top2 > top2_threshold) | (dup3 > dup3_threshold)
+         ).alias("repetitive"),
     )

@@ -1348,6 +1348,61 @@ def quality_funnel(spark, sf_dir):
 
 
 # ===================================================================
+# Gopher-style repetition signals
+# ===================================================================
+
+_REPETITION_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+),
+g2 AS (
+  SELECT doc_id,
+         unnest([ts[i] || ' ' || ts[i+1] for i in range(1, len(ts))]) AS g
+  FROM toks
+),
+g3 AS (
+  SELECT doc_id,
+         unnest([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                 for i in range(1, len(ts) - 1)]) AS g
+  FROM toks
+),
+c2 AS (SELECT doc_id, g, COUNT(*) AS cnt FROM g2 GROUP BY 1, 2),
+c3 AS (SELECT doc_id, g, COUNT(*) AS cnt FROM g3 GROUP BY 1, 2),
+a2 AS (
+  SELECT doc_id, SUM(cnt) AS n2,
+         ROUND(CAST(MAX(cnt) AS DOUBLE) / SUM(cnt), 4) AS top2,
+         ROUND(CAST(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS DOUBLE)
+               / SUM(cnt), 4) AS dup2
+  FROM c2 GROUP BY 1
+),
+a3 AS (
+  SELECT doc_id, SUM(cnt) AS n3,
+         ROUND(CAST(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS DOUBLE)
+               / SUM(cnt), 4) AS dup3
+  FROM c3 GROUP BY 1
+)
+SELECT t.doc_id,
+       COALESCE(a2.n2, 0) AS n_2grams,
+       COALESCE(a2.top2, 0.0) AS top_2gram_frac,
+       COALESCE(a2.dup2, 0.0) AS dup_2gram_frac,
+       COALESCE(a3.n3, 0) AS n_3grams,
+       COALESCE(a3.dup3, 0.0) AS dup_3gram_frac,
+       (COALESCE(a2.top2, 0.0) > 0.20 OR COALESCE(a3.dup3, 0.0) > 0.30)
+         AS repetitive
+FROM toks t LEFT JOIN a2 USING (doc_id) LEFT JOIN a3 USING (doc_id)
+"""
+
+
+@q("gopher_repetition", _REPETITION_SQL)
+def gopher_repetition(spark, sf_dir):
+    """Gopher repetition filters (dup/top n-gram occurrence fractions)
+    over the documents table — operators/text.py repetition_signals."""
+    from sparktiles.operators.text import repetition_signals
+
+    return repetition_signals(_t(spark, sf_dir, "documents"))
+
+
+# ===================================================================
 # rows-only entries (non-SQL-expressible: engine-specific hashing /
 # pandas kernels) — the driver records the weaker rows-only check
 # ===================================================================

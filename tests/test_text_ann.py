@@ -202,3 +202,29 @@ def test_cosine_dedup_mapping(spark, emb):
     assert len(m) == d.count()
     for i in range(5):
         assert m[100000 + i] == i
+
+
+def test_repetition_signals_hand_computed(spark):
+    """Hand-checked Gopher fractions: doc 1 "a b a b a b" has 2-grams
+    [a b, b a, a b, b a, a b] -> top 'a b' 3/5, dup (3+2)/5 = 1.0;
+    3-grams [a b a, b a b, a b a, b a b] -> dup 4/4. Doc 2 is
+    all-unique (top 2-gram 1/5 = 0.2, NOT > the 0.20 Gopher gate).
+    Doc 3 is too short for any 2-gram (zero fractions, not dropped)."""
+    d = spark.createDataFrame(
+        [(1, "a b a b a b"),
+         (2, "u v w x y z"),
+         (3, "solo")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in T.repetition_signals(d).collect()}
+    r1 = out[1]
+    assert r1.n_2grams == 5 and r1.top_2gram_frac == 0.6
+    assert r1.dup_2gram_frac == 1.0
+    assert r1.n_3grams == 4 and r1.dup_3gram_frac == 1.0
+    assert r1.repetitive
+    r2 = out[2]
+    assert r2.n_2grams == 5 and r2.dup_2gram_frac == 0.0
+    assert r2.top_2gram_frac == 0.2 and not r2.repetitive
+    r3 = out[3]
+    assert r3.n_2grams == 0 and r3.top_2gram_frac == 0.0
+    assert r3.dup_3gram_frac == 0.0 and not r3.repetitive
