@@ -220,3 +220,47 @@ def ivf_topk(
         .where(F.col("ann_rank") <= k)
         .select(qid, bid, "cos_sim", "ann_rank")
     )
+
+
+def semdedup(base: DataFrame, threshold: float, cluster_col: str,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): semantic dedup
+    restricted to cluster blocks — within each cluster, pairs with
+    cosine >= threshold are near-dups, and every id canonicalizes to
+    the smallest near-dup neighbor id in its cluster (single-step,
+    the same keep-the-smallest-id contract as cosine_dedup_mapping).
+
+    The cluster assignment comes from upstream — the paper uses
+    k-means; here any label column works, including ivf_topk's
+    centroid assignment. Blocking is the whole point at scale: the
+    self-join shuffles only on the cluster key, turning O(n^2)
+    all-pairs into sum-over-clusters O(|c|^2) with |c| ~ n/k, and a
+    skewed giant cluster is an AQE skew-join case, not a plan change.
+    """
+    v = _as_double(F.col(vec_col))
+    left = base.select(F.col(cluster_col).alias("_c"),
+                       F.col(id_col).alias("id_a"), v.alias("_va"))
+    right = base.select(F.col(cluster_col).alias("_c"),
+                        F.col(id_col).alias("id_b"), v.alias("_vb"))
+    pairs = (
+        left.join(right, "_c")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim",
+                    _dot(F.col("_va"), F.col("_vb"))
+                    / (_norm(F.col("_va")) * _norm(F.col("_vb"))))
+        .where(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b")
+    )
+    nbr = pairs.select(F.col("id_a").alias("id"), F.col("id_b").alias("n")).unionByName(
+        pairs.select(F.col("id_b").alias("id"), F.col("id_a").alias("n")))
+    best = nbr.groupBy("id").agg(F.min("n").alias("_minn"))
+    return (
+        base.select(F.col(id_col).alias("id"), F.col(cluster_col).alias("cluster"))
+        .join(best, "id", "left")
+        .select(
+            "id", "cluster",
+            F.least(F.col("id"), F.coalesce("_minn", F.col("id")))
+            .alias("canonical_id"),
+        )
+    )

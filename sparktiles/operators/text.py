@@ -19,6 +19,10 @@ Analysis family:
 - token_counts         whitespace + regex word tokenization counts
 - fingerprint          winnowing-style min-hash of char shingles
 - repetition_signals   Gopher-style dup/top n-gram fractions + gate
+- duplicate_window_fractions
+                       ExactSubstr-style cross-doc duplicate windows
+- decontaminate        benchmark n-gram decontamination (broadcast)
+- stratified_sample    deterministic per-stratum quota sampling
 
 All operators are DataFrame->DataFrame, shuffle only on their group
 keys, and keep heavy work in JVM built-ins (higher-order functions) —
@@ -375,4 +379,118 @@ def repetition_signals(df: DataFrame, text_col: str = "text",
         dup3.alias("dup_3gram_frac"),
         ((top2 > top2_threshold) | (dup3 > dup3_threshold)
          ).alias("repetitive"),
+    )
+
+
+def _token_windows(df: DataFrame, text_col: str, id_col: str,
+                   n: int) -> DataFrame:
+    """All n-token sliding windows per doc (with multiplicity) as
+    md5 hashes: (doc_id, h). Shuffles never carry raw text."""
+    toks = F.split(F.col(text_col), " ")
+    base = df.select(F.col(id_col).alias("doc_id"), toks.alias("_ts"))
+    parts = ", ".join(f"element_at(_ts, i + {j})" for j in range(n))
+    grams = F.expr(
+        f"CASE WHEN size(_ts) < {n} THEN array() "
+        f"ELSE transform(sequence(1, size(_ts) - {n - 1}), "
+        f"i -> md5(concat_ws(' ', {parts}))) END")
+    return base.select("doc_id", F.explode(grams).alias("h"))
+
+
+def duplicate_window_fractions(df: DataFrame, text_col: str = "text",
+                               id_col: str = "doc_id",
+                               window: int = 10) -> DataFrame:
+    """ExactSubstr-flavored cross-document duplicate-window analysis
+    (Lee et al. 2021, "Deduplicating Training Data Makes Language
+    Models Better"): hash every `window`-token sliding window; a
+    window is a cross-document duplicate when the same token sequence
+    also occurs in some OTHER document. Per document, report the
+    window count, how many of its window occurrences are duplicated
+    elsewhere, and the fraction — the signal ExactSubstr uses to
+    locate verbatim boilerplate spans for removal.
+
+    Scale path: the paper's suffix array is a single-machine
+    structure; the Spark-native equivalent is hashed windows.
+    explode -> groupBy(doc, h) gets map-side partial aggregation, so
+    the first shuffle carries distinct (doc, window-hash) pairs;
+    gram-level distinct-doc counts are a second groupBy over those
+    already-distinct rows; the join back is on the gram hash. Nothing
+    is O(corpus^2) and no raw text crosses the wire (16-byte md5).
+    Docs shorter than `window` keep zero counts (left join back).
+    """
+    w = _token_windows(df, text_col, id_col, window)
+    per_doc_gram = w.groupBy("doc_id", "h").agg(F.count("*").alias("cnt"))
+    gram_docs = per_doc_gram.groupBy("h").agg(
+        F.count("*").alias("ndocs"))
+    marked = per_doc_gram.join(gram_docs, "h")
+    stats = marked.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_windows"),
+        F.sum(F.when(F.col("ndocs") > 1, F.col("cnt")).otherwise(0))
+        .alias("dup_windows"),
+    )
+    base_ids = df.select(F.col(id_col).alias("doc_id"))
+    return base_ids.join(stats, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
+        F.coalesce("dup_windows", F.lit(0)).alias("dup_windows"),
+        F.round(
+            F.coalesce(F.col("dup_windows").cast("double")
+                       / F.col("n_windows"), F.lit(0.0)), 4)
+        .alias("dup_window_frac"),
+    )
+
+
+def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  n: int = 5) -> DataFrame:
+    """Benchmark decontamination (the GPT-3 appendix-C / Gopher A.2
+    procedure): flag corpus documents sharing any n-token n-gram with
+    a held-out benchmark set. Returns one row per corpus doc with the
+    count of distinct shared n-grams and a contaminated flag.
+
+    Scale path: both sides reduce to DISTINCT n-gram hashes before
+    the join. The benchmark side (eval suites, a few MB) is tiny next
+    to a 100 TB corpus — it is explicitly broadcast, so the corpus
+    gram stream never shuffles for the join; the only wide exchange
+    is the per-doc count aggregation, which Catalyst partially
+    aggregates map-side.
+    """
+    cg = _token_windows(corpus, text_col, id_col, n).distinct()
+    bg = (_token_windows(benchmark, text_col, id_col, n)
+          .select("h").distinct())
+    hits = (cg.join(F.broadcast(bg), "h")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_contaminated_grams")))
+    base_ids = corpus.select(F.col(id_col).alias("doc_id"))
+    return base_ids.join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_contaminated_grams", F.lit(0))
+        .alias("n_contaminated_grams"),
+        (F.coalesce("n_contaminated_grams", F.lit(0)) > 0)
+        .alias("contaminated"),
+    )
+
+
+def stratified_sample(df: DataFrame, strata_col: str, quota: int,
+                      id_col: str = "doc_id") -> DataFrame:
+    """Deterministic per-stratum quota sampling — the language/domain
+    re-balancing step of a training-data pipeline: rank documents
+    inside each stratum by md5 of their id (a stable uniform
+    permutation any engine reproduces) and keep the first `quota`.
+
+    Scale path: one shuffle on the stratum key; the rank is a
+    per-partition sort. Strata counts are usually few (languages,
+    domains) but can be huge per stratum — for exact quotas that sort
+    is the contract; when an approximate quota is fine at 100 TB,
+    skip the window entirely and keep rows whose md5(id) falls below
+    quota / stratum_count (pure filter, no shuffle at all).
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(strata_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col))
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.col(strata_col))
+        .withColumn("sample_rank",
+                    F.row_number().over(w).cast("int"))
+        .where(F.col("sample_rank") <= quota)
     )

@@ -1403,6 +1403,129 @@ def gopher_repetition(spark, sf_dir):
 
 
 # ===================================================================
+# ExactSubstr-style duplicate windows / decontamination / sampling /
+# SemDeDup — the remaining training-data curation family
+# ===================================================================
+
+# DuckDB 1-based inclusive slice ts[i:i+4] = 5 tokens; range(1, n) is
+# empty when n <= 1 so short docs produce no windows (they re-enter
+# via the LEFT JOIN with zero counts, matching Spark's CASE guard).
+_WINDOWS_5 = """
+  SELECT doc_id, md5(g) AS h FROM (
+    SELECT doc_id,
+           unnest([list_aggregate(ts[i:i+4], 'string_agg', ' ')
+                   for i in range(1, len(ts) - 3)]) AS g
+    FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM {src})
+  )
+"""
+
+_DUPWIN_SQL = f"""
+WITH w AS ({_WINDOWS_5.format(src="documents")}),
+pdg AS (SELECT doc_id, h, COUNT(*) AS cnt FROM w GROUP BY 1, 2),
+gd AS (SELECT h, COUNT(*) AS ndocs FROM pdg GROUP BY 1),
+st AS (
+  SELECT doc_id, SUM(cnt) AS n_windows,
+         SUM(CASE WHEN ndocs > 1 THEN cnt ELSE 0 END) AS dup_windows
+  FROM pdg JOIN gd USING (h) GROUP BY 1
+)
+SELECT d.doc_id,
+       COALESCE(n_windows, 0) AS n_windows,
+       COALESCE(dup_windows, 0) AS dup_windows,
+       ROUND(COALESCE(CAST(dup_windows AS DOUBLE) / n_windows, 0.0), 4)
+         AS dup_window_frac
+FROM documents d LEFT JOIN st USING (doc_id)
+"""
+
+
+@q("dup_window_fraction", _DUPWIN_SQL)
+def dup_window_fraction(spark, sf_dir):
+    """ExactSubstr-flavored cross-doc duplicate-window fractions
+    (operators/text.py duplicate_window_fractions, window=5)."""
+    from sparktiles.operators.text import duplicate_window_fractions
+
+    return duplicate_window_fractions(_t(spark, sf_dir, "documents"), window=5)
+
+
+_DECONTAM_SQL = f"""
+WITH corpus AS (SELECT * FROM documents WHERE source <> 'src0'),
+bench AS (SELECT * FROM documents WHERE source = 'src0'),
+cg AS (SELECT DISTINCT doc_id, h FROM ({_WINDOWS_5.format(src="corpus")})),
+bg AS (SELECT DISTINCT h FROM ({_WINDOWS_5.format(src="bench")})),
+hits AS (
+  SELECT doc_id, COUNT(*) AS n FROM cg JOIN bg USING (h) GROUP BY 1
+)
+SELECT c.doc_id,
+       COALESCE(n, 0) AS n_contaminated_grams,
+       COALESCE(n, 0) > 0 AS contaminated
+FROM corpus c LEFT JOIN hits USING (doc_id)
+"""
+
+
+@q("benchmark_decontamination", _DECONTAM_SQL)
+def benchmark_decontamination(spark, sf_dir):
+    """Benchmark decontamination: docs from source src0 act as the
+    held-out eval set; every other doc is flagged if it shares a
+    5-gram (operators/text.py decontaminate; benchmark side
+    broadcast)."""
+    from sparktiles.operators.text import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    return decontaminate(
+        docs.where(F.col("source") != "src0"),
+        docs.where(F.col("source") == "src0"), n=5)
+
+
+@q("stratified_sample_lang", """
+SELECT doc_id, lang, sample_rank FROM (
+  SELECT doc_id, lang,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT)
+           AS sample_rank
+  FROM documents
+) WHERE sample_rank <= 20
+""")
+def stratified_sample_lang(spark, sf_dir):
+    """Deterministic per-language quota sampling (corpus
+    re-balancing) — operators/text.py stratified_sample, quota 20."""
+    from sparktiles.operators.text import stratified_sample
+
+    return stratified_sample(_t(spark, sf_dir, "documents"), "lang", 20)
+
+
+_SEMDEDUP_SQL = """
+WITH e AS (
+  SELECT vec_id, label, embedding,
+         sqrt((SELECT SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+               FROM UNNEST(embedding) AS u(x))) AS nrm
+  FROM embeddings
+), flt AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE (SELECT SUM(CAST(a.embedding[CAST(i AS INT)] AS DOUBLE)
+                    * CAST(b.embedding[CAST(i AS INT)] AS DOUBLE))
+         FROM UNNEST(range(1, 65)) AS r(i)) / (a.nrm * b.nrm) >= 0.35
+), nbr AS (
+  SELECT id_a AS id, id_b AS n FROM flt
+  UNION ALL SELECT id_b, id_a FROM flt
+), best AS (SELECT id, MIN(n) AS minn FROM nbr GROUP BY 1)
+SELECT e.vec_id AS id, e.label AS cluster,
+       LEAST(e.vec_id, COALESCE(minn, e.vec_id)) AS canonical_id
+FROM e LEFT JOIN best ON e.vec_id = best.id
+"""
+
+
+@q("semdedup_mapping", _SEMDEDUP_SQL)
+def semdedup_mapping(spark, sf_dir):
+    """SemDeDup cluster-blocked semantic dedup over the embeddings
+    table, blocking on the label column (operators/ann.py semdedup,
+    threshold 0.35)."""
+    from sparktiles.operators.ann import semdedup
+
+    return semdedup(_t(spark, sf_dir, "embeddings"), 0.35, "label")
+
+
+# ===================================================================
 # rows-only entries (non-SQL-expressible: engine-specific hashing /
 # pandas kernels) — the driver records the weaker rows-only check
 # ===================================================================

@@ -228,3 +228,74 @@ def test_repetition_signals_hand_computed(spark):
     r3 = out[3]
     assert r3.n_2grams == 0 and r3.top_2gram_frac == 0.0
     assert r3.dup_3gram_frac == 0.0 and not r3.repetitive
+
+
+def test_duplicate_window_fractions_hand_computed(spark):
+    """Docs 1 and 2 share the 3-window "a b c" (doc 1 has it twice);
+    doc 3 is disjoint; doc 4 is too short for any window. Doc 1 has
+    windows [a b c, b c a, c a b, a b c] -> 2/4 duplicated; doc 2 has
+    [x a b, a b c, b c y] -> 1/3; doc 3 0/2; doc 4 zero windows."""
+    d = spark.createDataFrame(
+        [(1, "a b c a b c"), (2, "x a b c y"),
+         (3, "p q r s"), (4, "t u")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           T.duplicate_window_fractions(d, window=3).collect()}
+    assert (out[1].n_windows, out[1].dup_windows) == (4, 2)
+    assert out[1].dup_window_frac == 0.5
+    assert (out[2].n_windows, out[2].dup_windows) == (3, 1)
+    assert out[2].dup_window_frac == 0.3333
+    assert (out[3].n_windows, out[3].dup_windows) == (2, 0)
+    assert (out[4].n_windows, out[4].dup_window_frac) == (0, 0.0)
+
+
+def test_decontaminate_hand_computed(spark):
+    """Benchmark holds "q1 q2 q3 q4". Corpus doc 1 contains it
+    verbatim (3 distinct shared 2-grams), doc 2 shares exactly one
+    2-gram even though it appears twice (DISTINCT grams counted),
+    doc 3 is clean."""
+    bench = spark.createDataFrame(
+        [(100, "q1 q2 q3 q4")], "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [(1, "w q1 q2 q3 q4 w"),
+         (2, "q1 q2 z q1 q2"),
+         (3, "m n o p")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           T.decontaminate(corpus, bench, n=2).collect()}
+    assert out[1].n_contaminated_grams == 3 and out[1].contaminated
+    assert out[2].n_contaminated_grams == 1 and out[2].contaminated
+    assert out[3].n_contaminated_grams == 0 and not out[3].contaminated
+
+
+def test_stratified_sample_quota_and_determinism(spark, docs):
+    out = T.stratified_sample(docs, "lang", 10)
+    per = {r.lang: r.cnt for r in
+           out.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    full = {r.lang: r.cnt for r in
+            docs.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    for lang, n in full.items():
+        assert per[lang] == min(10, n)
+    # rank is dense 1..quota and the draw is reproducible
+    a = sorted((r.doc_id, r.sample_rank) for r in out.collect())
+    b = sorted((r.doc_id, r.sample_rank)
+               for r in T.stratified_sample(docs, "lang", 10).collect())
+    assert a == b
+    ranks = sorted(r.sample_rank for r in out.where(F.col("lang") == "en").collect())
+    assert ranks == list(range(1, len(ranks) + 1))
+
+
+def test_semdedup_blocks_on_cluster(spark):
+    """Identical vectors (cos=1) dedup only when they share a cluster:
+    ids 1,2 (cluster 0) merge to 1; id 3 has the same vector but sits
+    in cluster 1 alone -> stays canonical; 4 is orthogonal to 5 in
+    cluster 1 -> both canonical."""
+    rows = [
+        (1, [1.0, 0.0], 0), (2, [1.0, 0.0], 0), (3, [1.0, 0.0], 1),
+        (4, [0.0, 1.0], 1), (5, [1.0, 0.0], 2),
+    ]
+    d = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    m = {r.id: (r.cluster, r.canonical_id)
+         for r in A.semdedup(d, 0.9, "label").collect()}
+    assert m == {1: (0, 1), 2: (0, 1), 3: (1, 3), 4: (1, 4), 5: (2, 5)}
