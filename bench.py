@@ -253,6 +253,7 @@ def main():
         "tile_assign_points", "pip_join_broadcast", "knn_join",
         "dedup_exact", "dedup_minhash_lsh", "ann_cosine_topk",
         "text_quality_score", "variance_stats",
+        "gopher_repetition", "dup_window_fraction", "semdedup_mapping",
     ]:
         fn = Q.QUERIES[name]
         dt, _ = min_of(lambda fn=fn: fn(spark, SF_DIR).count())
