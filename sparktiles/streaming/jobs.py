@@ -10,6 +10,8 @@ engine's forward-looking streaming surface for the same corpus shape:
   and MERGEs fresh map rows (exactly-once per epoch via foreachBatch)
 - streaming_session_mentions: applyInPandasWithState custom stateful
   operator — accumulates per-url mention counts across micro-batches
+- streaming_dedup: watermark-bounded content dedup for crawl ingest
+  (dropDuplicatesWithinWatermark over md5(text) — bounded state)
 """
 
 from __future__ import annotations
@@ -85,4 +87,22 @@ def streaming_lang_totals(spark: SparkSession, path: str):
         .applyInPandasWithState(
             _accumulate, _OUT_SCHEMA, _STATE_SCHEMA,
             "update", GroupStateTimeout.NoTimeout)
+    )
+
+
+def streaming_dedup(spark: SparkSession, path: str,
+                    watermark: str = "2 hours") -> DataFrame:
+    """Streaming ingest dedup: drop re-crawled pages whose content md5
+    was already seen within the watermark horizon. The streaming twin
+    of operators/text.py exact_dedup — the state store holds one
+    16-byte hash per distinct page (never the text), and
+    dropDuplicatesWithinWatermark lets Spark evict state older than
+    the event-time watermark, so unbounded crawl streams run with
+    bounded state (a plain dropDuplicates would grow forever).
+    """
+    pages = spark.readStream.schema(PAGE_SCHEMA).parquet(path)
+    return (
+        pages.withColumn("content_hash", F.md5("text"))
+        .withWatermark("warc_ts", watermark)
+        .dropDuplicatesWithinWatermark(["content_hash"])
     )

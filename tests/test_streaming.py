@@ -256,3 +256,22 @@ def test_incremental_retile_wkb_merged_equals_full(spark):
     want = full_map(p2)
     assert rows(merged) == rows(want)
     assert set(rows(merged)) ^ set(rows(old_map)), "diff produced no change"
+
+
+def test_streaming_dedup(spark, page_dir, tmp_path):
+    """Ingest stream with duplicated pages: exactly one survivor per
+    distinct content hash; survivors cover all distinct texts."""
+    from sparktiles.streaming.jobs import streaming_dedup
+
+    base = spark.read.parquet(page_dir)
+    dup_dir = str(tmp_path / "dup_pages")
+    base.unionByName(base.limit(100)).write.mode("overwrite").parquet(dup_dir)
+
+    out = streaming_dedup(spark, dup_dir)
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName("sdedup").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("SELECT content_hash FROM sdedup")
+    n_distinct = base.select(F.md5("text")).distinct().count()
+    assert got.count() == n_distinct
+    assert got.distinct().count() == n_distinct
