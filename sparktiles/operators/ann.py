@@ -264,3 +264,69 @@ def semdedup(base: DataFrame, threshold: float, cluster_col: str,
             .alias("canonical_id"),
         )
     )
+
+
+def kmeans_lloyd(base: DataFrame, k: int, iters: int = 5,
+                 id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """Deterministic Lloyd k-means over an embedding column — the
+    clustering stage SemDeDup expects upstream (Abbas et al. 2023 run
+    k-means on embeddings, then dedup inside clusters).
+
+    Deterministic by construction (cluster-reproducible, no RNG):
+    seeds are the k rows with the smallest md5(id); ties in the
+    nearest-centroid argmin break on the lower centroid index.
+
+    Scale path per iteration: centroids are a k x dim broadcast (a
+    few KB); assignment is a map-side argmin over the broadcast — the
+    base NEVER shuffles; the update is explode(dim) -> groupBy
+    (cluster, dim) avg, which Catalyst partially aggregates map-side,
+    so the one exchange carries k*dim partial sums per partition, not
+    data. Driver holds only the k x dim centroid matrix between
+    iterations. iters is fixed (the production pattern: a handful of
+    Lloyd rounds is enough for dedup blocking, and a fixed budget
+    keeps lineage bounded — no driver-side convergence loop over
+    .collect()ed data).
+    """
+    v = _as_double(F.col(vec_col))
+    pts = base.select(F.col(id_col).alias("id"), v.alias("_v"))
+
+    seeds = (
+        pts.withColumn("_h", F.md5(F.col("id").cast("string")))
+        .orderBy("_h", "id").limit(k)
+        .select("_v").collect()
+    )
+    centroids = [list(r._v) for r in seeds]
+
+    def assign(df, cents):
+        """argmin_c ||v - c||^2 via one array expression over a
+        broadcast-literal centroid matrix (no join, no shuffle)."""
+        best_c, best_d = F.lit(0), None
+        for ci, c in enumerate(cents):
+            carr = F.array(*[F.lit(float(x)) for x in c])
+            d = F.aggregate(
+                F.zip_with(F.col("_v"), carr, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0), lambda acc, x: acc + x)
+            if best_d is None:
+                best_c, best_d = F.lit(ci), d
+            else:
+                cond = d < best_d
+                best_c = F.when(cond, F.lit(ci)).otherwise(best_c)
+                best_d = F.when(cond, d).otherwise(best_d)
+        return df.withColumn("cluster", best_c.cast("int"))
+
+    dim = len(centroids[0])
+    for _ in range(iters):
+        a = assign(pts, centroids)
+        means = (
+            a.select("cluster", F.posexplode("_v").alias("d", "x"))
+            .groupBy("cluster", "d").agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        upd = {}
+        for r in means:
+            upd.setdefault(r.cluster, [0.0] * dim)[r.d] = r.m
+        # empty clusters keep their previous centroid
+        centroids = [upd.get(ci, centroids[ci]) for ci in range(len(centroids))]
+
+    return assign(pts, centroids).select("id", "cluster")

@@ -1525,6 +1525,68 @@ def semdedup_mapping(spark, sf_dir):
     return semdedup(_t(spark, sf_dir, "embeddings"), 0.35, "label")
 
 
+def _kmeans_sql(k: int = 8, iters: int = 2, dim: int = 64) -> str:
+    """Unrolled Lloyd k-means as pure SQL: seeds = k smallest
+    md5(id) rows (portable), then `iters` assign/update rounds as
+    chained CTEs, then a final assignment. Verified exact-match
+    against kmeans_lloyd at sf0.001/0.01/0.1 — integer cluster ids
+    are ulp-robust on this corpus because the clusters are well
+    separated (a near-Voronoi-boundary corpus could flip ids between
+    engines; the dedup use case doesn't care, the hash gate would)."""
+    def assign(src_cent, out):
+        return f"""{out} AS (
+  SELECT id, ci FROM (
+    SELECT pd.id, c.ci,
+           ROW_NUMBER() OVER (PARTITION BY pd.id
+             ORDER BY SUM((pd.x - c.m) * (pd.x - c.m)), c.ci) AS rn
+    FROM pd JOIN {src_cent} c ON pd.d = c.d
+    GROUP BY pd.id, c.ci
+  ) WHERE rn = 1
+)"""
+
+    def update(src_assign, prev_cent, out):
+        return f"""m_{out} AS (
+  SELECT {src_assign}.ci, pd.d, AVG(pd.x) AS m
+  FROM {src_assign} JOIN pd USING (id) GROUP BY 1, 2
+), {out} AS (
+  SELECT p.ci, p.d, COALESCE(m_{out}.m, p.m) AS m
+  FROM {prev_cent} p LEFT JOIN m_{out} ON m_{out}.ci = p.ci AND m_{out}.d = p.d
+)"""
+
+    parts = [f"""pts AS (SELECT vec_id AS id, embedding FROM embeddings),
+pd AS (
+  SELECT id, CAST(i AS INT) AS d,
+         CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x
+  FROM pts, UNNEST(range(1, {dim + 1})) AS r(i)
+),
+seed AS (
+  SELECT * FROM (
+    SELECT id, CAST(ROW_NUMBER() OVER (
+      ORDER BY md5(CAST(id AS VARCHAR)), id) - 1 AS INT) AS ci
+    FROM pts
+  ) WHERE ci < {k}
+),
+c0 AS (SELECT s.ci, pd.d, pd.x AS m FROM seed s JOIN pd ON pd.id = s.id)"""]
+    cur = "c0"
+    for it in range(1, iters + 1):
+        parts.append(assign(cur, f"a{it}"))
+        parts.append(update(f"a{it}", cur, f"c{it}"))
+        cur = f"c{it}"
+    parts.append(assign(cur, "afinal"))
+    return "WITH " + ",\n".join(parts) + "\nSELECT id, ci AS cluster FROM afinal"
+
+
+@q("kmeans_clusters", _kmeans_sql())
+def kmeans_clusters(spark, sf_dir):
+    """Deterministic Lloyd k-means assignment (k=8, 2 iterations)
+    over the embeddings table — operators/ann.py kmeans_lloyd, the
+    iterative-algorithm representative (broadcast centroids, zero
+    base shuffles; oracle is the same algorithm unrolled in SQL)."""
+    from sparktiles.operators.ann import kmeans_lloyd
+
+    return kmeans_lloyd(_t(spark, sf_dir, "embeddings"), 8, iters=2)
+
+
 # ===================================================================
 # rows-only entries (non-SQL-expressible: engine-specific hashing /
 # pandas kernels) — the driver records the weaker rows-only check

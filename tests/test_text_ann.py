@@ -299,3 +299,39 @@ def test_semdedup_blocks_on_cluster(spark):
     m = {r.id: (r.cluster, r.canonical_id)
          for r in A.semdedup(d, 0.9, "label").collect()}
     assert m == {1: (0, 1), 2: (0, 1), 3: (1, 3), 4: (1, 4), 5: (2, 5)}
+
+
+def test_kmeans_lloyd_separated_blobs(spark):
+    """Three well-separated blobs with k=3: members of one blob share
+    a cluster, different blobs never do; the run is deterministic.
+    Ids are b*37+j so the deterministic md5 seeding picks one seed
+    per blob (seeding is data-blind; a 2-seeds-in-one-blob draw would
+    converge to a legitimate split/merged local optimum instead)."""
+    rows = []
+    for b, center in enumerate(([10.0, 0.0], [0.0, 10.0], [-10.0, -10.0])):
+        for j in range(8):
+            rows.append((b * 37 + j,
+                         [center[0] + (j % 3) * 0.1, center[1] + (j % 2) * 0.1]))
+    d = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.id: r.cluster for r in A.kmeans_lloyd(d, 3, iters=3).collect()}
+    blobs = {}
+    for i, c in out.items():
+        blobs.setdefault(i // 37, set()).add(c)
+    assert all(len(s) == 1 for s in blobs.values())
+    assert len({next(iter(s)) for s in blobs.values()}) == 3
+    again = {r.id: r.cluster for r in A.kmeans_lloyd(d, 3, iters=3).collect()}
+    assert out == again
+
+
+def test_semdedup_over_kmeans_pipeline(spark, emb):
+    """End-to-end SemDeDup: kmeans clusters feed the cluster-blocked
+    dedup; identical injected vectors land in one cluster and merge."""
+    dupes = emb.limit(4).withColumn("vec_id", F.col("vec_id") + 500000)
+    d = emb.unionByName(dupes)
+    clusters = A.kmeans_lloyd(d, 4, iters=2)
+    joined = d.join(clusters, d.vec_id == clusters.id).select(
+        "vec_id", "embedding", "cluster")
+    m = {r.id: r.canonical_id
+         for r in A.semdedup(joined, 0.999, "cluster").collect()}
+    for i in range(4):
+        assert m[500000 + i] == i
