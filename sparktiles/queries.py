@@ -2180,6 +2180,65 @@ def minhash_dedup_mapping(spark, sf_dir):
 
 
 # ===================================================================
+# connected-components dedup — transitively-closed near-dup mapping.
+# Spark side: iterative hash-min label propagation over the LSH
+# candidate star-edges (operators/graph.py). Oracle: the same edge
+# set closed with a recursive CTE (transitive closure is fine at
+# sf0.01 graph sizes; the Spark side is the scale path).
+# ===================================================================
+
+_MINHASH_CC_SQL = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+), idx AS (
+  SELECT doc_id, t, UNNEST(range(1, len(t) - 1)) AS i FROM toks
+), shingles AS (
+  SELECT DISTINCT doc_id,
+         t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] || ' ' || t[CAST(i AS INT) + 2] AS s
+  FROM idx
+), sigs AS (
+  SELECT doc_id,
+         MIN(md5('0' || s)) AS h0, MIN(md5('1' || s)) AS h1,
+         MIN(md5('2' || s)) AS h2, MIN(md5('3' || s)) AS h3,
+         MIN(md5('4' || s)) AS h4, MIN(md5('5' || s)) AS h5,
+         MIN(md5('6' || s)) AS h6, MIN(md5('7' || s)) AS h7
+  FROM shingles GROUP BY doc_id
+), bands AS (
+  SELECT doc_id, 0 AS band, h0 || h1 AS sig FROM sigs
+  UNION ALL SELECT doc_id, 1, h2 || h3 FROM sigs
+  UNION ALL SELECT doc_id, 2, h4 || h5 FROM sigs
+  UNION ALL SELECT doc_id, 3, h6 || h7 FROM sigs
+), buckets AS (
+  SELECT band, sig, MIN(doc_id) AS canon, COUNT(*) AS n
+  FROM bands GROUP BY band, sig
+), star AS (
+  SELECT DISTINCT b.doc_id AS a, k.canon AS b
+  FROM bands b JOIN buckets k USING (band, sig)
+  WHERE k.n > 1 AND b.doc_id <> k.canon
+), sym AS (
+  SELECT a, b FROM star UNION SELECT b, a FROM star
+), reach AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+)
+SELECT a AS doc_id, MIN(b) AS canonical_id FROM reach GROUP BY a
+"""
+
+
+@q("minhash_dedup_cc", _MINHASH_CC_SQL)
+def minhash_dedup_cc_mapping(spark, sf_dir):
+    """Transitively-closed LSH dedup: doc_id -> min id of its whole
+    duplicate component (iterative hash-min CC, operators/graph.py —
+    the closure minhash_dedup's one bucket hop can't give)."""
+    from sparktiles.operators.graph import minhash_dedup_cc
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_dedup_cc(d, n_hashes=8, band_size=2)
+
+
+# ===================================================================
 # manual pivot — per-user event-type counts as columns
 # ===================================================================
 

@@ -335,3 +335,53 @@ def test_semdedup_over_kmeans_pipeline(spark, emb):
          for r in A.semdedup(joined, 0.999, "cluster").collect()}
     for i in range(4):
         assert m[500000 + i] == i
+
+
+# ------------------------------------------------------------------ CC dedup
+
+def test_connected_components_hand_graph(spark):
+    from sparktiles.operators.graph import connected_components
+
+    # two components: a 10-node path (forces multiple hash-min rounds:
+    # diameter 9) and a triangle, ids chosen non-contiguous
+    path = [(i, i + 1) for i in range(100, 109)]
+    tri = [(7, 3), (3, 5), (5, 7)]
+    edges = spark.createDataFrame(path + tri, "src long, dst long")
+    got = {r["node"]: r["component"]
+           for r in connected_components(edges).collect()}
+    assert {got[n] for n in range(100, 110)} == {100}
+    assert {got[n] for n in (3, 5, 7)} == {3}
+    assert len(got) == 13
+
+
+def test_connected_components_max_iter_raises(spark):
+    from sparktiles.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(20)], "src long, dst long")
+    with pytest.raises(RuntimeError, match="converge"):
+        connected_components(edges, max_iter=2)
+
+
+def test_minhash_cc_transitively_closed(spark, docs):
+    from sparktiles.operators.graph import minhash_dedup_cc
+
+    # A~B and B~C near-dups via different edits: one-sweep minhash_dedup
+    # may split them; the CC mapping must be idempotent (canonical of a
+    # canonical is itself) and refine the one-sweep mapping
+    base = docs.limit(40)
+    v1 = base.withColumn("doc_id", F.col("doc_id") + 200000)
+    v2 = base.withColumn("doc_id", F.col("doc_id") + 400000) \
+             .withColumn("text", F.concat(F.lit("zz "), F.col("text")))
+    d = base.unionByName(v1).unionByName(v2)
+
+    cc = minhash_dedup_cc(d, n_hashes=8, band_size=2)
+    m = {r["doc_id"]: r["canonical_id"] for r in cc.collect()}
+    assert m, "no duplicate components found"
+    for doc, canon in m.items():
+        assert canon <= doc
+        assert m.get(canon, canon) == canon, "mapping not transitively closed"
+    # exact copies (base vs v1) must land in the same component
+    joined = {d_ for d_ in m if d_ >= 200000 and d_ < 400000}
+    for d_ in joined:
+        assert m[d_] == m.get(d_ - 200000, d_ - 200000)

@@ -1,0 +1,197 @@
+"""N vs 4N scaling for the training-data curation operators.
+
+Same protocol as tools/scaling_bench.py (taskset-pinned legs, fresh
+JVM per leg, single-core compute index before/after for drift
+normalization, the 2v8 compute+bandwidth control gate up front),
+applied to the webtext side of the engine: MinHash dedup, ExactSubstr
+duplicate-window fractions, and Gopher repetition signals over a
+deterministic synthetic corpus (the sf0.1 documents table replicated
+R times with remapped doc_ids and a per-replica token prefix, so
+dedup work is real, not degenerate).
+
+Two protocol rules learned the hard way (first draft of this tool):
+
+* The synthetic corpus MUST be repartitioned after synthesis. It
+  derives from one 5,000-row parquet file (one row group -> ONE input
+  partition), and explode() preserves partitioning — without the
+  repartition the entire shingle/md5 map side runs in a single task
+  and the "scaling" measured is only the post-shuffle tail. A 100 TB
+  corpus arrives in thousands of splits; 64 fixed partitions model
+  that while keeping both legs' plans identical.
+* Timings force the FULL plan via the noop sink, not .count().
+  count() lets Catalyst prune: per-doc signal columns that no filter
+  consumes are simply never computed, so a count-timed "gopher leg"
+  measures a row count of the cache, not the operator.
+
+These operators are hash/string CPU over groupBy shuffles — unlike
+the tile-encode legs their compute is md5/ALU work with small shuffle
+payloads, so they also probe whether the box's weak tile-leg 2v8
+ratios are bus starvation (see BENCH.md) rather than engine
+structure.
+
+usage: python tools/curation_scaling.py [replicas] [n_low] [n_high]
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+ROOT = Path(__file__).resolve().parent.parent
+SF_DIR = "/root/testdata/sf0.1"
+ILOCK = Path("/tmp/sparktiles_interactive.lock")
+SLOCK = Path("/tmp/sparktiles_scaling.lock")
+
+
+def core_index(seconds: float = 3.0) -> float:
+    import numpy as np
+
+    a = np.random.default_rng(0).random(200_000)
+    t_end = time.time() + seconds
+    it = 0
+    while time.time() < t_end:
+        np.sin(a).sum()
+        it += 1
+    return round(it / seconds, 1)
+
+
+def control() -> dict:
+    """2v8 pinned compute+bandwidth control (same gate the scaling
+    watcher uses); restores the committed BENCH_HW_CONTROL.json."""
+    proc = subprocess.run(
+        [sys.executable, str(ROOT / "tools/hw_scaling_control.py"), "2", "8"],
+        capture_output=True, text=True, cwd=str(ROOT), timeout=600)
+    out = proc.stdout.strip()
+    ctl = json.loads(out[out.index("{"):])
+    subprocess.run(["git", "checkout", "--", "BENCH_HW_CONTROL.json"],
+                   cwd=str(ROOT), capture_output=True)
+    return ctl
+
+
+def corpus(spark, replicas: int):
+    """sf0.1 documents x replicas: doc_id remapped per replica; the
+    first token gets a replica tag on odd replicas so exact/minhash
+    dedup sees both true duplicates and near-misses. Repartitioned to
+    64 fixed splits (see module docstring) so the map side
+    parallelizes identically in both legs."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    rep = docs.select(
+        "doc_id", "text", F.explode(F.sequence(F.lit(0), F.lit(replicas - 1))).alias("r"))
+    return rep.select(
+        (F.col("doc_id") + F.col("r") * 1_000_000).alias("doc_id"),
+        F.when(F.col("r") % 2 == 1,
+               F.concat(F.format_string("rep%d", F.col("r")), F.lit(" "), F.col("text"))
+               ).otherwise(F.col("text")).alias("text"),
+    ).repartition(64)
+
+
+def run_leg(cpus: int, replicas: int) -> dict:
+    from sparktiles.session import get_spark
+    from sparktiles.operators.text import (
+        duplicate_window_fractions, minhash_dedup, repetition_signals)
+
+    spark = get_spark(f"curation-scaling-{cpus}", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    out: dict = {"cpus": cpus, "core_index_before": core_index()}
+
+    docs = corpus(spark, replicas).cache()
+    n_docs = docs.count()
+    out["n_docs"] = n_docs
+
+    def best_of_2(df_fn):
+        t = []
+        for _ in range(2):
+            t0 = time.time()
+            # noop sink: every column is computed and serialized, no
+            # Catalyst pruning, no disk term (one local page cache
+            # would otherwise cap the 8-core leg)
+            df_fn().write.format("noop").mode("overwrite").save()
+            t.append(time.time() - t0)
+        return round(min(t), 3)
+
+    dt = best_of_2(lambda: duplicate_window_fractions(docs, window=5))
+    out["dup_window_s"] = dt
+    out["dup_window_docs_per_s"] = round(n_docs / dt, 1)
+
+    dt = best_of_2(lambda: minhash_dedup(docs, n_hashes=8, band_size=2))
+    out["minhash_s"] = dt
+    out["minhash_docs_per_s"] = round(n_docs / dt, 1)
+
+    dt = best_of_2(lambda: repetition_signals(docs))
+    out["gopher_s"] = dt
+    out["gopher_docs_per_s"] = round(n_docs / dt, 1)
+
+    out["core_index_after"] = core_index()
+    return out
+
+
+def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "--leg":
+        print("LEGRESULT " + json.dumps(run_leg(int(sys.argv[2]), int(sys.argv[3]))))
+        return
+
+    replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+    n_low = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    n_high = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+
+    if SLOCK.exists():
+        raise SystemExit("scaling watcher mid-draw (lock present); retry later")
+    ILOCK.touch()  # keep the watcher from firing into our windows
+    try:
+        ctl = control()
+        legs = {}
+        for cpus in (n_low, n_high):
+            cmd = [sys.executable, __file__, "--leg", str(cpus), str(replicas)]
+            if shutil.which("taskset"):
+                cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+            proc = subprocess.run(cmd, capture_output=True, text=True,
+                                  cwd=str(Path(__file__).parent.parent))
+            line = next((l for l in proc.stdout.splitlines()
+                         if l.startswith("LEGRESULT ")), None)
+            if line is None:
+                sys.stderr.write(proc.stdout[-2000:] + proc.stderr[-4000:])
+                raise RuntimeError(f"leg {cpus} failed")
+            legs[cpus] = json.loads(line[len("LEGRESULT "):])
+    finally:
+        ILOCK.unlink(missing_ok=True)
+
+    lo, hi = legs[n_low], legs[n_high]
+    factor = n_high / n_low
+
+    def eff(metric):
+        return round((hi[metric] / lo[metric]) / factor, 3)
+
+    ci_lo = (lo["core_index_before"] + lo["core_index_after"]) / 2
+    ci_hi = (hi["core_index_before"] + hi["core_index_after"]) / 2
+    drift = ci_lo / ci_hi if ci_hi else 1.0
+    result = {
+        "replicas": replicas,
+        "n_docs": lo["n_docs"],
+        "control": {"compute_eff": ctl["compute"]["efficiency"],
+                    "bandwidth_eff": ctl["bandwidth"]["efficiency"]},
+        f"N(local[{n_low}])": lo,
+        f"4N(local[{n_high}])": hi,
+        "scaling_efficiency_dup_window": eff("dup_window_docs_per_s"),
+        "scaling_efficiency_minhash": eff("minhash_docs_per_s"),
+        "scaling_efficiency_gopher": eff("gopher_docs_per_s"),
+        "box_speed_drift_low_over_high": round(drift, 3),
+        "hw_norm": {
+            "dup_window": round(eff("dup_window_docs_per_s") * drift, 3),
+            "minhash": round(eff("minhash_docs_per_s") * drift, 3),
+            "gopher": round(eff("gopher_docs_per_s") * drift, 3),
+        },
+    }
+    print(json.dumps(result, indent=1))
+    Path("BENCH_CURATION_SCALING.json").write_text(json.dumps(result, indent=1))
+
+
+if __name__ == "__main__":
+    main()
