@@ -248,15 +248,23 @@ def main():
     extra["tiles_3layer_8attr"] = ml8_tiles
     extra["tiles_3layer_8attr_per_s"] = round(ml8_tiles / dt, 1)
 
-    # ---- representative operator queries
+    # ---- representative operator queries. Forced through the noop
+    # sink, NOT .count(): count() lets Catalyst prune — per-doc signal
+    # columns no filter consumes are never computed, so a count-timed
+    # leg can measure a row count of the scan instead of the operator
+    # (gopher_repetition read 0.36 s under count() vs its real ~2 s;
+    # see BENCH.md round-5 note before comparing to r4 legs).
     for name in [
         "tile_assign_points", "pip_join_broadcast", "knn_join",
-        "dedup_exact", "dedup_minhash_lsh", "ann_cosine_topk",
-        "text_quality_score", "variance_stats",
+        "dedup_exact", "dedup_minhash_lsh", "minhash_dedup_cc",
+        "ann_cosine_topk", "text_quality_score", "variance_stats",
         "gopher_repetition", "dup_window_fraction", "semdedup_mapping",
+        "pii_scrub",
     ]:
         fn = Q.QUERIES[name]
-        dt, _ = min_of(lambda fn=fn: fn(spark, SF_DIR).count())
+        dt, _ = min_of(
+            lambda fn=fn: fn(spark, SF_DIR)
+            .write.format("noop").mode("overwrite").save())
         timings[name] = round(dt, 3)
 
     total = round(sum(timings.values()), 3)

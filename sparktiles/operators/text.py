@@ -66,11 +66,41 @@ def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
 def minhash_signatures(df: DataFrame, n_hashes: int = 8, text_col: str = "text",
                        id_col: str = "doc_id", k: int = 3) -> DataFrame:
-    """Portable minhash: h_i(doc) = min over shingles of md5(i || s)."""
-    sh = shingles(df, text_col, id_col, k)
-    return sh.groupBy("doc_id").agg(
-        *[F.min(F.md5(F.concat(F.lit(str(i)), F.col("s")))).alias(f"h{i}")
-          for i in range(n_hashes)]
+    """Portable minhash: h_i(doc) = min over shingles of md5(i || s).
+
+    Map-only: the per-doc min folds over the row-local shingle array
+    with F.aggregate (one struct accumulator carrying all n mins), so
+    signature generation has NO explode, NO distinct and NO shuffle —
+    min over the shingle multiset equals min over the distinct set.
+    The first version exploded distinct shingles and groupBy'd: two
+    full shuffles of raw shingle text for byte-identical signatures.
+    The three projections are deliberate: `_sh` is consumed exactly
+    once (inside the fold) and `_sig` is expensive, so CollapseProject
+    won't inline either into n copies. 'g' > any md5 hex char, so it
+    is the fold's +infinity."""
+    toks = F.split(F.col(text_col), " ")
+    base = df.select(F.col(id_col).alias("doc_id"), toks.alias("t")).where(
+        F.size("t") >= k)
+
+    def shingle(i):
+        out = F.element_at(F.col("t"), i)
+        for j in range(1, k):
+            out = F.concat(out, F.lit(" "), F.element_at(F.col("t"), i + j))
+        return out
+
+    sh_arr = F.transform(F.sequence(F.lit(1), F.size("t") - (k - 1)), shingle)
+    names = [f"h{i}" for i in range(n_hashes)]
+    init = F.struct(*[F.lit("g").alias(n) for n in names])
+
+    def step(acc, s):
+        return F.struct(*[
+            F.least(acc[n], F.md5(F.concat(F.lit(str(i)), s))).alias(n)
+            for i, n in enumerate(names)])
+
+    return (
+        base.select("doc_id", sh_arr.alias("_sh"))
+        .select("doc_id", F.aggregate("_sh", init, step).alias("_sig"))
+        .select("doc_id", *[F.col("_sig")[n].alias(n) for n in names])
     )
 
 
@@ -385,14 +415,21 @@ def repetition_signals(df: DataFrame, text_col: str = "text",
 def _token_windows(df: DataFrame, text_col: str, id_col: str,
                    n: int) -> DataFrame:
     """All n-token sliding windows per doc (with multiplicity) as
-    md5 hashes: (doc_id, h). Shuffles never carry raw text."""
+    64-bit xxhash64 hashes: (doc_id, h). Shuffles never carry raw
+    text — and the key is an 8-byte long, not a 32-char digest
+    string: the hash values never reach operator OUTPUT (only
+    equality on them matters), so the wire format is free to be the
+    cheapest one. Measured on the 2v8 curation scaling legs, the
+    md5-string version moved 4x the shuffle key bytes for identical
+    results (absent 2^-64 collisions — the same risk every
+    hash-partitioned dedup already accepts)."""
     toks = F.split(F.col(text_col), " ")
     base = df.select(F.col(id_col).alias("doc_id"), toks.alias("_ts"))
     parts = ", ".join(f"element_at(_ts, i + {j})" for j in range(n))
     grams = F.expr(
         f"CASE WHEN size(_ts) < {n} THEN array() "
         f"ELSE transform(sequence(1, size(_ts) - {n - 1}), "
-        f"i -> md5(concat_ws(' ', {parts}))) END")
+        f"i -> xxhash64(concat_ws(' ', {parts}))) END")
     return base.select("doc_id", F.explode(grams).alias("h"))
 
 
@@ -493,4 +530,51 @@ def stratified_sample(df: DataFrame, strata_col: str, quota: int,
         .withColumn("sample_rank",
                     F.row_number().over(w).cast("int"))
         .where(F.col("sample_rank") <= quota)
+    )
+
+
+# ------------------------------------------------------------------ PII
+
+# Deliberately a portable-regex subset (no lookaround, ASCII classes):
+# the same patterns run on Java regex (Spark), RE2 (DuckDB) and Python,
+# so the scrub is engine-checkable. Order matters: emails first (their
+# dotted hosts would otherwise be half-eaten by the IP pass), then IPs,
+# then phones.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\+[0-9][0-9 -]{7,}[0-9]", "<PHONE>"),
+)
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """PII redaction (the C4/CCNet-style scrub step of a web-corpus
+    pipeline): replace emails, IPv4 addresses and international-format
+    phone numbers with typed placeholder tokens, and report the count
+    of each per document.
+
+    Scale path: pure column expressions (regexp_extract_all +
+    regexp_replace), whole-stage-codegen'd JVM-side, zero shuffles —
+    a map-only pass however wide the corpus. Counts come from the
+    pre-replacement text so overlapping categories are counted on the
+    original bytes.
+    """
+    t = F.col(text_col)
+    out = df.select(
+        F.col(id_col).alias("doc_id"),
+        t.alias("_t"),
+        *[F.size(F.regexp_extract_all(t, F.lit(pat), F.lit(0)))
+          .cast("long").alias(f"n_{name}")
+          for name, pat, _ in PII_PATTERNS],
+    )
+    scrubbed = F.col("_t")
+    for _, pat, token in PII_PATTERNS:
+        scrubbed = F.regexp_replace(scrubbed, pat, token)
+    return out.select(
+        "doc_id",
+        scrubbed.alias("text"),
+        *[f"n_{name}" for name, _, _ in PII_PATTERNS],
+        (sum(F.col(f"n_{name}") for name, _, _ in PII_PATTERNS) > 0)
+        .alias("has_pii"),
     )

@@ -877,26 +877,13 @@ def dedup_minhash_lsh(spark, sf_dir):
     minhashes (lexicographic min of seeded md5) -> 2 band signatures ->
     bucket table. Docs sharing a band signature are near-dup candidates
     (the bucket-join side of the classic shingle->minhash->band->bucket
-    pipeline)."""
+    pipeline). Signature generation is the operator's map-only
+    fold (operators/text.py minhash_signatures) — the bucket groupBy
+    is the query's ONLY shuffle."""
+    from sparktiles.operators.text import minhash_signatures
+
     d = _t(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    base = d.select("doc_id", toks.alias("t")).where(F.size("t") >= 3)
-    sh = base.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("t") - 2),
-                lambda i: F.concat(
-                    F.element_at(F.col("t"), i), F.lit(" "),
-                    F.element_at(F.col("t"), i + 1), F.lit(" "),
-                    F.element_at(F.col("t"), i + 2),
-                ),
-            )
-        ).alias("s"),
-    ).distinct()
-    sigs = sh.groupBy("doc_id").agg(
-        *[F.min(F.md5(F.concat(F.lit(str(i)), F.col("s")))).alias(f"h{i}") for i in range(4)]
-    )
+    sigs = minhash_signatures(d, n_hashes=4)
     return sigs.groupBy(
         F.concat("h0", "h1").alias("band0"),
         F.concat("h2", "h3").alias("band1"),
@@ -2236,6 +2223,70 @@ def minhash_dedup_cc_mapping(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     return minhash_dedup_cc(d, n_hashes=8, band_size=2)
+
+
+# ===================================================================
+# PII scrub — typed redaction with per-category counts. The synthetic
+# corpus has no organic PII, so both engines seed the same
+# deterministic emails/IPs/phones from doc_id before scrubbing; the
+# patterns are a deliberately portable regex subset (operators/
+# text.py PII_PATTERNS) so Java regex and RE2 agree byte-for-byte.
+# ===================================================================
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IP = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+_PII_PHONE = r"\+[0-9][0-9 -]{7,}[0-9]"
+
+_PII_SQL = f"""
+WITH seeded AS (
+  SELECT doc_id,
+    text ||
+    CASE WHEN doc_id % 3 = 0
+         THEN ' contact u' || CAST(doc_id AS VARCHAR) || '@ex.org' ELSE '' END ||
+    CASE WHEN doc_id % 5 = 0
+         THEN ' from 10.1.' || CAST(doc_id % 250 AS VARCHAR) || '.7' ELSE '' END ||
+    CASE WHEN doc_id % 7 = 0
+         THEN ' call +1 555 123 4477' ELSE '' END AS text
+  FROM documents
+)
+SELECT doc_id,
+  regexp_replace(regexp_replace(regexp_replace(text,
+      '{_PII_EMAIL}', '<EMAIL>', 'g'),
+      '{_PII_IP}', '<IP>', 'g'),
+      '{_PII_PHONE}', '<PHONE>', 'g') AS text,
+  CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS BIGINT) AS n_email,
+  CAST(len(regexp_extract_all(text, '{_PII_IP}')) AS BIGINT) AS n_ipv4,
+  CAST(len(regexp_extract_all(text, '{_PII_PHONE}')) AS BIGINT) AS n_phone,
+  (len(regexp_extract_all(text, '{_PII_EMAIL}'))
+   + len(regexp_extract_all(text, '{_PII_IP}'))
+   + len(regexp_extract_all(text, '{_PII_PHONE}'))) > 0 AS has_pii
+FROM seeded
+"""
+
+
+@q("pii_scrub", _PII_SQL)
+def pii_scrub_query(spark, sf_dir):
+    """Typed PII redaction over the documents table (operators/
+    text.py::pii_scrub) — map-only column regexes, zero shuffles."""
+    from sparktiles.operators.text import pii_scrub
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    seeded = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(did % 3 == 0, F.concat(
+                F.lit(" contact u"), did.cast("string"), F.lit("@ex.org"))
+            ).otherwise(F.lit("")),
+            F.when(did % 5 == 0, F.concat(
+                F.lit(" from 10.1."), (did % 250).cast("string"), F.lit(".7"))
+            ).otherwise(F.lit("")),
+            F.when(did % 7 == 0, F.lit(" call +1 555 123 4477")
+                   ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return pii_scrub(seeded)
 
 
 # ===================================================================

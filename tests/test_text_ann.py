@@ -385,3 +385,27 @@ def test_minhash_cc_transitively_closed(spark, docs):
     joined = {d_ for d_ in m if d_ >= 200000 and d_ < 400000}
     for d_ in joined:
         assert m[d_] == m.get(d_ - 200000, d_ - 200000)
+
+
+# ------------------------------------------------------------------ PII
+
+def test_pii_scrub_hand_example(spark):
+    rows = [
+        (1, "mail me at jo.doe+x@mail.example.org or 192.168.1.7 thanks"),
+        (2, "call +44 20 7946-0958 today"),
+        (3, "nothing sensitive here 3.14 v1.2.3.4beta"),
+        (4, "two mails a@b.io c@d.co one ip 8.8.8.8"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in T.pii_scrub(d).collect()}
+    assert out[1]["text"] == "mail me at <EMAIL> or <IP> thanks"
+    assert (out[1]["n_email"], out[1]["n_ipv4"], out[1]["n_phone"]) == (1, 1, 0)
+    assert out[2]["text"] == "call <PHONE> today"
+    assert out[2]["n_phone"] == 1
+    # v1.2.3.4beta: 'v' and '1' are both word chars, so there is no \b
+    # before the digit run — NOT an IP; neither is 3.14
+    assert out[3]["n_ipv4"] == 0 and not out[3]["has_pii"]
+    assert out[3]["text"] == rows[2][1]  # untouched
+    assert out[4]["n_email"] == 2 and out[4]["n_ipv4"] == 1
+    assert out[4]["text"] == "two mails <EMAIL> <EMAIL> one ip <IP>"
+    assert out[1]["has_pii"] and out[4]["has_pii"]
