@@ -17,6 +17,8 @@ no RNG, cluster-reproducible.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf resolves stringified hints here
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -290,34 +292,43 @@ def kmeans_lloyd(base: DataFrame, k: int, iters: int = 5,
     """
     v = _as_double(F.col(vec_col))
     pts = base.select(F.col(id_col).alias("id"), v.alias("_v"))
+    centroids = _lloyd_centroids(pts, k, iters)
+    return pts.withColumn(
+        "cluster", _argmin_centroid(F.col("_v"), centroids)
+    ).select("id", "cluster")
 
+
+def _argmin_centroid(vcol, cents):
+    """argmin_c ||v - c||^2 as one column expression over a
+    broadcast-literal centroid matrix (no join, no shuffle); ties
+    break on the lower centroid index (strict < keeps the earlier)."""
+    best_c, best_d = F.lit(0), None
+    for ci, c in enumerate(cents):
+        carr = F.array(*[F.lit(float(x)) for x in c])
+        d = F.aggregate(
+            F.zip_with(vcol, carr, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0), lambda acc, x: acc + x)
+        if best_d is None:
+            best_c, best_d = F.lit(ci), d
+        else:
+            cond = d < best_d
+            best_c = F.when(cond, F.lit(ci)).otherwise(best_c)
+            best_d = F.when(cond, d).otherwise(best_d)
+    return best_c.cast("int")
+
+
+def _lloyd_centroids(pts, k: int, iters: int):
+    """Deterministic Lloyd loop over (id, _v) rows; returns the k x dim
+    centroid list. Seeds = the k rows with smallest md5(id)."""
     seeds = (
         pts.withColumn("_h", F.md5(F.col("id").cast("string")))
         .orderBy("_h", "id").limit(k)
         .select("_v").collect()
     )
     centroids = [list(r._v) for r in seeds]
-
-    def assign(df, cents):
-        """argmin_c ||v - c||^2 via one array expression over a
-        broadcast-literal centroid matrix (no join, no shuffle)."""
-        best_c, best_d = F.lit(0), None
-        for ci, c in enumerate(cents):
-            carr = F.array(*[F.lit(float(x)) for x in c])
-            d = F.aggregate(
-                F.zip_with(F.col("_v"), carr, lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0), lambda acc, x: acc + x)
-            if best_d is None:
-                best_c, best_d = F.lit(ci), d
-            else:
-                cond = d < best_d
-                best_c = F.when(cond, F.lit(ci)).otherwise(best_c)
-                best_d = F.when(cond, d).otherwise(best_d)
-        return df.withColumn("cluster", best_c.cast("int"))
-
     dim = len(centroids[0])
     for _ in range(iters):
-        a = assign(pts, centroids)
+        a = pts.withColumn("cluster", _argmin_centroid(F.col("_v"), centroids))
         means = (
             a.select("cluster", F.posexplode("_v").alias("d", "x"))
             .groupBy("cluster", "d").agg(F.avg("x").alias("m"))
@@ -328,5 +339,115 @@ def kmeans_lloyd(base: DataFrame, k: int, iters: int = 5,
             upd.setdefault(r.cluster, [0.0] * dim)[r.d] = r.m
         # empty clusters keep their previous centroid
         centroids = [upd.get(ci, centroids[ci]) for ci in range(len(centroids))]
+    return centroids
 
-    return assign(pts, centroids).select("id", "cluster")
+
+# ------------------------------------------------------------------ PQ
+
+def pq_train(base: DataFrame, m: int = 4, k: int = 8, iters: int = 3,
+             id_col: str = "vec_id",
+             vec_col: str = "embedding") -> list[list[list[float]]]:
+    """Product-quantization codebooks (Jégou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search"): split the embedding
+    into m contiguous subspaces and run the deterministic Lloyd loop
+    (the one kmeans_lloyd uses) on each slice. Returns the m
+    codebooks, each k x (dim/m) — a few KB, driver-held, shipped to
+    executors as broadcast literals by pq_encode/pq_adc_topk.
+
+    Why PQ at 100 TB: a 64-dim float32 embedding is 256 bytes; m=4/
+    k=256 codes are 4 bytes — a 64x compression that turns a
+    cluster-wide ANN scan from IO-bound to ALU-bound. Training cost
+    is m independent Lloyd runs whose per-iteration exchange is the
+    k x (dim/m) partial-sum table per partition, nothing else."""
+    v = _as_double(F.col(vec_col))
+    pts = base.select(F.col(id_col).alias("id"), v.alias("_v"))
+    dim = len(pts.select(F.size("_v")).first()[0] * [0]) \
+        if False else pts.select(F.size("_v").alias("n")).first()["n"]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d0 = dim // m
+    books = []
+    for j in range(m):
+        sub = pts.select("id", F.slice("_v", j * d0 + 1, d0).alias("_v"))
+        books.append(_lloyd_centroids(sub, k, iters))
+    return books
+
+
+def pq_encode(base: DataFrame, codebooks: list[list[list[float]]],
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              arrow: bool = False) -> DataFrame:
+    """(id, code0..code{m-1}) — per-subspace nearest-centroid codes.
+    Map-only either way; the base table never shuffles, so encoding a
+    10^12-vector corpus is one pass.
+
+    arrow=False — broadcast-literal argmin column expressions (the
+        same chain kmeans assignment uses): bit-exact fold order, the
+        oracle-parity path. Costs a large serialized expression tree
+        (~8 MB task binary at m=4/k=8) and scales poorly in k.
+    arrow=True — vectorized pandas UDF: one einsum-style numpy argmin
+        per Arrow batch ((n, m, k) distance tensor), constant-size
+        task binary, the 100 TB path for k=256 codebooks. numpy's
+        pairwise summation can order float adds differently from the
+        SQL fold, so near-exact centroid ties may code differently —
+        irrelevant for retrieval, excluded from the oracle."""
+    m = len(codebooks)
+    d0 = len(codebooks[0][0])
+    if arrow:
+        import numpy as np
+        from pyspark.sql.functions import pandas_udf
+
+        books = np.asarray(codebooks, dtype=np.float64)  # (m, k, d0)
+
+        @pandas_udf("array<int>")
+        def enc(vs: pd.Series) -> pd.Series:
+            mat = np.asarray([np.asarray(x, dtype=np.float64) for x in vs])
+            sub = mat.reshape(len(mat), m, 1, d0)         # (n, m, 1, d0)
+            diff = sub - books[None, :, :, :]             # (n, m, k, d0)
+            codes = (diff * diff).sum(-1).argmin(-1)      # (n, m)
+            return pd.Series(list(codes.astype(np.int32)))
+
+        out = base.select(F.col(id_col).alias("id"),
+                          enc(F.col(vec_col)).alias("_c"))
+        return out.select(
+            "id", *[F.element_at("_c", j + 1).alias(f"code{j}")
+                    for j in range(m)])
+    v = _as_double(F.col(vec_col))
+    out = base.select(F.col(id_col).alias("id"), v.alias("_v"))
+    for j, book in enumerate(codebooks):
+        out = out.withColumn(
+            f"code{j}",
+            _argmin_centroid(F.slice("_v", j * d0 + 1, d0), book))
+    return out.drop("_v")
+
+
+def pq_adc_topk(codes: DataFrame, query_vec: list[float],
+                codebooks: list[list[list[float]]], topk: int = 10,
+                query_id: int = 0) -> DataFrame:
+    """Asymmetric-distance top-k for ONE query vector over a PQ-coded
+    corpus: the k x m distance table ||q_j - c_jc||^2 is computed
+    driver-side (m*k doubles), shipped as literals, and the per-row
+    distance is m table lookups + a fixed-order sum — no decode, no
+    shuffle except the global top-k (which Spark runs as per-partition
+    TakeOrdered + driver merge). Ties rank by vec_id.
+
+    Output: (query_id, vec_id, rank) — ints only, so the result is
+    engine-comparable without float canonicalization."""
+    m = len(codebooks)
+    d0 = len(codebooks[0][0])
+    dist = None
+    for j, book in enumerate(codebooks):
+        q_j = query_vec[j * d0:(j + 1) * d0]
+        table = [float(sum((a - b) * (a - b) for a, b in zip(q_j, c)))
+                 for c in book]
+        term = F.element_at(F.array(*[F.lit(t) for t in table]),
+                            F.col(f"code{j}") + 1)
+        dist = term if dist is None else dist + term
+    return (
+        codes.select(F.lit(query_id).cast("long").alias("query_id"),
+                     F.col("id").alias("vec_id"), dist.alias("_d"))
+        .orderBy("_d", "vec_id").limit(topk)
+        .select("query_id", "vec_id",
+                F.row_number().over(
+                    Window.partitionBy("query_id").orderBy("_d", "vec_id")
+                ).alias("rank"))
+    )

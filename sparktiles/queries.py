@@ -1575,6 +1575,116 @@ def kmeans_clusters(spark, sf_dir):
 
 
 # ===================================================================
+# product quantization — encode + asymmetric-distance top-k.
+# The oracle uses CLOSED-FORM codebooks (integer-valued centroids
+# from a formula over (subspace, cluster, component)) so the SQL
+# stays generable; training itself (pq_train = per-subspace Lloyd)
+# is covered by the kmeans oracle + pytest. Distances are built as
+# the SAME left-associated chain of double ops in both engines, so
+# codes and ADC ranks are bit-exact, and the outputs are ints only.
+# ===================================================================
+
+_PQ_M, _PQ_K, _PQ_D0 = 4, 8, 16  # 64-dim embeddings -> 4 x 16
+
+
+def _pq_cent(j: int, c: int, t: int) -> float:
+    return float(((c * 31 + t * 7 + j * 13) % 17) - 8)
+
+
+def _pq_formula_books():
+    return [[[_pq_cent(j, c, t) for t in range(_PQ_D0)]
+             for c in range(_PQ_K)] for j in range(_PQ_M)]
+
+
+def _pq_dist_sql(vec_expr: str, j: int, c: int) -> str:
+    """(0.0 + (v[i]-cent)^2 + ...) left-associated, component order —
+    bit-identical to the Spark fold."""
+    terms = []
+    for t in range(_PQ_D0):
+        idx = j * _PQ_D0 + t + 1
+        cent = _pq_cent(j, c, t)
+        terms.append(
+            f"(CAST({vec_expr}[{idx}] AS DOUBLE) - ({cent!r})) * "
+            f"(CAST({vec_expr}[{idx}] AS DOUBLE) - ({cent!r}))")
+    return "(0.0 + " + " + ".join(terms) + ")"
+
+
+def _pq_codes_sql() -> str:
+    dists = []
+    for j in range(_PQ_M):
+        for c in range(_PQ_K):
+            dists.append(f"{_pq_dist_sql('e', j, c)} AS d{j}_{c}")
+    codes = []
+    for j in range(_PQ_M):
+        least = "LEAST(" + ", ".join(f"d{j}_{c}" for c in range(_PQ_K)) + ")"
+        case = " ".join(f"WHEN d{j}_{c} = {least} THEN {c}"
+                        for c in range(_PQ_K))
+        codes.append(f"CAST(CASE {case} END AS INT) AS code{j}")
+    return f"""
+WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+d AS (SELECT vec_id, {", ".join(dists)} FROM v)
+SELECT vec_id, {", ".join(codes)} FROM d
+"""
+
+
+def _pq_adc_sql(topk: int = 10, n_q: int = 3) -> str:
+    adc_terms = []
+    for j in range(_PQ_M):
+        case = " ".join(
+            f"WHEN {c} THEN {_pq_dist_sql('q.qe', j, c)}"
+            for c in range(_PQ_K))
+        adc_terms.append(f"CASE c.code{j} {case} END")
+    adc = "(0.0 + " + " + ".join(adc_terms) + ")"
+    return f"""
+WITH codes AS ({_pq_codes_sql()}),
+q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+      WHERE vec_id < {n_q}),
+pairs AS (
+  SELECT q.query_id, c.vec_id, {adc} AS adc
+  FROM q CROSS JOIN codes c
+), r AS (
+  SELECT query_id, vec_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY adc, vec_id) AS INT) AS rank
+  FROM pairs
+)
+SELECT query_id, vec_id, rank FROM r WHERE rank <= {topk}
+"""
+
+
+@q("pq_codes", _pq_codes_sql())
+def pq_codes(spark, sf_dir):
+    """PQ encode (m=4 subspaces, k=8 centroids, formula codebooks):
+    map-only broadcast-literal argmin per subspace, base never
+    shuffles (operators/ann.py pq_encode)."""
+    from sparktiles.operators.ann import pq_encode
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return pq_encode(emb, _pq_formula_books()).withColumnRenamed(
+        "id", "vec_id")
+
+
+@q("pq_adc_topk", _pq_adc_sql())
+def pq_adc_topk_query(spark, sf_dir):
+    """Asymmetric-distance PQ top-10 for 3 query vectors over the
+    PQ-coded corpus: per-query distance TABLE shipped as literals,
+    per-row cost = m lookups + a fixed-order sum; global top-k is
+    Spark's TakeOrdered (operators/ann.py pq_adc_topk)."""
+    from sparktiles.operators.ann import pq_adc_topk, pq_encode
+
+    emb = _t(spark, sf_dir, "embeddings")
+    books = _pq_formula_books()
+    codes = pq_encode(emb, books)
+    qs = {r["vec_id"]: [float(x) for x in r["embedding"]]
+          for r in emb.where(F.col("vec_id") < 3).collect()}
+    out = None
+    for qid in sorted(qs):
+        t = pq_adc_topk(codes, qs[qid], books, topk=10, query_id=qid)
+        out = t if out is None else out.unionByName(t)
+    return out
+
+
+# ===================================================================
 # rows-only entries (non-SQL-expressible: engine-specific hashing /
 # pandas kernels) — the driver records the weaker rows-only check
 # ===================================================================

@@ -409,3 +409,59 @@ def test_pii_scrub_hand_example(spark):
     assert out[4]["n_email"] == 2 and out[4]["n_ipv4"] == 1
     assert out[4]["text"] == "two mails <EMAIL> <EMAIL> one ip <IP>"
     assert out[1]["has_pii"] and out[4]["has_pii"]
+
+
+# ------------------------------------------------------------------ PQ
+
+def test_pq_train_encode_roundtrip(spark, emb):
+    books = A.pq_train(emb, m=4, k=4, iters=2)
+    assert len(books) == 4 and len(books[0]) == 4 and len(books[0][0]) == 16
+    codes = A.pq_encode(emb, books)
+    rows = codes.collect()
+    assert len(rows) == emb.count()
+    for r in rows:
+        for j in range(4):
+            assert 0 <= r[f"code{j}"] < 4
+    # deterministic: second run identical
+    again = {r["id"]: tuple(r[f"code{j}"] for j in range(4))
+             for r in A.pq_encode(emb, A.pq_train(emb, m=4, k=4, iters=2)).collect()}
+    assert again == {r["id"]: tuple(r[f"code{j}"] for j in range(4)) for r in rows}
+
+
+def test_pq_encode_arrow_matches_expression(spark, emb):
+    books = A.pq_train(emb, m=4, k=8, iters=2)
+    expr = {r["id"]: tuple(r[f"code{j}"] for j in range(4))
+            for r in A.pq_encode(emb, books).collect()}
+    arr = {r["id"]: tuple(r[f"code{j}"] for j in range(4))
+           for r in A.pq_encode(emb, books, arrow=True).collect()}
+    assert expr == arr
+
+
+def test_pq_adc_recall_vs_exact(spark, emb):
+    import math
+    books = A.pq_train(emb, m=4, k=8, iters=3)
+    codes = A.pq_encode(emb, books, arrow=True).cache()
+    vecs = {r["vec_id"]: [float(x) for x in r["embedding"]]
+            for r in emb.collect()}
+
+    def exact_topk(qid, k=10):
+        q = vecs[qid]
+        d = sorted((sum((a - b) ** 2 for a, b in zip(q, v)), vid)
+                   for vid, v in vecs.items())
+        return [vid for _, vid in d[:k]]
+
+    hits = total = 0
+    for qid in sorted(vecs)[:5]:
+        got = [r["vec_id"] for r in
+               A.pq_adc_topk(codes, vecs[qid], books, topk=10,
+                             query_id=qid).collect()]
+        # ADC must retrieve the query itself first (its own
+        # quantization error is the minimal achievable table sum)
+        assert got[0] == qid
+        ex = set(exact_topk(qid))
+        hits += len(ex.intersection(got))
+        total += len(ex)
+    # 500 near-random 64-dim vectors are a worst case for m=4/k=8 PQ
+    # (a numpy replica reads recall@10 0.30-0.42 across seedings);
+    # require well above chance (10/500 = 0.02), not near-exactness
+    assert hits / total >= 0.1, f"PQ recall {hits}/{total}"
