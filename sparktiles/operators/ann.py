@@ -361,8 +361,7 @@ def pq_train(base: DataFrame, m: int = 4, k: int = 8, iters: int = 3,
     k x (dim/m) partial-sum table per partition, nothing else."""
     v = _as_double(F.col(vec_col))
     pts = base.select(F.col(id_col).alias("id"), v.alias("_v"))
-    dim = len(pts.select(F.size("_v")).first()[0] * [0]) \
-        if False else pts.select(F.size("_v").alias("n")).first()["n"]
+    dim = pts.select(F.size("_v").alias("n")).first()["n"]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     d0 = dim // m

@@ -51,17 +51,20 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
     means the input is not the candidate graph this is meant for).
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # node set BEFORE dropping self-loops: a node whose only edge is
+    # (n, n) is still a node and gets component n
+    nodes = (
+        e.select(F.col("a").alias("node"))
+        .union(e.select(F.col("b").alias("node")))
+        .distinct()
+    )
     sym = (
         e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .where(F.col("a") != F.col("b"))
         .distinct()
         .cache()
     )
-    labels = (
-        sym.select(F.col("a").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("component"))
-    )
+    labels = nodes.select("node", F.col("node").alias("component"))
     if reliable:
         labels = labels.checkpoint()
     else:

@@ -440,7 +440,8 @@ def duplicate_window_fractions(df: DataFrame, text_col: str = "text",
     the first shuffle carries distinct (doc, window-hash) pairs;
     gram-level distinct-doc counts are a second groupBy over those
     already-distinct rows; the join back is on the gram hash. Nothing
-    is O(corpus^2) and no raw text crosses the wire (16-byte md5).
+    is O(corpus^2) and no raw text crosses the wire — window keys are
+    8-byte xxhash64 longs (see _token_windows).
     Docs shorter than `window` keep zero counts (left join back).
     """
     w = _token_windows(df, text_col, id_col, window)

@@ -1674,7 +1674,9 @@ def pq_adc_topk_query(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     books = _pq_formula_books()
-    codes = pq_encode(emb, books)
+    # cache: each per-query union branch reuses the encoded corpus
+    # instead of re-running the argmin expression tree n_q times
+    codes = pq_encode(emb, books).cache()
     qs = {r["vec_id"]: [float(x) for x in r["embedding"]]
           for r in emb.where(F.col("vec_id") < 3).collect()}
     out = None

@@ -465,3 +465,12 @@ def test_pq_adc_recall_vs_exact(spark, emb):
     # (a numpy replica reads recall@10 0.30-0.42 across seedings);
     # require well above chance (10/500 = 0.02), not near-exactness
     assert hits / total >= 0.1, f"PQ recall {hits}/{total}"
+
+
+def test_connected_components_self_loop_only_node(spark):
+    from sparktiles.operators.graph import connected_components
+
+    edges = spark.createDataFrame([(5, 5), (1, 2)], "src long, dst long")
+    got = {r["node"]: r["component"]
+           for r in connected_components(edges).collect()}
+    assert got == {5: 5, 1: 1, 2: 1}

@@ -144,6 +144,8 @@ def main():
 
     if SLOCK.exists():
         raise SystemExit("scaling watcher mid-draw (lock present); retry later")
+    if ILOCK.exists():  # held by another interactive session — don't clobber
+        raise SystemExit("interactive lock present (another heavy job); retry later")
     ILOCK.touch()  # keep the watcher from firing into our windows
     try:
         ctl = control()
