@@ -568,3 +568,63 @@ def pii_scrub(df: DataFrame, text_col: str = "text",
         (sum(F.col(f"n_{name}") for name, _, _ in PII_PATTERNS) > 0)
         .alias("has_pii"),
     )
+
+
+# ------------------------------------------------------------ boilerplate
+
+def remove_boilerplate_lines(df: DataFrame, min_frac: float = 0.5,
+                             min_docs: int = 2, text_col: str = "text",
+                             id_col: str = "doc_id",
+                             domain_col: str = "source") -> DataFrame:
+    """Per-domain boilerplate-line removal (the C4/CCNet dedup-within-
+    site step): a line is boilerplate when it appears in >= min_frac
+    of the domain's documents (and at least min_docs of them) —
+    navigation footers, cookie banners, legal blurbs. Returns each doc
+    rebuilt without those lines plus (n_lines, n_removed).
+
+    Scale path: lines shuffle as (domain, 8-byte xxhash64) pairs —
+    never raw text; the per-(domain, line) distinct-doc count and the
+    per-domain doc count are map-side-combined aggregates; the
+    boilerplate set (tiny: lines crossing the frequency bar) is the
+    join's build side. Rebuild keeps line order with a sort_array
+    over (pos, line) structs — collect_list order is NOT stable in a
+    distributed shuffle, the struct sort is.
+    """
+    base = df.select(F.col(id_col).alias("doc_id"),
+                     F.col(domain_col).alias("_dom"),
+                     F.split(F.col(text_col), "\n").alias("_ls"))
+    lines = base.select(
+        "doc_id", "_dom",
+        F.posexplode("_ls").alias("pos", "line"),
+    ).withColumn("_h", F.xxhash64("line"))
+
+    domain_docs = base.groupBy("_dom").agg(
+        F.count("*").alias("_ndocs"))
+    line_docs = lines.groupBy("_dom", "_h").agg(
+        F.count_distinct("doc_id").alias("_cnt"))
+    boiler = (
+        line_docs.join(F.broadcast(domain_docs), "_dom")
+        .where((F.col("_cnt") >= min_docs)
+               & (F.col("_cnt").cast("double") / F.col("_ndocs") >= min_frac))
+        .select("_dom", "_h")
+    )
+    kept = lines.join(F.broadcast(boiler), ["_dom", "_h"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"]),
+            "\n").alias("text"),
+        F.count("*").alias("n_kept"),
+    )
+    totals = lines.groupBy("doc_id").agg(F.count("*").alias("n_lines"))
+    return (
+        totals.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("text", F.lit("")).alias("text"),
+            "n_lines",
+            (F.col("n_lines") - F.coalesce("n_kept", F.lit(0)))
+            .alias("n_removed"),
+        )
+    )

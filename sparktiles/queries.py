@@ -2402,6 +2402,80 @@ def pii_scrub_query(spark, sf_dir):
 
 
 # ===================================================================
+# boilerplate-line removal — C4/CCNet per-domain repeated-line strip.
+# The synthetic corpus is single-line, so both engines append the
+# same deterministic per-domain boilerplate (75% of docs -> above the
+# 0.5 bar) plus a rare line (below the bar, must survive) before the
+# operator runs.
+# ===================================================================
+
+_BOILER_SQL = """
+WITH seeded AS (
+  SELECT doc_id, source,
+    text ||
+    CASE WHEN doc_id % 4 <> 0
+         THEN chr(10) || 'Special offer from ' || source || ' click here'
+         ELSE '' END ||
+    CASE WHEN doc_id % 97 = 0
+         THEN chr(10) || 'rare line ' || source ELSE '' END AS text
+  FROM documents
+), lines AS (
+  SELECT doc_id, source,
+         unnest(string_split(text, chr(10))) AS line,
+         generate_subscripts(string_split(text, chr(10)), 1) AS pos
+  FROM seeded
+), ndocs AS (
+  SELECT source, COUNT(*) AS n FROM seeded GROUP BY source
+), linedocs AS (
+  SELECT source, line, COUNT(DISTINCT doc_id) AS cnt
+  FROM lines GROUP BY source, line
+), boiler AS (
+  SELECT l.source, l.line FROM linedocs l JOIN ndocs d USING (source)
+  WHERE l.cnt >= 2 AND CAST(l.cnt AS DOUBLE) / d.n >= 0.5
+), kept AS (
+  SELECT k.doc_id, k.pos, k.line
+  FROM lines k LEFT JOIN boiler b
+    ON k.source = b.source AND k.line = b.line
+  WHERE b.line IS NULL
+), rebuilt AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id
+), totals AS (
+  SELECT doc_id, COUNT(*) AS n_lines FROM lines GROUP BY doc_id
+)
+SELECT t.doc_id, COALESCE(r.text, '') AS text,
+       CAST(t.n_lines AS BIGINT) AS n_lines,
+       CAST(t.n_lines - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed
+FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
+@q("boilerplate_removal", _BOILER_SQL)
+def boilerplate_removal(spark, sf_dir):
+    """Per-domain boilerplate-line strip (operators/text.py
+    remove_boilerplate_lines): lines shuffle as (domain, xxhash64)
+    pairs, the boilerplate set broadcasts, rebuild is order-stable."""
+    from sparktiles.operators.text import remove_boilerplate_lines
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    seeded = d.select(
+        "doc_id", "source",
+        F.concat(
+            F.col("text"),
+            F.when(did % 4 != 0, F.concat(
+                F.lit("\nSpecial offer from "), F.col("source"),
+                F.lit(" click here"))).otherwise(F.lit("")),
+            F.when(did % 97 == 0, F.concat(
+                F.lit("\nrare line "), F.col("source"))
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return remove_boilerplate_lines(seeded, min_frac=0.5, min_docs=2)
+
+
+# ===================================================================
 # manual pivot — per-user event-type counts as columns
 # ===================================================================
 

@@ -474,3 +474,30 @@ def test_connected_components_self_loop_only_node(spark):
     got = {r["node"]: r["component"]
            for r in connected_components(edges).collect()}
     assert got == {5: 5, 1: 1, 2: 1}
+
+
+def test_remove_boilerplate_lines_hand_example(spark):
+    mk = lambda i, dom, *ls: (i, dom, "\n".join(ls))
+    rows = [
+        mk(1, "a.com", "unique one", "COOKIE BANNER", "more text"),
+        mk(2, "a.com", "something else", "COOKIE BANNER"),
+        mk(3, "a.com", "third doc", "COOKIE BANNER"),
+        mk(4, "a.com", "no banner here at all"),
+        # other domain: same banner text but only 1/2 docs -> at the
+        # 0.5 bar with min_docs=2 unmet (cnt=1) -> stays
+        mk(5, "b.org", "hello", "COOKIE BANNER"),
+        mk(6, "b.org", "goodbye"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r["doc_id"]: r for r in
+           T.remove_boilerplate_lines(d, min_frac=0.5, min_docs=2).collect()}
+    # a.com: banner in 3/4 docs -> removed, order of survivors kept
+    assert out[1]["text"] == "unique one\nmore text"
+    assert (out[1]["n_lines"], out[1]["n_removed"]) == (3, 1)
+    assert out[2]["text"] == "something else"
+    assert out[4]["text"] == "no banner here at all"
+    assert out[4]["n_removed"] == 0
+    # b.org: cnt=1 < min_docs -> banner survives
+    assert out[5]["text"] == "hello\nCOOKIE BANNER"
+    # doc reduced to nothing would be "" (not exercised here)
+    assert all(out[i]["n_lines"] - out[i]["n_removed"] >= 1 for i in out)
