@@ -1,0 +1,164 @@
+"""Single-layer encode 2v8 at a fixed-cost-amortizing corpus size.
+
+The single-layer leg is the round's one remaining weak scaling
+number (0.42-0.60 raw). Its decomposition (BENCH.md) attributes the
+loss to (a) a ~8 s fixed driver/plan/commit cost that dominates a
+~60 s 2-core leg at the standard 400k-page corpus and (b) a measured
+~1.10x memory-bus inflation. This tool runs ONLY geoparse + the
+fused single-layer encode at a corpus large enough (default 1.6M
+pages) that the fixed cost is <4% of the 2-core leg, with the same
+pinned-fresh-JVM protocol and the 2v8 compute+bandwidth control
+up front — the be-gate discipline the multi-layer leg needed before
+it read its true >=0.8 (BENCH_SCALING.json attempt 81).
+
+usage: python tools/sl_scaling.py [n_pages] [maxzoom] [n_low] [n_high]
+       (refuses to fire when the bandwidth control reads < 0.6)
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+ROOT = Path(__file__).resolve().parent.parent
+ILOCK = Path("/tmp/sparktiles_interactive.lock")
+SLOCK = Path("/tmp/sparktiles_scaling.lock")
+BE_GATE = 0.6
+
+
+def core_index(seconds: float = 3.0) -> float:
+    import numpy as np
+
+    a = np.random.default_rng(0).random(200_000)
+    t_end = time.time() + seconds
+    it = 0
+    while time.time() < t_end:
+        np.sin(a).sum()
+        it += 1
+    return round(it / seconds, 1)
+
+
+def control() -> dict:
+    proc = subprocess.run(
+        [sys.executable, str(ROOT / "tools/hw_scaling_control.py"), "2", "8"],
+        capture_output=True, text=True, cwd=str(ROOT), timeout=600)
+    out = proc.stdout.strip()
+    ctl = json.loads(out[out.index("{"):])
+    subprocess.run(["git", "checkout", "--", "BENCH_HW_CONTROL.json"],
+                   cwd=str(ROOT), capture_output=True)
+    return {"compute_eff": ctl["compute"]["efficiency"],
+            "bandwidth_eff": ctl["bandwidth"]["efficiency"]}
+
+
+def run_leg(cpus: int, n_pages: int, maxzoom: int) -> dict:
+    import os
+
+    os.environ["SPARK_DRIVER_MEM"] = "24g"
+    from sparktiles.operators.mvt import LayerSpec, encode_and_assemble_single
+    from sparktiles.operators.pyramid import assign_point_tiles_multi
+    from sparktiles.session import get_spark
+    from sparktiles.sources.geoparse import build_features
+    from sparktiles.sources.pages import generate_pages
+
+    spark = get_spark(f"sl-scaling-{cpus}", cpus=cpus, extra_conf={
+        "spark.sparktiles.encodePartitions": str(4 * cpus)})
+    spark.sparkContext.setLogLevel("ERROR")
+    out: dict = {"cpus": cpus, "core_index_before": core_index()}
+
+    t0 = time.time()
+    pages = generate_pages(spark, n_pages).repartition(64)
+    feats = build_features(pages).cache()
+    out["n_features"] = feats.count()
+    out["geoparse_s"] = round(time.time() - t0, 2)
+
+    spec = LayerSpec(layer_id="place", index=0,
+                     attr_fields={"name": "string"}, buffer_px=8)
+    base = "/dev/shm" if Path("/dev/shm").exists() else None
+    store = tempfile.mkdtemp(prefix=f"sparktiles_sl_{cpus}_", dir=base)
+    try:
+        times = []
+        for _ in range(2):
+            t0 = time.time()
+            assigned = assign_point_tiles_multi(
+                feats, 0, maxzoom, buffer_px=spec.buffer_px)
+            encode_and_assemble_single(assigned, spec, 6).write \
+                .mode("overwrite").partitionBy("z") \
+                .parquet(store + "/tiles")
+            times.append(time.time() - t0)
+        dt = min(times)
+        out["sl_encode_s"] = round(dt, 2)
+        n = spark.read.parquet(store + "/tiles").count()
+        out["nonempty_tiles"] = n
+        out["sl_tiles_per_s"] = round(n / dt, 1)
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+    spark.stop()
+    out["core_index_after"] = core_index()
+    return out
+
+
+def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "--leg":
+        print("LEGRESULT " + json.dumps(run_leg(
+            int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4]))))
+        return
+
+    n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 1_600_000
+    maxzoom = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    n_low = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    n_high = int(sys.argv[4]) if len(sys.argv) > 4 else 8
+
+    if SLOCK.exists():
+        raise SystemExit("scaling watcher mid-draw; retry later")
+    if ILOCK.exists():
+        raise SystemExit("interactive lock present; retry later")
+    ILOCK.touch()
+    try:
+        ctl = control()
+        if ctl["bandwidth_eff"] < BE_GATE:
+            raise SystemExit(
+                f"bandwidth control {ctl['bandwidth_eff']} < {BE_GATE}: "
+                "bus-starved window, a draw now would understate 8c — not firing")
+        legs = {}
+        for cpus in (n_low, n_high):
+            cmd = [sys.executable, __file__, "--leg", str(cpus),
+                   str(n_pages), str(maxzoom)]
+            if shutil.which("taskset"):
+                cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+            proc = subprocess.run(cmd, capture_output=True, text=True,
+                                  cwd=str(ROOT))
+            line = next((l for l in proc.stdout.splitlines()
+                         if l.startswith("LEGRESULT ")), None)
+            if line is None:
+                sys.stderr.write(proc.stdout[-2000:] + proc.stderr[-4000:])
+                raise RuntimeError(f"leg {cpus} failed")
+            legs[cpus] = json.loads(line[len("LEGRESULT "):])
+    finally:
+        ILOCK.unlink(missing_ok=True)
+
+    lo, hi = legs[n_low], legs[n_high]
+    factor = n_high / n_low
+    eff = round((hi["sl_tiles_per_s"] / lo["sl_tiles_per_s"]) / factor, 3)
+    ci_lo = (lo["core_index_before"] + lo["core_index_after"]) / 2
+    ci_hi = (hi["core_index_before"] + hi["core_index_after"]) / 2
+    drift = ci_lo / ci_hi if ci_hi else 1.0
+    result = {
+        "n_pages": n_pages, "maxzoom": maxzoom, "control": ctl,
+        f"N(local[{n_low}])": lo, f"4N(local[{n_high}])": hi,
+        "scaling_efficiency_single_layer": eff,
+        "box_speed_drift_low_over_high": round(drift, 3),
+        "hw_norm_single_layer": round(eff * drift, 3),
+    }
+    print(json.dumps(result, indent=1))
+    Path("BENCH_SL_SCALING_LARGE.json").write_text(json.dumps(result, indent=1))
+
+
+if __name__ == "__main__":
+    main()
