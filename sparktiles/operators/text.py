@@ -617,7 +617,10 @@ def remove_boilerplate_lines(df: DataFrame, min_frac: float = 0.5,
             "\n").alias("text"),
         F.count("*").alias("n_kept"),
     )
-    totals = lines.groupBy("doc_id").agg(F.count("*").alias("n_lines"))
+    # per-doc line counts come from the split array map-side — an
+    # aggregate here would re-scan and re-explode the whole corpus
+    totals = base.select(
+        "doc_id", F.size("_ls").cast("long").alias("n_lines"))
     return (
         totals.join(rebuilt, "doc_id", "left")
         .select(
