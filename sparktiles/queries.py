@@ -1051,6 +1051,50 @@ def multimodal_image_features(spark, sf_dir):
     )
 
 
+# ===================================================================
+# SPTX real-codec pipeline: deterministic formula pixels -> REAL byte
+# encode (header + uint8 raster) -> real parse/decode in the Arrow
+# batch UDF -> integer-quantized stats. The oracle re-derives the same
+# sums from the closed-form pixel definition — if the codec mangled a
+# single byte anywhere (encode, shuffle, Arrow, decode), the exact
+# integer sums would diverge.
+# ===================================================================
+
+_SPTX_SQL = """
+WITH px AS (
+  SELECT d.doc_id, r.i, ((d.doc_id * 31 + r.i * 7) % 256) AS v
+  FROM documents d
+  CROSS JOIN (SELECT unnest(range(0, 64)) AS i) r
+)
+SELECT doc_id AS media_id,
+       CAST(SUM(v) AS BIGINT) AS px_sum,
+       CAST(SUM(CASE WHEN i < 8 THEN v ELSE 0 END) AS BIGINT) AS row0_sum
+FROM px GROUP BY doc_id
+"""
+
+
+@q("sptx_image_stats", _SPTX_SQL)
+def sptx_image_stats(spark, sf_dir):
+    """Real-codec multimodal path: SPTX images (toy raster format,
+    operators/multimodal.py) built from formula pixels, parsed and
+    feature-extracted by the production Arrow-batch UDF; stats are
+    integer-quantized (mean * 255 * n is the exact pixel sum in
+    float64) so both engines compare as BIGINT."""
+    from sparktiles.operators.multimodal import (
+        image_features, make_sptx_media)
+
+    docs = _t(spark, sf_dir, "documents")
+    media = make_sptx_media(docs, id_col="doc_id", w=8, h=8)
+    feats = image_features(media)
+    return feats.select(
+        "media_id",
+        F.round(F.col("mean_intensity") * (255 * 64)).cast("long")
+        .alias("px_sum"),
+        F.round(F.element_at("embedding", 1) * (255 * 8)).cast("long")
+        .alias("row0_sum"),
+    )
+
+
 _COS_DEDUP_SQL = """
 WITH e AS (
   SELECT vec_id, embedding,

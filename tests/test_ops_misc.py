@@ -176,3 +176,66 @@ def test_stats_buckets_and_summary(spark):
     b = size_buckets(sizes, "size", buckets=10)
     assert b.count() == 10
     assert b.agg(F.sum("cnt")).first()[0] == 100
+
+
+# --------------------------------------------------------------- SPTX codec
+
+def test_sptx_roundtrip_and_decode():
+    import numpy as np
+    from sparktiles.operators import multimodal as M
+
+    img = (np.arange(8 * 6 * 3) % 256).astype(np.uint8).reshape(6, 8, 3)
+    blob = M.encode_sptx(img)
+    assert blob[:4] == b"SPTX" and len(blob) == 9 + 6 * 8 * 3
+    back = M.decode_sptx(blob)
+    assert (back == img).all() and back.shape == (6, 8, 3)
+    with pytest.raises(ValueError, match="truncated"):
+        M.decode_sptx(blob[:-1])
+    with pytest.raises(ValueError, match="not an SPTX"):
+        M.decode_sptx(b"JPEG" + blob[4:])
+
+
+def test_sptx_resize_real(spark):
+    import numpy as np
+    from sparktiles.operators import multimodal as M
+
+    img = (np.arange(64) % 256).astype(np.uint8).reshape(8, 8)
+    rows = [(1, "image", "image/x-sptx", 8, 8, None,
+             bytearray(M.encode_sptx(img)))]
+    media = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    out = M.resize_images(media, width=4, height=4).collect()
+    got = M.decode_sptx(bytes(out[0]["payload"]))
+    # nearest-neighbor with ri = (arange(4)*8)//4 = [0,2,4,6]
+    exp = img[[0, 2, 4, 6]][:, [0, 2, 4, 6]][:, :, None]
+    assert (got == exp).all()
+    assert out[0]["width"] == 4 and out[0]["height"] == 4
+
+
+def test_sptv_frame_sampling_real(spark):
+    import numpy as np
+    from sparktiles.operators import multimodal as M
+
+    frames = [np.full((4, 4), i * 10, dtype=np.uint8) for i in range(6)]
+    blob = M.encode_sptv(frames, frame_ms=500)
+    rows = [(7, "video", "video/x-sptv", 4, 4, 3000, bytearray(blob))]
+    media = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    out = sorted(M.sample_frames(media, every_ms=1000).collect(),
+                 key=lambda r: r["frame_idx"])
+    # every_ms 1000 / frame_ms 500 -> every 2nd frame: 0, 2, 4
+    assert [r["ts_ms"] for r in out] == [0, 1000, 2000]
+    for r, fi in zip(out, (0, 2, 4)):
+        assert (M.decode_sptv(blob)[0][fi]
+                == M.decode_sptx(bytes(r["frame_payload"]))).all()
+
+
+def test_make_sptx_media_formula_pixels(spark):
+    import numpy as np
+    from sparktiles.operators import multimodal as M
+
+    d = spark.createDataFrame([(3,), (11,)], "doc_id long")
+    rows = {r["media_id"]: bytes(r["payload"])
+            for r in M.make_sptx_media(d).collect()}
+    for mid, blob in rows.items():
+        img = M.decode_sptx(blob)
+        exp = ((mid * 31 + np.arange(64) * 7) % 256).reshape(8, 8, 1)
+        assert (img == exp).all()
