@@ -631,3 +631,44 @@ def remove_boilerplate_lines(df: DataFrame, min_frac: float = 0.5,
             .alias("n_removed"),
         )
     )
+
+
+# ------------------------------------------------------------- rarity
+
+def token_rarity(df: DataFrame, max_cf: int = 2, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Rare-token fraction per document — the vocabulary-side quality
+    signal (gibberish, OCR noise and boilerplate IDs are made of
+    tokens the rest of the corpus never repeats): a token is rare
+    when its corpus-wide occurrence count is <= max_cf.
+
+    Scale shape: the corpus frequency table is Zipf-shaped, so the
+    FREQUENT head (cf > max_cf) is small and broadcastable while the
+    rare tail is enormous — therefore rare tokens are counted as
+    occurrences that do NOT match the broadcast frequent set
+    (left_anti), never by materializing the tail. Per-doc totals are
+    map-side size(split); the one wide exchange is the cf groupBy,
+    map-side combined."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    ).where(F.col("tok") != "")
+    frequent = (
+        toks.groupBy("tok").agg(F.count("*").alias("cf"))
+        .where(F.col("cf") > max_cf)
+        .select("tok")
+    )
+    rare_counts = (
+        toks.join(F.broadcast(frequent), "tok", "left_anti")
+        .groupBy("doc_id").agg(F.count("*").alias("n_rare"))
+    )
+    totals = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.filter(F.split(F.col(text_col), " "),
+                        lambda t: t != "")).cast("long").alias("n_tokens"))
+    return totals.join(rare_counts, "doc_id", "left").select(
+        "doc_id", "n_tokens",
+        F.coalesce("n_rare", F.lit(0)).alias("n_rare"),
+        (F.coalesce("n_rare", F.lit(0)).cast("double")
+         / F.greatest("n_tokens", F.lit(1))).alias("rare_frac"),
+    )

@@ -2520,6 +2520,46 @@ def boilerplate_removal(spark, sf_dir):
 
 
 # ===================================================================
+# rare-token fraction — vocabulary-side quality signal. All-integer
+# counts plus one exact division, so no float canonicalization risk.
+# ===================================================================
+
+_RARITY_SQL = """
+WITH toks AS (
+  SELECT doc_id, t AS tok
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+  WHERE t <> ''
+), cf AS (
+  SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok
+), rare AS (
+  SELECT t.doc_id, COUNT(*) AS n_rare
+  FROM toks t JOIN cf USING (tok)
+  WHERE cf.c <= 2 GROUP BY t.doc_id
+), totals AS (
+  SELECT doc_id, COUNT(*) AS n_tokens FROM toks GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(t.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(r.n_rare, 0) AS BIGINT) AS n_rare,
+       CAST(COALESCE(r.n_rare, 0) AS DOUBLE)
+         / GREATEST(COALESCE(t.n_tokens, 0), 1) AS rare_frac
+FROM documents d
+LEFT JOIN totals t USING (doc_id)
+LEFT JOIN rare r USING (doc_id)
+"""
+
+
+@q("token_rarity", _RARITY_SQL)
+def token_rarity_query(spark, sf_dir):
+    """Rare-token fraction (operators/text.py token_rarity): the
+    frequent vocabulary head broadcasts, the Zipf tail is counted by
+    anti-join — the tail itself is never materialized."""
+    from sparktiles.operators.text import token_rarity
+
+    return token_rarity(_t(spark, sf_dir, "documents"), max_cf=2)
+
+
+# ===================================================================
 # manual pivot — per-user event-type counts as columns
 # ===================================================================
 

@@ -501,3 +501,21 @@ def test_remove_boilerplate_lines_hand_example(spark):
     assert out[5]["text"] == "hello\nCOOKIE BANNER"
     # doc reduced to nothing would be "" (not exercised here)
     assert all(out[i]["n_lines"] - out[i]["n_removed"] >= 1 for i in out)
+
+
+def test_token_rarity_hand_example(spark):
+    rows = [
+        (1, "common common common zzzqx"),
+        (2, "common common"),
+        (3, "wwwyk common"),
+        (4, ""),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in T.token_rarity(d, max_cf=2).collect()}
+    # 'common' cf=6 -> frequent; zzzqx/wwwyk cf=1 -> rare
+    assert (out[1]["n_tokens"], out[1]["n_rare"]) == (4, 1)
+    assert out[1]["rare_frac"] == 0.25
+    assert (out[2]["n_tokens"], out[2]["n_rare"]) == (2, 0)
+    assert (out[3]["n_tokens"], out[3]["n_rare"]) == (2, 1)
+    # empty doc: zero tokens, zero rare, frac 0 via the greatest() guard
+    assert (out[4]["n_tokens"], out[4]["n_rare"], out[4]["rare_frac"]) == (0, 0, 0.0)
