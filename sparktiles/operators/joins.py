@@ -59,13 +59,27 @@ def broadcast_pip_join(
 ) -> DataFrame:
     """Point-in-polygon with a broadcastable polygon side (J2).
 
-    Plan: bbox prefilter as a broadcast range join (JVM) -> exact
-    containment in a grouped numpy kernel. Points can match multiple
-    polygons (overlaps allowed); `how='left'` keeps unmatched points
-    with NULL poly columns.
+    Plan: data-induced global-bbox predicate on the point side (the
+    union bbox of the polygon set, derived at plan time — the
+    "data-induced predicates" trick of Kandula et al., VLDB 2019) ->
+    bbox prefilter as a broadcast range join (JVM) -> exact
+    containment in a grouped numpy kernel. The induced predicate is a
+    plain comparison filter, so it reaches the parquet scan as
+    PushedFilters and prunes row groups whose min/max lie outside all
+    polygons — at corpus scale most of the planet. Points can match
+    multiple polygons (overlaps allowed); `how='left'` keeps
+    unmatched points with NULL poly columns (the induced filter only
+    gates the match path, never the left side).
     """
     pb = polygons_with_bounds(polygons, geom_col)
-    cand = points.join(
+    gb = pb.agg(F.min("xmin").alias("x0"), F.min("ymin").alias("y0"),
+                F.max("xmax").alias("x1"), F.max("ymax").alias("y1")).first()
+    pts = points
+    if gb["x0"] is not None:
+        pts = points.where(
+            (F.col(x_col) >= gb["x0"]) & (F.col(x_col) <= gb["x1"])
+            & (F.col(y_col) >= gb["y0"]) & (F.col(y_col) <= gb["y1"]))
+    cand = pts.join(
         F.broadcast(pb),
         (F.col(x_col) >= F.col("xmin")) & (F.col(x_col) <= F.col("xmax"))
         & (F.col(y_col) >= F.col("ymin")) & (F.col(y_col) <= F.col("ymax")),
