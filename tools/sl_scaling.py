@@ -57,7 +57,7 @@ def control() -> dict:
             "bandwidth_eff": ctl["bandwidth"]["efficiency"]}
 
 
-def run_leg(cpus: int, n_pages: int, maxzoom: int) -> dict:
+def run_leg(cpus: int, n_pages: int, maxzoom: int, repeats: int = 2) -> dict:
     import os
 
     os.environ["SPARK_DRIVER_MEM"] = "24g"
@@ -84,7 +84,7 @@ def run_leg(cpus: int, n_pages: int, maxzoom: int) -> dict:
     store = tempfile.mkdtemp(prefix=f"sparktiles_sl_{cpus}_", dir=base)
     try:
         times = []
-        for _ in range(2):
+        for _ in range(repeats):
             t0 = time.time()
             assigned = assign_point_tiles_multi(
                 feats, 0, maxzoom, buffer_px=spec.buffer_px)
@@ -104,16 +104,33 @@ def run_leg(cpus: int, n_pages: int, maxzoom: int) -> dict:
     return out
 
 
+def _spawn_leg(cpus: int, n_pages: int, maxzoom: int, repeats: int) -> dict:
+    cmd = [sys.executable, __file__, "--leg", str(cpus),
+           str(n_pages), str(maxzoom), str(repeats)]
+    if shutil.which("taskset"):
+        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+    proc = subprocess.run(cmd, capture_output=True, text=True, cwd=str(ROOT))
+    line = next((l for l in proc.stdout.splitlines()
+                 if l.startswith("LEGRESULT ")), None)
+    if line is None:
+        sys.stderr.write(proc.stdout[-2000:] + proc.stderr[-4000:])
+        raise RuntimeError(f"leg {cpus} failed")
+    return json.loads(line[len("LEGRESULT "):])
+
+
 def main():
     if len(sys.argv) > 1 and sys.argv[1] == "--leg":
+        repeats = int(sys.argv[5]) if len(sys.argv) > 5 else 2
         print("LEGRESULT " + json.dumps(run_leg(
-            int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4]))))
+            int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4]), repeats)))
         return
 
-    n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 1_600_000
-    maxzoom = int(sys.argv[2]) if len(sys.argv) > 2 else 10
-    n_low = int(sys.argv[3]) if len(sys.argv) > 3 else 2
-    n_high = int(sys.argv[4]) if len(sys.argv) > 4 else 8
+    abba = "--abba" in sys.argv
+    argv = [a for a in sys.argv[1:] if a != "--abba"]
+    n_pages = int(argv[0]) if len(argv) > 0 else 1_600_000
+    maxzoom = int(argv[1]) if len(argv) > 1 else 10
+    n_low = int(argv[2]) if len(argv) > 2 else 2
+    n_high = int(argv[3]) if len(argv) > 3 else 8
 
     if SLOCK.exists():
         raise SystemExit("scaling watcher mid-draw; retry later")
@@ -126,38 +143,56 @@ def main():
             raise SystemExit(
                 f"bandwidth control {ctl['bandwidth_eff']} < {BE_GATE}: "
                 "bus-starved window, a draw now would understate 8c — not firing")
-        legs = {}
-        for cpus in (n_low, n_high):
-            cmd = [sys.executable, __file__, "--leg", str(cpus),
-                   str(n_pages), str(maxzoom)]
-            if shutil.which("taskset"):
-                cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
-            proc = subprocess.run(cmd, capture_output=True, text=True,
-                                  cwd=str(ROOT))
-            line = next((l for l in proc.stdout.splitlines()
-                         if l.startswith("LEGRESULT ")), None)
-            if line is None:
-                sys.stderr.write(proc.stdout[-2000:] + proc.stderr[-4000:])
-                raise RuntimeError(f"leg {cpus} failed")
-            legs[cpus] = json.loads(line[len("LEGRESULT "):])
+        if abba:
+            # A-B-B-A: a monotonic box-speed drift inflates one pair's
+            # efficiency and deflates the other's by the same factor, so
+            # the geometric mean of the two pair efficiencies cancels it.
+            order = [n_low, n_high, n_high, n_low]
+            runs = [_spawn_leg(c, n_pages, maxzoom, 1) for c in order]
+            legs = {"pair1": {n_low: runs[0], n_high: runs[1]},
+                    "pair2": {n_low: runs[3], n_high: runs[2]}}
+        else:
+            legs = {cpus: _spawn_leg(cpus, n_pages, maxzoom, 2)
+                    for cpus in (n_low, n_high)}
     finally:
         ILOCK.unlink(missing_ok=True)
 
-    lo, hi = legs[n_low], legs[n_high]
     factor = n_high / n_low
-    eff = round((hi["sl_tiles_per_s"] / lo["sl_tiles_per_s"]) / factor, 3)
-    ci_lo = (lo["core_index_before"] + lo["core_index_after"]) / 2
-    ci_hi = (hi["core_index_before"] + hi["core_index_after"]) / 2
-    drift = ci_lo / ci_hi if ci_hi else 1.0
-    result = {
-        "n_pages": n_pages, "maxzoom": maxzoom, "control": ctl,
-        f"N(local[{n_low}])": lo, f"4N(local[{n_high}])": hi,
-        "scaling_efficiency_single_layer": eff,
-        "box_speed_drift_low_over_high": round(drift, 3),
-        "hw_norm_single_layer": round(eff * drift, 3),
-    }
+
+    def pair_eff(lo: dict, hi: dict) -> float:
+        return round((hi["sl_tiles_per_s"] / lo["sl_tiles_per_s"]) / factor, 3)
+
+    def ci(leg: dict) -> float:
+        return (leg["core_index_before"] + leg["core_index_after"]) / 2
+
+    if abba:
+        e1 = pair_eff(legs["pair1"][n_low], legs["pair1"][n_high])
+        e2 = pair_eff(legs["pair2"][n_low], legs["pair2"][n_high])
+        eff = round((e1 * e2) ** 0.5, 3)
+        all_ci = [ci(legs[p][c]) for p in ("pair1", "pair2")
+                  for c in (n_low, n_high)]
+        result = {
+            "protocol": "ABBA", "n_pages": n_pages, "maxzoom": maxzoom,
+            "control": ctl, "pair1": legs["pair1"], "pair2": legs["pair2"],
+            "eff_pair1": e1, "eff_pair2": e2,
+            "scaling_efficiency_single_layer": eff,
+            "core_index_spread": round(max(all_ci) / min(all_ci), 3),
+        }
+        out_path = "BENCH_SL_SCALING_ABBA.json"
+    else:
+        lo, hi = legs[n_low], legs[n_high]
+        eff = pair_eff(lo, hi)
+        drift = ci(lo) / ci(hi) if ci(hi) else 1.0
+        result = {
+            "n_pages": n_pages, "maxzoom": maxzoom, "control": ctl,
+            f"N(local[{n_low}])": lo, f"4N(local[{n_high}])": hi,
+            "scaling_efficiency_single_layer": eff,
+            "box_speed_drift_low_over_high": round(drift, 3),
+            "hw_norm_single_layer": round(eff * drift, 3),
+        }
+        out_path = "BENCH_SL_SCALING_LARGE.json"
     print(json.dumps(result, indent=1))
-    Path("BENCH_SL_SCALING_LARGE.json").write_text(json.dumps(result, indent=1))
+    Path(out_path).write_text(json.dumps(result, indent=1))
 
 
 if __name__ == "__main__":
