@@ -23,6 +23,10 @@ Analysis family:
                        ExactSubstr-style cross-doc duplicate windows
 - decontaminate        benchmark n-gram decontamination (broadcast)
 - stratified_sample    deterministic per-stratum quota sampling
+- canonical_url / dedup_url_canonical
+                       URL normalization (scheme/www/fragment/
+                       tracking params) + best-doc-per-URL dedup
+- paragraph_dedup      CCNet-style cross-doc paragraph removal
 
 All operators are DataFrame->DataFrame, shuffle only on their group
 keys, and keep heavy work in JVM built-ins (higher-order functions) —
@@ -671,4 +675,115 @@ def token_rarity(df: DataFrame, max_cf: int = 2, text_col: str = "text",
         F.coalesce("n_rare", F.lit(0)).alias("n_rare"),
         (F.coalesce("n_rare", F.lit(0)).cast("double")
          / F.greatest("n_tokens", F.lit(1))).alias("rare_frac"),
+    )
+
+
+# --------------------------------------------------------------- urls
+
+def canonical_url(url_col) -> "F.Column":
+    """Canonical form of a web-crawl URL (the key for URL-level dedup
+    of a Common-Crawl-style corpus, where the same page is fetched via
+    http/https, with/without www, with tracking params, fragments and
+    trailing slashes): lowercase, drop scheme + leading www., drop the
+    #fragment, drop utm_* tracking params (keeping real params and
+    their order), drop a trailing '/'. Pure column expressions — RE2-
+    compatible patterns so any engine reproduces the key."""
+    u = F.lower(url_col)
+    u = F.regexp_replace(u, "^https?://", "")
+    u = F.regexp_replace(u, "^www\\.", "")
+    u = F.regexp_replace(u, "#.*$", "")
+    path = F.regexp_replace(F.split(u, "\\?").getItem(0), "/$", "")
+    # F.get is null-safe out-of-bounds (element_at throws under ANSI)
+    qs = F.coalesce(F.get(F.split(u, "\\?"), 1), F.lit(""))
+    params = F.filter(
+        F.split(qs, "&"),
+        lambda p: (p != "") & ~p.startswith("utm_"))
+    return F.when(
+        F.size(params) > 0,
+        F.concat(path, F.lit("?"), F.array_join(params, "&"))
+    ).otherwise(path)
+
+
+def dedup_url_canonical(df: DataFrame, url_col: str = "url",
+                        id_col: str = "doc_id",
+                        quality_col: str = "n_chars") -> DataFrame:
+    """URL-level dedup: keep the best document per canonical URL
+    (highest quality_col, ties to the smallest id — deterministic).
+    Returns (canon_url, doc_id, n_dupes). One shuffle on the canonical
+    URL; refetches of hot pages are bounded per-key group sizes, not a
+    skew risk at crawl scale (per-URL fetch counts are small)."""
+    from pyspark.sql.window import Window
+
+    keyed = df.select(
+        canonical_url(F.col(url_col)).alias("canon_url"),
+        F.col(id_col).alias("doc_id"),
+        F.col(quality_col).alias("_q"))
+    w = Window.partitionBy("canon_url").orderBy(
+        F.col("_q").desc(), F.col("doc_id").asc())
+    return (
+        keyed
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn("n_dupes", F.count("*").over(
+            Window.partitionBy("canon_url")).cast("bigint"))
+        .where(F.col("_rn") == 1)
+        .select("canon_url", "doc_id", "n_dupes")
+    )
+
+
+# --------------------------------------------------------- paragraphs
+
+def paragraph_dedup(df: DataFrame, k_words: int = 16, max_docs: int = 2,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """CCNet-style paragraph-level dedup: the corpus is chunked into
+    k-word paragraphs; a paragraph appearing in more than max_docs
+    DISTINCT documents is dropped from every document; each doc is
+    rebuilt from its surviving paragraphs in order. Returns
+    (doc_id, text, n_paras, n_removed).
+
+    Scale shape: paragraph construction is MAP-SIDE (sequence +
+    slice + array_join over the split array — no explode shuffle);
+    the distinct-doc count shuffles 8-byte xxhash64 keys, never
+    paragraph text; the common set (paragraphs over the bar) is tiny
+    and broadcast for the anti-join; the rebuild is one groupBy with
+    an order-stable sort_array over (idx, paragraph) structs."""
+    k = F.lit(k_words)
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.col(text_col), " ").alias("_w"))
+    paras = base.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.ceil(F.size("_w") / k).cast("int") - 1),
+                lambda i: F.array_join(
+                    F.slice("_w", i * k + 1, k), " "))
+        ).alias("idx", "para"),
+    ).withColumn("_h", F.xxhash64("para"))
+    common = (
+        paras.groupBy("_h")
+        .agg(F.count_distinct("doc_id").alias("_nd"))
+        .where(F.col("_nd") > max_docs)
+        .select("_h")
+    )
+    kept = paras.join(F.broadcast(common), "_h", "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "para"))),
+                lambda s: s["para"]),
+            " ").alias("text"),
+        F.count("*").alias("n_kept"),
+    )
+    totals = base.select(
+        "doc_id",
+        F.ceil(F.size("_w") / k).cast("bigint").alias("n_paras"))
+    return totals.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("text", F.lit("")).alias("text"),
+        "n_paras",
+        (F.col("n_paras") - F.coalesce("n_kept", F.lit(0)))
+        .cast("bigint").alias("n_removed"),
     )

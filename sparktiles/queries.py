@@ -2724,3 +2724,217 @@ def mvt_multilayer_fused_q(spark, sf_dir):
     return tiles.mapInPandas(
         dec, "z int, x long, y long, layer string, n_features long, "
              "names_md5 string, layer_pos int")
+
+
+# ===================================================== URL-level dedup
+
+_URL_BUILD_SQL = """
+WITH d AS (
+  SELECT doc_id, n_chars,
+    'https://www.' || source || '.example.com/item/'
+      || CAST(doc_id % 7 AS VARCHAR)
+      || CASE WHEN doc_id % 3 = 0
+              THEN '?utm_source=feed&utm_campaign=c'
+                   || CAST(doc_id % 5 AS VARCHAR)
+                   || '&ref=r' || CAST(doc_id % 2 AS VARCHAR)
+              WHEN doc_id % 3 = 1 THEN '/#frag'
+              ELSE '' END AS url
+  FROM documents
+)"""
+
+_URL_DEDUP_SQL = _URL_BUILD_SQL + """
+, c AS (
+  SELECT doc_id, n_chars,
+    regexp_replace(regexp_replace(regexp_replace(
+      lower(url), '^https?://', ''), '^www\\.', ''), '#.*$', '') AS u
+  FROM d
+), parts AS (
+  SELECT doc_id, n_chars,
+    regexp_replace(string_split(u, '?')[1], '/$', '') AS path,
+    coalesce(string_split(u, '?')[2], '') AS qs
+  FROM c
+), canon AS (
+  SELECT doc_id, n_chars,
+    CASE WHEN len(params) > 0
+         THEN path || '?' || array_to_string(params, '&')
+         ELSE path END AS canon_url
+  FROM (SELECT doc_id, n_chars, path,
+          list_filter(string_split(qs, '&'),
+                      p -> p <> '' AND NOT starts_with(p, 'utm_')) AS params
+        FROM parts)
+)
+SELECT canon_url, doc_id, n_dupes FROM (
+  SELECT canon_url, doc_id,
+    ROW_NUMBER() OVER (PARTITION BY canon_url
+                       ORDER BY n_chars DESC, doc_id ASC) AS rn,
+    CAST(COUNT(*) OVER (PARTITION BY canon_url) AS BIGINT) AS n_dupes
+  FROM canon) WHERE rn = 1
+"""
+
+
+def _docs_with_urls(spark, sf_dir):
+    """Deterministic crawl-style URL per document (same closed form as
+    the oracle's d CTE): scheme + www + tracking params + fragment +
+    trailing-slash variants so canonicalization has real work."""
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    suffix = (
+        F.when(did % 3 == 0, F.concat(
+            F.lit("?utm_source=feed&utm_campaign=c"),
+            (did % 5).cast("string"),
+            F.lit("&ref=r"), (did % 2).cast("string")))
+        .when(did % 3 == 1, F.lit("/#frag"))
+        .otherwise(F.lit("")))
+    return docs.select(
+        "doc_id", "n_chars", "source", "text",
+        F.concat(F.lit("https://www."), F.col("source"),
+                 F.lit(".example.com/item/"),
+                 (did % 7).cast("string"), suffix).alias("url"))
+
+
+@q("url_canonical_dedup", _URL_DEDUP_SQL)
+def url_canonical_dedup(spark, sf_dir):
+    """URL-level dedup of a crawl corpus: canonicalize (scheme/www/
+    fragment/tracking-param/trailing-slash normalization, operators/
+    text.py canonical_url) and keep the best doc per canonical URL.
+    The whole canonicalization is column expressions — the oracle
+    re-derives the same key with RE2 regexes + list_filter."""
+    from sparktiles.operators.text import dedup_url_canonical
+
+    return dedup_url_canonical(_docs_with_urls(spark, sf_dir))
+
+
+# ================================================== paragraph dedup
+
+_PARA_SQL = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), idx AS (
+  SELECT doc_id, ws,
+         CAST(ceil(len(ws) / 16.0) AS BIGINT) AS np
+  FROM w
+), pg AS (
+  SELECT doc_id, ws, UNNEST(range(np)) AS g FROM idx
+), p AS (
+  SELECT doc_id, g,
+         array_to_string(array_slice(ws, g * 16 + 1, (g + 1) * 16), ' ') AS para
+  FROM pg
+), common AS (
+  SELECT para FROM p GROUP BY para HAVING COUNT(DISTINCT doc_id) > 2
+), kept AS (
+  SELECT * FROM p WHERE para NOT IN (SELECT para FROM common)
+), reb AS (
+  SELECT doc_id, string_agg(para, ' ' ORDER BY g) AS text,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT i.doc_id, COALESCE(r.text, '') AS text,
+       i.np AS n_paras,
+       CAST(i.np - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed
+FROM idx i LEFT JOIN reb r USING (doc_id)
+"""
+
+
+@q("paragraph_dedup", _PARA_SQL)
+def paragraph_dedup_q(spark, sf_dir):
+    """CCNet-style paragraph dedup: 16-word chunks shared by >2
+    distinct docs are dropped everywhere; docs rebuilt in order
+    (operators/text.py paragraph_dedup — map-side chunking, hash-keyed
+    distinct-doc counts, broadcast anti-join, order-stable rebuild)."""
+    from sparktiles.operators.text import paragraph_dedup
+
+    return paragraph_dedup(_t(spark, sf_dir, "documents"),
+                           k_words=16, max_docs=2)
+
+
+# ============================================ raster <-> vector tiles
+
+_RASTER_PIX_SQL = f"""
+WITH pts AS (
+  SELECT o_orderkey AS key,
+         {_LON_SQL.format(k='o_orderkey')} AS lon,
+         {_LAT_SQL.format(k='o_orderkey')} AS lat
+  FROM orders
+), m AS (
+  SELECT key, lon / 180.0 * {HALF!r} AS mx,
+         {_MERCY_SQL.format(lat='lat', pi=PI, half=HALF)} AS my
+  FROM pts
+), g AS (
+  SELECT CAST(FLOOR((mx + {HALF!r}) / {WORLD_MERC_WIDTH!r} * 128.0) AS BIGINT) AS gx,
+         CAST(FLOOR(({HALF!r} - my) / {WORLD_MERC_WIDTH!r} * 128.0) AS BIGINT) AS gy
+  FROM m
+), pix AS (
+  SELECT gx // 16 AS tx, gy // 16 AS ty,
+         gx % 16 AS px, gy % 16 AS py, COUNT(*) AS cnt
+  FROM g GROUP BY 1, 2, 3, 4
+)"""
+
+_RASTER_STATS_SQL = _RASTER_PIX_SQL + """
+SELECT CAST(3 AS INT) AS z, tx, ty,
+  CAST(SUM(cnt) AS BIGINT) AS n_points,
+  CAST(COUNT(*) AS BIGINT) AS nonzero_pixels,
+  CAST(MAX(LEAST(cnt, 255)) AS INT) AS max_pix,
+  CAST(SUM(LEAST(cnt, 255)) AS BIGINT) AS raster_sum,
+  CAST(SUM(LEAST(cnt, 255) * (py * 16 + px + 1)) AS BIGINT) AS pix_checksum
+FROM pix GROUP BY tx, ty
+"""
+
+_RASTER_RUNS_SQL = _RASTER_PIX_SQL + """
+, qpix AS (
+  SELECT tx, ty, py, px, LEAST(cnt, 255) AS c
+  FROM pix WHERE LEAST(cnt, 255) >= 2
+), s AS (
+  SELECT tx, ty, py, px, c,
+    CASE WHEN px - LAG(px) OVER (PARTITION BY tx, ty, py ORDER BY px) = 1
+         THEN 0 ELSE 1 END AS is_start
+  FROM qpix
+)
+SELECT CAST(3 AS INT) AS z, tx, ty,
+  CAST(SUM(is_start) AS BIGINT) AS n_runs,
+  CAST(COUNT(*) AS BIGINT) AS run_pixels,
+  CAST(SUM(c) AS BIGINT) AS run_sum
+FROM s GROUP BY tx, ty
+"""
+
+
+def _order_point_rasters(spark, sf_dir):
+    """z=3, 16x16 density rasters (SPTX payloads) over points derived
+    from o_orderkey — the vector->raster direction."""
+    from sparktiles.operators.raster import rasterize_point_tiles
+
+    o = _t(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    pts = o.select(_merc_x(_lon(key)).alias("x"),
+                   _merc_y(_lat(key)).alias("y"))
+    return rasterize_point_tiles(pts, zoom=3, grid=16)
+
+
+@q("raster_tile_stats", _RASTER_STATS_SQL)
+def raster_tile_stats(spark, sf_dir):
+    """Vector->raster proof: point features binned into per-tile SPTX
+    count rasters (operators/raster.py), then the BYTES are decoded
+    back and per-tile pixel statistics (sum, nonzero, max, placement
+    checksum) are recomputed from the raw points by the oracle."""
+    from sparktiles.operators.raster import raster_grid_stats
+
+    rasters = _order_point_rasters(spark, sf_dir)
+    stats = raster_grid_stats(rasters, grid=16)
+    return stats.join(
+        rasters.select("z", "tx", "ty", "n_points"), ["z", "tx", "ty"]
+    ).select("z", "tx", "ty", "n_points", "nonzero_pixels", "max_pix",
+             "raster_sum", "pix_checksum")
+
+
+@q("raster_polygonize_runs", _RASTER_RUNS_SQL)
+def raster_polygonize_runs(spark, sf_dir):
+    """Raster->vector proof: run-length polygonize of above-threshold
+    pixels (operators/raster.py raster_runs_to_features) vs the oracle
+    recomputing run starts with a LAG window over qualifying pixels."""
+    from sparktiles.operators.raster import raster_runs_to_features
+
+    runs = raster_runs_to_features(_order_point_rasters(spark, sf_dir),
+                                   threshold=2)
+    return runs.groupBy("z", "tx", "ty").agg(
+        F.count("*").cast("bigint").alias("n_runs"),
+        F.sum("run_len").cast("bigint").alias("run_pixels"),
+        F.sum("run_sum").cast("bigint").alias("run_sum"))

@@ -1,0 +1,82 @@
+"""URL canonicalization/dedup and paragraph-level dedup (operators/text.py)."""
+
+from pyspark.sql import functions as F
+
+from sparktiles.operators.text import (
+    canonical_url,
+    dedup_url_canonical,
+    paragraph_dedup,
+)
+
+
+def _canon(spark, url: str) -> str:
+    return (spark.range(1)
+            .select(canonical_url(F.lit(url)).alias("c"))
+            .collect()[0]["c"])
+
+
+def test_canonical_url_forms(spark):
+    assert _canon(spark, "https://www.EX.com/A/b/") == "ex.com/a/b"
+    assert _canon(spark, "http://ex.com/a#frag") == "ex.com/a"
+    assert _canon(spark, "https://ex.com/a?utm_source=x&utm_campaign=y") == "ex.com/a"
+    # real params survive, in order; utm_* dropped from anywhere
+    assert (_canon(spark, "https://ex.com/a?utm_source=x&id=7&utm_medium=m&q=z")
+            == "ex.com/a?id=7&q=z")
+    # bare domain with trailing slash
+    assert _canon(spark, "http://www.ex.com/") == "ex.com"
+    # no scheme at all
+    assert _canon(spark, "ex.com/path?ref=r") == "ex.com/path?ref=r"
+
+
+def test_dedup_url_canonical_picks_best(spark):
+    rows = [
+        (1, "https://www.ex.com/a", 10),
+        (2, "http://ex.com/a/", 50),          # same canon, higher quality
+        (3, "https://ex.com/a?utm_source=t", 50),  # same canon, tie -> min id
+        (4, "https://ex.com/b", 5),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, n_chars long")
+    out = {r["canon_url"]: r for r in dedup_url_canonical(df).collect()}
+    assert out["ex.com/a"]["doc_id"] == 2
+    assert out["ex.com/a"]["n_dupes"] == 3
+    assert out["ex.com/b"]["doc_id"] == 4
+    assert out["ex.com/b"]["n_dupes"] == 1
+
+
+def test_paragraph_dedup_hand_case(spark):
+    shared = " ".join(f"w{i}" for i in range(4))        # one 4-word para
+    rows = [
+        (1, shared + " " + "a b c d"),
+        (2, shared + " " + "e f g h"),
+        (3, shared + " " + "i j k l"),
+        (4, "m n o p q r"),                             # 2 paras (4+2 words)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r
+           for r in paragraph_dedup(df, k_words=4, max_docs=2).collect()}
+    # `shared` appears in 3 > 2 docs -> removed from all three
+    assert out[1]["text"] == "a b c d"
+    assert out[2]["text"] == "e f g h"
+    assert out[3]["text"] == "i j k l"
+    assert out[1]["n_paras"] == 2 and out[1]["n_removed"] == 1
+    # doc 4 untouched, including its short tail paragraph
+    assert out[4]["text"] == "m n o p q r"
+    assert out[4]["n_paras"] == 2 and out[4]["n_removed"] == 0
+
+
+def test_paragraph_dedup_doc_fully_removed(spark):
+    para = "x y z w"
+    rows = [(i, para) for i in range(1, 5)]  # same single para in 4 docs
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = paragraph_dedup(df, k_words=4, max_docs=2).collect()
+    assert all(r["text"] == "" and r["n_removed"] == 1 for r in out)
+    assert len(out) == 4
+
+
+def test_paragraph_dedup_order_stable(spark):
+    # many paragraphs, none removed -> rebuild must equal the original
+    words = " ".join(f"t{i}" for i in range(100))
+    df = spark.createDataFrame([(1, words)], "doc_id long, text string")
+    out = paragraph_dedup(df, k_words=7, max_docs=2).collect()[0]
+    assert out["text"] == words
+    assert out["n_paras"] == 15 and out["n_removed"] == 0
