@@ -259,7 +259,8 @@ def main():
         "dedup_exact", "dedup_minhash_lsh", "minhash_dedup_cc",
         "ann_cosine_topk", "text_quality_score", "variance_stats",
         "gopher_repetition", "dup_window_fraction", "semdedup_mapping",
-        "pii_scrub",
+        "pii_scrub", "url_canonical_dedup", "paragraph_dedup",
+        "lm_quality_score", "raster_tile_stats", "raster_polygonize_runs",
     ]:
         fn = Q.QUERIES[name]
         dt, _ = min_of(

@@ -73,6 +73,37 @@ def rasterize_point_tiles(df: DataFrame, zoom: int, grid: int = 16,
         .groupBy("tx", "ty", "px", "py")
         .agg(F.count("*").alias("cnt"))
     )
+    return _pack_pixel_counts(pix, zoom, grid)
+
+
+def rasterize_cover_tiles(cover: DataFrame, pixel_zoom: int,
+                          grid: int = 16) -> DataFrame:
+    """Vector → raster for LINES/POLYGONS: rasterization at grid g is
+    exactly a supercover tile assignment at pixel zoom z + log2(g) —
+    the same O(path) column-strip kernel the MVT spine uses
+    (functions/tilecover.py), no new geometry code. Input: assignment
+    rows (z, x, y) where z == pixel_zoom (e.g. from
+    assign_supercover_tiles_multi(lines, pixel_zoom, pixel_zoom));
+    output: one row per nonempty tile at zoom pixel_zoom - log2(g),
+    the coverage-count raster (how many features touch each pixel)
+    as an SPTX payload."""
+    lg = grid.bit_length() - 1
+    if (1 << lg) != grid:
+        raise ValueError("grid must be a power of two")
+    pix = (
+        cover.where(F.col("z") == pixel_zoom)
+        .select(F.shiftright("x", lg).alias("tx"),
+                F.shiftright("y", lg).alias("ty"),
+                F.col("x").bitwiseAND(F.lit(grid - 1)).cast("int").alias("px"),
+                F.col("y").bitwiseAND(F.lit(grid - 1)).cast("int").alias("py"))
+        .groupBy("tx", "ty", "px", "py")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return _pack_pixel_counts(pix, pixel_zoom - lg, grid)
+
+
+def _pack_pixel_counts(pix: DataFrame, zoom: int, grid: int) -> DataFrame:
+    """(tx, ty, px, py, cnt) pixel rows → one SPTX raster row per tile."""
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         tx, ty = int(pdf["tx"].iloc[0]), int(pdf["ty"].iloc[0])

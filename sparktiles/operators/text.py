@@ -787,3 +787,54 @@ def paragraph_dedup(df: DataFrame, k_words: int = 16, max_docs: int = 2,
         (F.col("n_paras") - F.coalesce("n_kept", F.lit(0)))
         .cast("bigint").alias("n_removed"),
     )
+
+
+# ------------------------------------------------------------ LM score
+
+def unigram_lm_scores(df: DataFrame, vocab_size: int = 1024,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """CCNet-style LM quality proxy without an external model: train a
+    unigram LM on the corpus itself (one counting pass), score each
+    document by bits/token = -mean(log2 p(tok)). The model keeps the
+    top `vocab_size` types by corpus frequency (ties broken by token —
+    deterministic); out-of-vocab tokens share the tail mass uniformly
+    over tail types. Low bits/token ≈ stereotypical text, high ≈
+    gibberish/rare-vocab — the perplexity-bucket signal CCNet uses for
+    quality partitioning, self-contained.
+
+    Scale shape: the type-frequency table is the only wide exchange
+    (map-side combined); the top-V model comes from a distributed
+    sort-limit (never a single-partition window); model + tail scalars
+    broadcast; scoring is a broadcast join + one groupBy(doc).
+    Returns (doc_id, n_tokens, bits_per_token)."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    ).where(F.col("tok") != "")
+    cf = toks.groupBy("tok").agg(F.count("*").alias("cf"))
+    vocab = cf.orderBy(F.col("cf").desc(), F.col("tok").asc()) \
+        .limit(vocab_size)
+    stats = (
+        cf.agg(F.sum("cf").alias("_total"),
+               F.count("*").alias("_ntypes"))
+        .crossJoin(vocab.agg(F.sum("cf").alias("_vmass"),
+                             F.count("*").alias("_nvocab")))
+    )
+    scored = (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "_p",
+            F.when(
+                F.col("cf").isNotNull(),
+                F.col("cf").cast("double") / F.col("_total"))
+            .otherwise(
+                (F.col("_total") - F.col("_vmass")).cast("double")
+                / F.col("_total")
+                / (F.col("_ntypes") - F.col("_nvocab"))))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.round(-F.avg(F.log2("_p")), 4).alias("bits_per_token"),
+    )

@@ -231,7 +231,12 @@ _SC_BFE = _supercover_bfe(4.0)
 # vertical-segment branch never fires): per column strip the
 # sub-segment's linear y-extent, inclusive ceil/floor row bounds,
 # np.clip order GREATEST-then-LEAST — float-op-for-float-op identical.
-_LINE_SUPERCOVER_SQL = f"""
+# Parameterized on the zoom list so the raster-cover oracle can run
+# the same chain at a PIXEL zoom (rasterization == supercover there).
+
+
+def _line_supercover_cand_sql(zooms: list[int]) -> str:
+    return f"""
 WITH seg AS (
   SELECT c_custkey AS key,
          {_LON_SQL.format(k='c_custkey')} AS lon1,
@@ -253,7 +258,7 @@ WITH seg AS (
          ({HALF!r} - my1) / {WORLD_MERC_WIDTH!r} * POW(2.0, z) AS py,
          (mx2 + {HALF!r}) / {WORLD_MERC_WIDTH!r} * POW(2.0, z) AS qx,
          ({HALF!r} - my2) / {WORLD_MERC_WIDTH!r} * POW(2.0, z) AS qy
-  FROM m, (SELECT UNNEST([3, 4, 5, 6]) AS z)
+  FROM m, (SELECT UNNEST([{', '.join(str(z) for z in zooms)}]) AS z)
 ), sg AS (
   SELECT *, LEAST(px, qx) AS sx0, GREATEST(px, qx) AS sx1,
          qx - px AS dx, qy - py AS dy
@@ -284,7 +289,10 @@ WITH seg AS (
   FROM ys
 ), cand AS (
   SELECT key, z, col AS x, UNNEST(range(r0, r1 + 1)) AS y FROM rr
-)
+)"""
+
+
+_LINE_SUPERCOVER_SQL = _line_supercover_cand_sql([3, 4, 5, 6]) + """
 SELECT CAST(z AS INT) AS z, CAST(COUNT(*) AS BIGINT) AS n_pairs,
        CAST(COUNT(DISTINCT (x, y)) AS BIGINT) AS n_tiles
 FROM cand
@@ -292,20 +300,11 @@ GROUP BY z
 """
 
 
-@q("line_supercover_tiles", _LINE_SUPERCOVER_SQL)
-def line_supercover_tiles(spark, sf_dir):
-    """assign_supercover_tiles_multi oracle (J1 supercover path — the
-    round-4 replacement for the bbox explode): per-zoom (segment, tile)
-    candidate counts for the same derived line segments as
-    line_bbox_tiles, z3-z6, 4px buffer. The engine decodes real WKB
-    LineStrings and rasterizes per column strip; DuckDB recomputes the
-    identical per-column spans in SQL. Distinct-tile AND pair counts
-    both hash-match, proving the candidate set itself (not just its
-    size) since n_tiles aggregates over exact (x, y)."""
+def _derived_wkb_lines(spark, sf_dir):
+    """Deterministic single-segment WKB LineStrings from customer keys
+    (shared by the supercover and raster-cover oracles)."""
     import numpy as np
     import pandas as pd
-
-    from sparktiles.operators.pyramid import assign_supercover_tiles_multi
 
     c = _t(spark, sf_dir, "customer")
     key = F.col("c_custkey")
@@ -339,7 +338,22 @@ def line_supercover_tiles(spark, sf_dir):
                 "geom": [b.tobytes() for b in buf],
             })
 
-    lines = seg.mapInPandas(to_wkb, "key long, geom binary")
+    return seg.mapInPandas(to_wkb, "key long, geom binary")
+
+
+@q("line_supercover_tiles", _LINE_SUPERCOVER_SQL)
+def line_supercover_tiles(spark, sf_dir):
+    """assign_supercover_tiles_multi oracle (J1 supercover path — the
+    round-4 replacement for the bbox explode): per-zoom (segment, tile)
+    candidate counts for the same derived line segments as
+    line_bbox_tiles, z3-z6, 4px buffer. The engine decodes real WKB
+    LineStrings and rasterizes per column strip; DuckDB recomputes the
+    identical per-column spans in SQL. Distinct-tile AND pair counts
+    both hash-match, proving the candidate set itself (not just its
+    size) since n_tiles aggregates over exact (x, y)."""
+    from sparktiles.operators.pyramid import assign_supercover_tiles_multi
+
+    lines = _derived_wkb_lines(spark, sf_dir)
     asg = assign_supercover_tiles_multi(lines, 3, 6, buffer_px=4)
     return asg.groupBy("z").agg(
         F.count("*").alias("n_pairs"),
@@ -2938,3 +2952,83 @@ def raster_polygonize_runs(spark, sf_dir):
         F.count("*").cast("bigint").alias("n_runs"),
         F.sum("run_len").cast("bigint").alias("run_pixels"),
         F.sum("run_sum").cast("bigint").alias("run_sum"))
+
+
+_RASTER_COVER_SQL = _line_supercover_cand_sql([7]) + """
+, pix AS (
+  SELECT x // 16 AS tx, y // 16 AS ty,
+         x % 16 AS px, y % 16 AS py, COUNT(*) AS cnt
+  FROM cand GROUP BY 1, 2, 3, 4
+)
+SELECT CAST(3 AS INT) AS z, tx, ty,
+  CAST(SUM(cnt) AS BIGINT) AS n_points,
+  CAST(COUNT(*) AS BIGINT) AS nonzero_pixels,
+  CAST(MAX(LEAST(cnt, 255)) AS INT) AS max_pix,
+  CAST(SUM(LEAST(cnt, 255)) AS BIGINT) AS raster_sum,
+  CAST(SUM(LEAST(cnt, 255) * (py * 16 + px + 1)) AS BIGINT) AS pix_checksum
+FROM pix GROUP BY tx, ty
+"""
+
+
+@q("raster_wkb_cover_stats", _RASTER_COVER_SQL)
+def raster_wkb_cover_stats(spark, sf_dir):
+    """Line rasterization == supercover at pixel zoom: WKB LineStrings
+    are supercover-assigned at z=7 (the z=3 tiles' 16x16 pixel grid),
+    packed into SPTX coverage rasters (operators/raster.py
+    rasterize_cover_tiles), decoded back, and the per-tile pixel stats
+    are checked against DuckDB running the identical column-strip
+    supercover chain + pixel split in SQL."""
+    from sparktiles.operators.pyramid import assign_supercover_tiles_multi
+    from sparktiles.operators.raster import (rasterize_cover_tiles,
+                                             raster_grid_stats)
+
+    lines = _derived_wkb_lines(spark, sf_dir)
+    asg = assign_supercover_tiles_multi(lines, 7, 7, buffer_px=4)
+    rasters = rasterize_cover_tiles(asg, pixel_zoom=7, grid=16)
+    stats = raster_grid_stats(rasters, grid=16)
+    return stats.join(
+        rasters.select("z", "tx", "ty", "n_points"), ["z", "tx", "ty"]
+    ).select("z", "tx", "ty", "n_points", "nonzero_pixels", "max_pix",
+             "raster_sum", "pix_checksum")
+
+
+# ================================================ unigram LM quality
+
+_LM_SQL = """
+WITH toks AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents
+), tf AS (
+  SELECT doc_id, tok FROM toks WHERE tok <> ''
+), cf AS (
+  SELECT tok, COUNT(*) AS cf FROM tf GROUP BY tok
+), vocab AS (
+  SELECT tok, cf FROM cf ORDER BY cf DESC, tok ASC LIMIT 16
+), st AS (
+  SELECT (SELECT SUM(cf) FROM cf) AS total,
+         (SELECT COUNT(*) FROM cf) AS ntypes,
+         (SELECT SUM(cf) FROM vocab) AS vmass,
+         (SELECT COUNT(*) FROM vocab) AS nvocab
+), p AS (
+  SELECT t.doc_id,
+    CASE WHEN v.cf IS NOT NULL THEN CAST(v.cf AS DOUBLE) / s.total
+         ELSE CAST(s.total - s.vmass AS DOUBLE) / s.total
+              / (s.ntypes - s.nvocab) END AS p
+  FROM tf t LEFT JOIN vocab v USING (tok) CROSS JOIN st s
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       ROUND(-AVG(log2(p)), 4) AS bits_per_token
+FROM p GROUP BY doc_id
+"""
+
+
+@q("lm_quality_score", _LM_SQL)
+def lm_quality_score(spark, sf_dir):
+    """CCNet-style perplexity-bucket signal, self-contained: unigram
+    LM trained on the corpus itself (top-16 vocab here so the OOV
+    uniform-tail branch is exercised), each doc scored by bits/token
+    (operators/text.py unigram_lm_scores — sort-limit vocab, broadcast
+    model + tail scalars, one groupBy(doc))."""
+    from sparktiles.operators.text import unigram_lm_scores
+
+    return unigram_lm_scores(_t(spark, sf_dir, "documents"),
+                             vocab_size=16)

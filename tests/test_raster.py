@@ -13,6 +13,7 @@ from sparktiles.operators.multimodal import decode_sptx
 from sparktiles.operators.raster import (
     raster_grid_stats,
     raster_runs_to_features,
+    rasterize_cover_tiles,
     rasterize_point_tiles,
 )
 
@@ -123,3 +124,29 @@ def test_raster_vector_roundtrip_counts(spark):
     runs = raster_runs_to_features(rasters, threshold=1)
     total = runs.groupBy().sum("run_sum").collect()[0][0]
     assert total == 500
+
+
+def test_rasterize_cover_tiles(spark):
+    # synthetic pixel-zoom assignment rows: feature covers pixels of
+    # tile (0,0) at z=1 given pixel_zoom=3, grid=4 (lg=2)
+    rows = [(3, 0, 0), (3, 1, 0), (3, 2, 0),   # run of 3 pixels, py=0
+            (3, 1, 0),                          # second feature on px=1
+            (3, 5, 6),                          # tile (1,1), pixel (1,2)
+            (2, 9, 9)]                          # wrong zoom -> filtered
+    cover = spark.createDataFrame(rows, "z int, x long, y long")
+    out = {(r["tx"], r["ty"]): r
+           for r in rasterize_cover_tiles(cover, pixel_zoom=3, grid=4).collect()}
+    assert set(out) == {(0, 0), (1, 1)}
+    r00 = out[(0, 0)]
+    assert r00["z"] == 1 and r00["n_points"] == 4
+    a = decode_sptx(bytes(r00["raster"]))[:, :, 0]
+    assert a[0, 0] == 1 and a[0, 1] == 2 and a[0, 2] == 1 and a.sum() == 4
+    a11 = decode_sptx(bytes(out[(1, 1)]["raster"]))[:, :, 0]
+    assert a11[2, 1] == 1 and a11.sum() == 1
+
+
+def test_rasterize_cover_rejects_bad_grid(spark):
+    cover = spark.createDataFrame([(3, 0, 0)], "z int, x long, y long")
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        rasterize_cover_tiles(cover, pixel_zoom=3, grid=12)

@@ -80,3 +80,17 @@ def test_paragraph_dedup_order_stable(spark):
     out = paragraph_dedup(df, k_words=7, max_docs=2).collect()[0]
     assert out["text"] == words
     assert out["n_paras"] == 15 and out["n_removed"] == 0
+
+
+def test_unigram_lm_scores_hand_case(spark):
+    from sparktiles.operators.text import unigram_lm_scores
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c")], "doc_id long, text string")
+    # cf: a=2 b=2 c=1, total=5; vocab(2) = {a, b} (tie a<b); OOV mass
+    # p(c) = (5-4)/5/(3-2) = 0.2; p(a)=p(b)=0.4
+    out = {r["doc_id"]: r
+           for r in unigram_lm_scores(df, vocab_size=2).collect()}
+    assert out[1]["n_tokens"] == 3 and out[2]["n_tokens"] == 2
+    assert out[1]["bits_per_token"] == 1.3219   # -log2(0.4)
+    assert out[2]["bits_per_token"] == 1.8219   # mean(-log2 .4, -log2 .2)
