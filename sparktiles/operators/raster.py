@@ -125,25 +125,29 @@ def raster_grid_stats(rasters: DataFrame, grid: int) -> DataFrame:
     """Raster → stats via a REAL decode of the SPTX payload: per tile,
     the clipped pixel sum, nonzero count, max, and a placement
     checksum ``sum(pix * (py*grid + px + 1))`` that any engine can
-    re-derive from the raw points — the byte-path proof."""
+    re-derive from the raw points — the byte-path proof. The producer's
+    pre-clip n_points column passes through, so no second rasterize
+    pipeline (a join back to the producer would recompute it)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         weights = np.arange(1, grid * grid + 1, dtype=np.int64).reshape(grid, grid)
         for pdf in batches:
             rows = []
-            for z, tx, ty, payload in zip(pdf["z"], pdf["tx"], pdf["ty"],
-                                          pdf["raster"]):
+            for z, tx, ty, payload, npts in zip(pdf["z"], pdf["tx"],
+                                                pdf["ty"], pdf["raster"],
+                                                pdf["n_points"]):
                 a = decode_sptx(bytes(payload))[:, :, 0].astype(np.int64)
-                rows.append((int(z), int(tx), int(ty), int(a.sum()),
-                             int((a > 0).sum()), int(a.max()),
+                rows.append((int(z), int(tx), int(ty), int(npts),
+                             int(a.sum()), int((a > 0).sum()), int(a.max()),
                              int((a * weights).sum())))
             yield pd.DataFrame(rows, columns=[
-                "z", "tx", "ty", "raster_sum", "nonzero_pixels",
-                "max_pix", "pix_checksum"])
+                "z", "tx", "ty", "n_points", "raster_sum",
+                "nonzero_pixels", "max_pix", "pix_checksum"])
 
     return rasters.mapInPandas(
-        run, "z int, tx bigint, ty bigint, raster_sum bigint, "
-             "nonzero_pixels bigint, max_pix int, pix_checksum bigint")
+        run, "z int, tx bigint, ty bigint, n_points bigint, "
+             "raster_sum bigint, nonzero_pixels bigint, max_pix int, "
+             "pix_checksum bigint")
 
 
 def raster_runs_to_features(rasters: DataFrame,

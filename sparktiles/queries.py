@@ -2932,11 +2932,9 @@ def raster_tile_stats(spark, sf_dir):
     from sparktiles.operators.raster import raster_grid_stats
 
     rasters = _order_point_rasters(spark, sf_dir)
-    stats = raster_grid_stats(rasters, grid=16)
-    return stats.join(
-        rasters.select("z", "tx", "ty", "n_points"), ["z", "tx", "ty"]
-    ).select("z", "tx", "ty", "n_points", "nonzero_pixels", "max_pix",
-             "raster_sum", "pix_checksum")
+    return raster_grid_stats(rasters, grid=16).select(
+        "z", "tx", "ty", "n_points", "nonzero_pixels", "max_pix",
+        "raster_sum", "pix_checksum")
 
 
 @q("raster_polygonize_runs", _RASTER_RUNS_SQL)
@@ -2985,11 +2983,9 @@ def raster_wkb_cover_stats(spark, sf_dir):
     lines = _derived_wkb_lines(spark, sf_dir)
     asg = assign_supercover_tiles_multi(lines, 7, 7, buffer_px=4)
     rasters = rasterize_cover_tiles(asg, pixel_zoom=7, grid=16)
-    stats = raster_grid_stats(rasters, grid=16)
-    return stats.join(
-        rasters.select("z", "tx", "ty", "n_points"), ["z", "tx", "ty"]
-    ).select("z", "tx", "ty", "n_points", "nonzero_pixels", "max_pix",
-             "raster_sum", "pix_checksum")
+    return raster_grid_stats(rasters, grid=16).select(
+        "z", "tx", "ty", "n_points", "nonzero_pixels", "max_pix",
+        "raster_sum", "pix_checksum")
 
 
 # ================================================ unigram LM quality
