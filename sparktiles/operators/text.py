@@ -838,3 +838,53 @@ def unigram_lm_scores(df: DataFrame, vocab_size: int = 1024,
         F.count("*").alias("n_tokens"),
         F.round(-F.avg(F.log2("_p")), 4).alias("bits_per_token"),
     )
+
+
+# ------------------------------------------------------------------ BM25
+
+def bm25_topk(df: DataFrame, query_terms: list[str], k: int = 10,
+              k1: float = 1.2, b: float = 0.75,
+              text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """BM25 document retrieval for a bag of query terms — the lexical
+    side of the similarity-search family (ANN covers embeddings).
+    Returns the top-k (doc_id, score) by the standard Robertson/
+    Sparck-Jones formula with the +1 idf smoothing
+    (idf = ln((N - df + 0.5)/(df + 0.5) + 1)).
+
+    Scale shape: the query-term set is a broadcast literal filter, so
+    ONLY matching token occurrences ever shuffle (tf groupBy, map-side
+    combined — the corpus-wide token stream is filtered at the scan);
+    df and N/avg-doclen are small aggregates over that filtered set
+    and one map-side length projection; the final top-k is a
+    distributed sort-limit. Ties break on doc_id (deterministic).
+    Scores round to 4 dp for cross-engine parity."""
+    terms = F.array(*[F.lit(t) for t in query_terms])
+    lens = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.filter(F.split(F.col(text_col), " "),
+                        lambda t: t != "")).cast("double").alias("dl"))
+    corpus = lens.agg(F.count("*").cast("double").alias("_n"),
+                      F.avg("dl").alias("_avgdl"))
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    ).where(F.array_contains(terms, F.col("tok")))
+    tf = toks.groupBy("doc_id", "tok").agg(
+        F.count("*").cast("double").alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count("*").cast("double").alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .join(lens, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .withColumn("_idf", F.log(
+            (F.col("_n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0))
+        .withColumn("_s", F.col("_idf") * F.col("tf") * (k1 + 1.0)
+                    / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl")
+                                           / F.col("_avgdl"))))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.round(F.sum("_s"), 4).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )

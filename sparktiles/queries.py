@@ -3028,3 +3028,45 @@ def lm_quality_score(spark, sf_dir):
 
     return unigram_lm_scores(_t(spark, sf_dir, "documents"),
                              vocab_size=16)
+
+
+# ========================================================== BM25 top-k
+
+_BM25_SQL = """
+WITH lens AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+              AS DOUBLE) AS dl
+  FROM documents
+), corpus AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl FROM lens
+), toks AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents
+), tf AS (
+  SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS tf FROM toks
+  WHERE tok IN ('spark', 'window', 'merge') GROUP BY doc_id, tok
+), dfreq AS (
+  SELECT tok, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY tok
+), s AS (
+  SELECT t.doc_id,
+    ln((c.n - d.df + 0.5) / (d.df + 0.5) + 1.0) * t.tf * (1.2 + 1.0)
+      / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / c.avgdl)) AS s
+  FROM tf t JOIN dfreq d USING (tok) JOIN lens l USING (doc_id)
+  CROSS JOIN corpus c
+)
+SELECT doc_id, ROUND(SUM(s), 4) AS score
+FROM s GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+
+@q("bm25_topk", _BM25_SQL)
+def bm25_topk_q(spark, sf_dir):
+    """Lexical retrieval: BM25 top-10 for a 3-term query (operators/
+    text.py bm25_topk). The query-term set broadcasts as a literal
+    filter so only matching token occurrences shuffle; df/N/avgdl are
+    small aggregates; final top-k is a distributed sort-limit."""
+    from sparktiles.operators.text import bm25_topk
+
+    return bm25_topk(_t(spark, sf_dir, "documents"),
+                     ["spark", "window", "merge"], k=10)

@@ -94,3 +94,36 @@ def test_unigram_lm_scores_hand_case(spark):
     assert out[1]["n_tokens"] == 3 and out[2]["n_tokens"] == 2
     assert out[1]["bits_per_token"] == 1.3219   # -log2(0.4)
     assert out[2]["bits_per_token"] == 1.8219   # mean(-log2 .4, -log2 .2)
+
+
+def test_bm25_hand_case(spark):
+    import math
+
+    from sparktiles.operators.text import bm25_topk
+
+    # d1 has 'q' twice in 4 tokens, d2 once in 2, d3 none
+    df = spark.createDataFrame(
+        [(1, "q a q b"), (2, "q c"), (3, "x y z w")],
+        "doc_id long, text string")
+    out = bm25_topk(df, ["q"], k=5).collect()
+    assert [r["doc_id"] for r in out] == [1, 2]   # tf=2 beats shorter doc
+    n, df_q, avgdl = 3.0, 2.0, (4 + 2 + 4) / 3.0
+    idf = math.log((n - df_q + 0.5) / (df_q + 0.5) + 1.0)
+
+    def s(tf, dl):
+        return round(idf * tf * (1.2 + 1.0)
+                     / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)), 4)
+
+    assert out[0]["score"] == s(2, 4) and out[1]["score"] == s(1, 2)
+
+
+def test_bm25_multi_term_and_k(spark):
+    from sparktiles.operators.text import bm25_topk
+
+    df = spark.createDataFrame(
+        [(i, "alpha beta" if i % 2 else "alpha") for i in range(1, 9)],
+        "doc_id long, text string")
+    out = bm25_topk(df, ["alpha", "beta"], k=3).collect()
+    assert len(out) == 3
+    # two-term docs outrank one-term docs; ties break on doc_id asc
+    assert [r["doc_id"] for r in out] == [1, 3, 5]
