@@ -127,3 +127,39 @@ def test_bm25_multi_term_and_k(spark):
     assert len(out) == 3
     # two-term docs outrank one-term docs; ties break on doc_id asc
     assert [r["doc_id"] for r in out] == [1, 3, 5]
+
+
+def test_canonical_url_variant_invariance(spark):
+    """canon(u) is identical across scheme/www/utm/fragment/trailing-
+    slash variants of the same page, and canon is idempotent."""
+    import random
+
+    rng = random.Random(42)
+    rows = []
+    for i in range(200):
+        host = f"h{rng.randrange(50)}.example.org"
+        path = "/".join(f"s{rng.randrange(9)}" for _ in range(rng.randrange(1, 4)))
+        qs = rng.choice(["", "?id=7", "?id=7&x=1"])
+        base = f"{host}/{path}{qs}"
+        variants = [
+            f"https://{base}",
+            f"http://{base}",
+            f"https://www.{base}",
+            f"https://{base}#sec{i}",
+            (f"https://{host}/{path}?utm_source=a&"
+             f"{qs[1:] if qs else 'utm_medium=b'}"),
+        ]
+        if not qs:  # trailing slash only merges when there's no query
+            variants.append(f"https://{base}/")
+        for v in variants:
+            rows.append((i, v))
+    df = spark.createDataFrame(rows, "grp int, url string")
+    from sparktiles.operators.text import canonical_url
+    out = df.select("grp", canonical_url(F.col("url")).alias("c"),
+                    canonical_url(canonical_url(F.col("url"))).alias("cc"))
+    agg = out.groupBy("grp").agg(
+        F.count_distinct("c").alias("nc"),
+        F.sum(F.when(F.col("c") == F.col("cc"), 0).otherwise(1)).alias("bad"))
+    rows = agg.collect()
+    assert all(r["nc"] == 1 for r in rows), [r for r in rows if r["nc"] != 1][:3]
+    assert all(r["bad"] == 0 for r in rows)

@@ -1,0 +1,157 @@
+"""End-to-end training-data curation funnel at corpus scale.
+
+The webtext showcase: one pipeline chaining the engine's curation
+operators the way a Common-Crawl curation job actually runs them,
+each stage consuming the previous stage's survivors, with per-stage
+survivor counts and throughput. Corpus: the sf0.1 documents table
+replicated R times (curation_scaling.py's scheme: even replicas are
+exact copies, odd replicas get a distinct token prefix so near-dup
+detection has real work) plus a synthetic crawl URL per row (four
+scheme/tracking/fragment variants per canonical so URL dedup has
+real work) and the original lang column for the final sampling.
+
+Stages
+1. url_dedup        canonical-URL dedup (best doc per canonical)
+2. exact_dedup      md5 content dedup
+3. minhash_cc       MinHash-LSH + connected-components closure
+4. quality_gate     Gopher repetition gate + unigram-LM band
+5. decontaminate    benchmark 3-gram decontamination
+6. sample           stratified per-lang quota
+
+usage: python tools/funnel_bench.py [replicas] [cpus]
+writes BENCH_CURATION_FUNNEL.json
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+SF_DIR = "/root/testdata/sf0.1"
+
+
+def main():
+    replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+    cpus = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+
+    from pyspark.sql import functions as F
+
+    from sparktiles.session import get_spark
+    from sparktiles.operators.graph import minhash_dedup_cc
+    from sparktiles.operators.text import (
+        dedup_url_canonical,
+        decontaminate,
+        exact_dedup,
+        repetition_signals,
+        stratified_sample,
+        unigram_lm_scores,
+    )
+
+    spark = get_spark("funnel-bench", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    rep = docs.select(
+        "doc_id", "text", "lang",
+        F.explode(F.sequence(F.lit(0), F.lit(replicas - 1))).alias("r"))
+    did = (F.col("doc_id") + F.col("r") * 1_000_000).alias("doc_id")
+    text = F.when(
+        F.col("r") % 2 == 1,
+        F.concat(F.format_string("rep%d", F.col("r")), F.lit(" "),
+                 F.col("text"))).otherwise(F.col("text")).alias("text")
+    # URL variants: every 5th replica refetches replica r-4's page
+    # through a different scheme/tracking/fragment combination, so
+    # canonical-URL dedup has real (and bounded) work
+    canon_r = F.when(F.col("r") % 5 == 4, F.col("r") - 4).otherwise(F.col("r"))
+    canon_id = (F.col("doc_id") * 1000 + canon_r)
+    url = F.concat(
+        F.when(F.col("r") % 4 == 0, F.lit("https://www."))
+        .otherwise(F.lit("http://")),
+        F.lit("d"), (F.col("doc_id") % 997).cast("string"),
+        F.lit(".example.com/p/"), canon_id.cast("string"),
+        F.when(F.col("r") % 4 == 1, F.lit("?utm_source=crawl"))
+        .when(F.col("r") % 4 == 2, F.lit("/#frag"))
+        .otherwise(F.lit(""))).alias("url")
+    corpus = rep.select(did, text, "lang", url,
+                        F.length("text").alias("n_chars")) \
+        .repartition(64).cache()
+    n0 = corpus.count()
+
+    stages = []
+    result = {"replicas": replicas, "cpus": cpus, "n_docs_in": n0}
+
+    def stage(name, n_in, fn):
+        t0 = time.time()
+        out_df, n_out = fn()
+        dt = round(time.time() - t0, 2)
+        stages.append({"stage": name, "in_docs": n_in, "out_docs": n_out,
+                       "wall_s": dt, "docs_per_s": round(n_in / dt, 1)})
+        print(json.dumps(stages[-1]), flush=True)
+        return out_df, n_out
+
+    # 1. URL dedup (keeps best doc per canonical URL)
+    def s_url():
+        kept = dedup_url_canonical(corpus).select("doc_id")
+        out = corpus.join(kept, "doc_id").select(
+            "doc_id", "text", "lang").cache()
+        return out, out.count()
+    cur, n = stage("url_dedup", n0, s_url)
+
+    # 2. exact content dedup (canonical id survives)
+    def s_exact():
+        keep = exact_dedup(cur).select(
+            F.col("canonical_id").alias("doc_id"))
+        out = cur.join(keep, "doc_id").cache()
+        return out, out.count()
+    cur, n = stage("exact_dedup", n, s_exact)
+
+    # 3. MinHash-LSH near-dup + connected-components closure
+    def s_cc():
+        mapping = minhash_dedup_cc(cur)
+        dropped = mapping.where(
+            F.col("doc_id") != F.col("canonical_id")).select("doc_id")
+        out = cur.join(dropped, "doc_id", "left_anti").cache()
+        return out, out.count()
+    cur, n = stage("minhash_cc", n, s_cc)
+
+    # 4. quality gates: Gopher repetition + LM bits/token band
+    def s_quality():
+        gate = repetition_signals(cur).where(~F.col("repetitive")) \
+            .select("doc_id")
+        lm = unigram_lm_scores(cur, vocab_size=1024)
+        lm_ok = lm.where(F.col("bits_per_token") <= 8.0).select("doc_id")
+        out = cur.join(gate, "doc_id").join(lm_ok, "doc_id").cache()
+        return out, out.count()
+    cur, n = stage("quality_gate", n, s_quality)
+
+    # 5. benchmark decontamination (5-gram overlap vs a held-out set)
+    def s_decontam():
+        bench = docs.limit(50).select("doc_id", "text")
+        flags = decontaminate(cur, bench).where(~F.col("contaminated")) \
+            .select("doc_id")
+        out = cur.join(flags, "doc_id").cache()
+        return out, out.count()
+    cur, n = stage("decontaminate", n, s_decontam)
+
+    # 6. stratified per-lang quota sample
+    def s_sample():
+        out = stratified_sample(cur, "lang", quota=2000)
+        return out, out.count()
+    cur, n = stage("sample", n, s_sample)
+
+    result["stages"] = stages
+    result["n_docs_out"] = n
+    total = round(sum(s["wall_s"] for s in stages), 2)
+    result["total_wall_s"] = total
+    result["end_to_end_docs_per_s"] = round(n0 / total, 1)
+    print(json.dumps(result, indent=1))
+    Path("BENCH_CURATION_FUNNEL.json").write_text(json.dumps(result, indent=1))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
