@@ -102,23 +102,69 @@ def rasterize_cover_tiles(cover: DataFrame, pixel_zoom: int,
     return _pack_pixel_counts(pix, pixel_zoom - lg, grid)
 
 
+def _pack_block(pdf: pd.DataFrame, zoom: int, grid: int) -> pd.DataFrame:
+    """Pack a block of tile-sorted pixel rows (complete tiles only)
+    into one SPTX raster row per tile, all tiles in one numpy pass."""
+    tx = pdf["tx"].to_numpy()
+    ty = pdf["ty"].to_numpy()
+    change = np.empty(len(tx), dtype=bool)
+    change[0] = True
+    np.logical_or(tx[1:] != tx[:-1], ty[1:] != ty[:-1], out=change[1:])
+    gi = np.cumsum(change) - 1
+    ntiles = int(gi[-1]) + 1
+    flat = (gi * (grid * grid)
+            + pdf["py"].to_numpy().astype(np.int64) * grid
+            + pdf["px"].to_numpy().astype(np.int64))
+    arr = np.zeros(ntiles * grid * grid, dtype=np.int64)
+    arr[flat] = pdf["cnt"].to_numpy()
+    arr = arr.reshape(ntiles, grid, grid)
+    clipped = np.minimum(arr, 255).astype(np.uint8)
+    starts = np.flatnonzero(change)
+    return pd.DataFrame({
+        "z": np.full(ntiles, zoom, dtype=np.int32),
+        "tx": tx[starts], "ty": ty[starts],
+        "raster": [bytearray(encode_sptx(c)) for c in clipped],
+        "n_points": arr.sum(axis=(1, 2)),
+        "nonzero_pixels": (arr > 0).sum(axis=(1, 2)).astype(np.int64),
+        "max_pix": clipped.max(axis=(1, 2)).astype(np.int32),
+    })
+
+
 def _pack_pixel_counts(pix: DataFrame, zoom: int, grid: int) -> DataFrame:
-    """(tx, ty, px, py, cnt) pixel rows → one SPTX raster row per tile."""
+    """(tx, ty, px, py, cnt) pixel rows → one SPTX raster row per tile.
 
-    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        tx, ty = int(pdf["tx"].iloc[0]), int(pdf["ty"].iloc[0])
-        arr = np.zeros((grid, grid), dtype=np.int64)
-        arr[pdf["py"].to_numpy(), pdf["px"].to_numpy()] = pdf["cnt"].to_numpy()
-        clipped = np.minimum(arr, 255).astype(np.uint8)
-        return pd.DataFrame({
-            "z": [np.int32(zoom)], "tx": [tx], "ty": [ty],
-            "raster": [bytearray(encode_sptx(clipped))],
-            "n_points": [int(arr.sum())],
-            "nonzero_pixels": [int((arr > 0).sum())],
-            "max_pix": [int(clipped.max())],
-        })
+    NOT a groupBy().applyInPandas: at deep zooms there are millions of
+    tiles with a handful of pixels each, and per-group pandas overhead
+    dominates (the same pathology the MVT encode stage solved with
+    batched boundary splitting, operators/mvt.py). Instead: one hash
+    repartition on the tile key + an in-partition sort, then a single
+    mapInPandas that packs EVERY tile in an Arrow batch in one numpy
+    pass — a carry buffer stitches tiles split across batch
+    boundaries (≤ grid² rows held back per batch)."""
+    part = pix.repartition("tx", "ty").sortWithinPartitions("tx", "ty")
 
-    return pix.groupBy("tx", "ty").applyInPandas(pack, RASTER_SCHEMA)
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        carry = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if not len(pdf):
+                continue
+            tx = pdf["tx"].to_numpy()
+            ty = pdf["ty"].to_numpy()
+            boundary = np.flatnonzero((tx[1:] != tx[:-1])
+                                      | (ty[1:] != ty[:-1]))
+            if not len(boundary):
+                carry = pdf          # one (possibly split) tile so far
+                continue
+            cut = int(boundary[-1]) + 1
+            carry = pdf.iloc[cut:]
+            yield _pack_block(pdf.iloc[:cut], zoom, grid)
+        if carry is not None and len(carry):
+            yield _pack_block(carry, zoom, grid)
+
+    return part.mapInPandas(run, RASTER_SCHEMA)
 
 
 def raster_grid_stats(rasters: DataFrame, grid: int) -> DataFrame:
@@ -194,3 +240,48 @@ def raster_runs_to_features(rasters: DataFrame,
         run, "z int, tx bigint, ty bigint, py int, px0 int, px1 int, "
              "run_len int, run_sum bigint, xmin double, ymin double, "
              "xmax double, ymax double")
+
+
+def raster_pyramid(df: DataFrame, minzoom: int, maxzoom: int,
+                   grid: int = 16, x_col: str = "x",
+                   y_col: str = "y") -> DataFrame:
+    """Multi-zoom raster pyramid from ONE pass over the input points —
+    the raster twin of the tile pyramid's impute optimization: points
+    are binned once at the FINEST zoom's global pixel grid; every
+    coarser zoom's pixel counts derive from that (small, aggregated)
+    pixel table by right-shifting the global pixel index log2(4)
+    bits per zoom step and re-summing. The input is scanned once; the
+    per-zoom aggregations run over occupied-pixel rows (bounded by the
+    finest grid's occupancy), never over input rows. Returns the same
+    schema as rasterize_point_tiles with a z column spanning
+    [minzoom, maxzoom]."""
+    gx, gy = pixel_coords(F.col(x_col), F.col(y_col), maxzoom, grid)
+    base = (
+        df.select(gx.alias("gx"), gy.alias("gy"))
+        .groupBy("gx", "gy")
+        .agg(F.count("*").alias("cnt"))
+    )
+    g = F.lit(grid)
+    out = None
+    for z in range(maxzoom, minzoom - 1, -1):
+        sh = maxzoom - z
+        if sh == 0:
+            zagg = base.select(F.col("gx").alias("zgx"),
+                               F.col("gy").alias("zgy"), "cnt")
+        else:
+            zagg = (
+                base.select(F.shiftright("gx", sh).alias("zgx"),
+                            F.shiftright("gy", sh).alias("zgy"), "cnt")
+                .groupBy("zgx", "zgy")
+                .agg(F.sum("cnt").alias("cnt"))
+            )
+        # (tx, ty, px, py) is a bijection of (zgx, zgy) — no re-agg
+        zpix = zagg.select(
+            (F.col("zgx") / g).cast("bigint").alias("tx"),
+            (F.col("zgy") / g).cast("bigint").alias("ty"),
+            (F.col("zgx") % g).cast("int").alias("px"),
+            (F.col("zgy") % g).cast("int").alias("py"),
+            "cnt")
+        part = _pack_pixel_counts(zpix, z, grid)
+        out = part if out is None else out.unionByName(part)
+    return out

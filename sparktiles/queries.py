@@ -2863,7 +2863,7 @@ def paragraph_dedup_q(spark, sf_dir):
 
 # ============================================ raster <-> vector tiles
 
-_RASTER_PIX_SQL = f"""
+_RASTER_G_SQL = f"""
 WITH pts AS (
   SELECT o_orderkey AS key,
          {_LON_SQL.format(k='o_orderkey')} AS lon,
@@ -2877,7 +2877,10 @@ WITH pts AS (
   SELECT CAST(FLOOR((mx + {HALF!r}) / {WORLD_MERC_WIDTH!r} * 128.0) AS BIGINT) AS gx,
          CAST(FLOOR(({HALF!r} - my) / {WORLD_MERC_WIDTH!r} * 128.0) AS BIGINT) AS gy
   FROM m
-), pix AS (
+)"""
+
+_RASTER_PIX_SQL = _RASTER_G_SQL + """
+, pix AS (
   SELECT gx // 16 AS tx, gy // 16 AS ty,
          gx % 16 AS px, gy % 16 AS py, COUNT(*) AS cnt
   FROM g GROUP BY 1, 2, 3, 4
@@ -3070,3 +3073,45 @@ def bm25_topk_q(spark, sf_dir):
 
     return bm25_topk(_t(spark, sf_dir, "documents"),
                      ["spark", "window", "merge"], k=10)
+
+
+# ===================================================== raster pyramid
+
+_RASTER_PYR_SQL = _RASTER_G_SQL + """
+, zz AS (
+  SELECT gx, gy, z FROM g, (SELECT UNNEST([1, 2, 3]) AS z)
+), pyx AS (
+  SELECT z,
+         (gx >> (3 - z)) // 16 AS tx, (gy >> (3 - z)) // 16 AS ty,
+         (gx >> (3 - z)) % 16 AS px, (gy >> (3 - z)) % 16 AS py,
+         COUNT(*) AS cnt
+  FROM zz GROUP BY 1, 2, 3, 4, 5
+)
+SELECT CAST(z AS INT) AS z, tx, ty,
+  CAST(SUM(cnt) AS BIGINT) AS n_points,
+  CAST(COUNT(*) AS BIGINT) AS nonzero_pixels,
+  CAST(MAX(LEAST(cnt, 255)) AS INT) AS max_pix,
+  CAST(SUM(LEAST(cnt, 255)) AS BIGINT) AS raster_sum,
+  CAST(SUM(LEAST(cnt, 255) * (py * 16 + px + 1)) AS BIGINT) AS pix_checksum
+FROM pyx GROUP BY z, tx, ty
+"""
+
+
+@q("raster_pyramid_stats", _RASTER_PYR_SQL)
+def raster_pyramid_stats(spark, sf_dir):
+    """Raster pyramid z1-z3 from ONE pass over the points (operators/
+    raster.py raster_pyramid): coarser zooms derive from the finest
+    zoom's aggregated pixel table by index shifts — the raster twin of
+    the tile pyramid's impute optimization. Stats recomputed from the
+    DECODED SPTX bytes per zoom; DuckDB re-derives them with the same
+    shifts from the raw points."""
+    from sparktiles.operators.raster import raster_grid_stats, raster_pyramid
+
+    o = _t(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    pts = o.select(_merc_x(_lon(key)).alias("x"),
+                   _merc_y(_lat(key)).alias("y"))
+    rasters = raster_pyramid(pts, minzoom=1, maxzoom=3, grid=16)
+    return raster_grid_stats(rasters, grid=16).select(
+        "z", "tx", "ty", "n_points", "nonzero_pixels", "max_pix",
+        "raster_sum", "pix_checksum")

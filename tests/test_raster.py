@@ -150,3 +150,28 @@ def test_rasterize_cover_rejects_bad_grid(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         rasterize_cover_tiles(cover, pixel_zoom=3, grid=12)
+
+
+def test_raster_pyramid_equals_direct(spark):
+    # pyramid slices must equal per-zoom direct rasterization exactly
+    from sparktiles.operators.raster import raster_pyramid
+
+    rng = np.random.default_rng(11)
+    pts = [(float(x), float(y))
+           for x, y in zip(rng.uniform(-1.9e7, 1.9e7, 400),
+                           rng.uniform(-1.9e7, 1.9e7, 400))]
+    pyr = raster_grid_stats(
+        raster_pyramid(_pts(spark, pts), minzoom=0, maxzoom=3, grid=8),
+        grid=8)
+    got = {(r["z"], r["tx"], r["ty"]):
+           (r["n_points"], r["raster_sum"], r["pix_checksum"], r["max_pix"])
+           for r in pyr.collect()}
+    want = {}
+    for z in range(4):
+        direct = raster_grid_stats(
+            rasterize_point_tiles(_pts(spark, pts), zoom=z, grid=8), grid=8)
+        for r in direct.collect():
+            want[(z, r["tx"], r["ty"])] = (
+                r["n_points"], r["raster_sum"], r["pix_checksum"], r["max_pix"])
+    assert got == want
+    assert sum(v[0] for k, v in got.items() if k[0] == 0) == 400
