@@ -285,3 +285,68 @@ def raster_pyramid(df: DataFrame, minzoom: int, maxzoom: int,
         part = _pack_pixel_counts(zpix, z, grid)
         out = part if out is None else out.unionByName(part)
     return out
+
+
+def raster_merge(rasters: DataFrame, delta: DataFrame, zoom: int,
+                 grid: int = 16, x_col: str = "x",
+                 y_col: str = "y") -> DataFrame:
+    """Incremental raster maintenance: merge NEW points into standing
+    density tiles without rebuilding the pyramid base — the raster
+    analog of the incremental tile path (streaming/incremental.py).
+    Touched tiles are decoded, delta counts added, re-encoded;
+    untouched tiles pass through byte-identical. Saturation commutes
+    with addition (min(255, a+d) == min(255, min(255,a)+d) for a,d ≥
+    0), so the merged store equals a full rebuild EXACTLY — asserted
+    in tests.
+
+    Scale shape: the delta aggregates to (tile, pixel) counts map-side
+    and then to one bounded array per touched tile (≤ grid² structs);
+    a crawl-day delta is small next to the standing store, so Catalyst
+    broadcasts it and the standing rasters never shuffle."""
+    gx, gy = pixel_coords(F.col(x_col), F.col(y_col), zoom, grid)
+    g = F.lit(grid)
+    dpix = (
+        delta.select((gx / g).cast("bigint").alias("tx"),
+                     (gy / g).cast("bigint").alias("ty"),
+                     (gx % g).cast("int").alias("px"),
+                     (gy % g).cast("int").alias("py"))
+        .groupBy("tx", "ty", "px", "py")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("tx", "ty")
+        .agg(F.collect_list(F.struct("px", "py", "cnt")).alias("_dp"),
+             F.sum("cnt").alias("_dn"))
+    )
+    joined = rasters.join(dpix, ["tx", "ty"], "full_outer")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for tx, ty, payload, npts, dp, dn in zip(
+                    pdf["tx"], pdf["ty"], pdf["raster"], pdf["n_points"],
+                    pdf["_dp"], pdf["_dn"]):
+                has_delta = dp is not None and not (
+                    isinstance(dp, float) and pd.isna(dp))
+                if payload is None or (isinstance(payload, float)
+                                       and pd.isna(payload)):
+                    arr = np.zeros((grid, grid), dtype=np.int64)
+                    npts = 0
+                else:
+                    arr = decode_sptx(bytes(payload))[:, :, 0].astype(np.int64)
+                    npts = int(npts)
+                    if not has_delta:      # untouched: pass through
+                        rows.append((int(zoom), int(tx), int(ty),
+                                     bytearray(bytes(payload)), npts,
+                                     int((arr > 0).sum()), int(arr.max())))
+                        continue
+                for e in dp:
+                    arr[e["py"], e["px"]] += e["cnt"]
+                clipped = np.minimum(arr, 255).astype(np.uint8)
+                rows.append((int(zoom), int(tx), int(ty),
+                             bytearray(encode_sptx(clipped)),
+                             npts + int(dn), int((arr > 0).sum()),
+                             int(clipped.max())))
+            yield pd.DataFrame(rows, columns=[
+                "z", "tx", "ty", "raster", "n_points",
+                "nonzero_pixels", "max_pix"])
+
+    return joined.mapInPandas(run, RASTER_SCHEMA)

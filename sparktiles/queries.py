@@ -3115,3 +3115,62 @@ def raster_pyramid_stats(spark, sf_dir):
     return raster_grid_stats(rasters, grid=16).select(
         "z", "tx", "ty", "n_points", "nonzero_pixels", "max_pix",
         "raster_sum", "pix_checksum")
+
+
+# ====================================================== raster merge
+
+_RASTER_MERGE_SQL = f"""
+WITH pts AS (
+  SELECT {_LON_SQL.format(k='o_orderkey')} AS lon,
+         {_LAT_SQL.format(k='o_orderkey')} AS lat
+  FROM orders
+  UNION ALL
+  SELECT {_LON_SQL.format(k='c_custkey')} AS lon,
+         {_LAT_SQL.format(k='c_custkey')} AS lat
+  FROM customer
+), m AS (
+  SELECT lon / 180.0 * {HALF!r} AS mx,
+         {_MERCY_SQL.format(lat='lat', pi=PI, half=HALF)} AS my
+  FROM pts
+), g AS (
+  SELECT CAST(FLOOR((mx + {HALF!r}) / {WORLD_MERC_WIDTH!r} * 128.0) AS BIGINT) AS gx,
+         CAST(FLOOR(({HALF!r} - my) / {WORLD_MERC_WIDTH!r} * 128.0) AS BIGINT) AS gy
+  FROM m
+), pix AS (
+  SELECT gx // 16 AS tx, gy // 16 AS ty,
+         gx % 16 AS px, gy % 16 AS py, COUNT(*) AS cnt
+  FROM g GROUP BY 1, 2, 3, 4
+)
+SELECT CAST(3 AS INT) AS z, tx, ty,
+  CAST(SUM(cnt) AS BIGINT) AS n_points,
+  CAST(COUNT(*) AS BIGINT) AS nonzero_pixels,
+  CAST(MAX(LEAST(cnt, 255)) AS INT) AS max_pix,
+  CAST(SUM(LEAST(cnt, 255)) AS BIGINT) AS raster_sum,
+  CAST(SUM(LEAST(cnt, 255) * (py * 16 + px + 1)) AS BIGINT) AS pix_checksum
+FROM pix GROUP BY tx, ty
+"""
+
+
+@q("raster_merge_stats", _RASTER_MERGE_SQL)
+def raster_merge_stats(spark, sf_dir):
+    """Incremental raster maintenance proof: a standing store built
+    from orders points is merged with a customer-point delta
+    (operators/raster.py raster_merge — touched tiles decode+add+
+    re-encode, untouched pass through, saturation commutes), then the
+    merged BYTES are decoded back; DuckDB recomputes the same stats
+    from the unioned raw points, so merge ≡ full rebuild is checked
+    cross-engine."""
+    from sparktiles.operators.raster import raster_grid_stats, raster_merge
+
+    okey = F.col("o_orderkey")
+    ckey = F.col("c_custkey")
+    opts = _t(spark, sf_dir, "orders").select(
+        _merc_x(_lon(okey)).alias("x"), _merc_y(_lat(okey)).alias("y"))
+    cpts = _t(spark, sf_dir, "customer").select(
+        _merc_x(_lon(ckey)).alias("x"), _merc_y(_lat(ckey)).alias("y"))
+    from sparktiles.operators.raster import rasterize_point_tiles
+    standing = rasterize_point_tiles(opts, zoom=3, grid=16)
+    merged = raster_merge(standing, cpts, zoom=3, grid=16)
+    return raster_grid_stats(merged, grid=16).select(
+        "z", "tx", "ty", "n_points", "nonzero_pixels", "max_pix",
+        "raster_sum", "pix_checksum")

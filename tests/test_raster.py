@@ -175,3 +175,35 @@ def test_raster_pyramid_equals_direct(spark):
                 r["n_points"], r["raster_sum"], r["pix_checksum"], r["max_pix"])
     assert got == want
     assert sum(v[0] for k, v in got.items() if k[0] == 0) == 400
+
+
+def test_raster_merge_equals_rebuild(spark):
+    # standing store from A, merge delta B -> must equal rasterize(A+B)
+    # byte-for-byte, including a pixel that saturates across the merge
+    from sparktiles.operators.raster import raster_merge
+
+    g = 4
+    rng = np.random.default_rng(3)
+    a = [(float(x), float(y))
+         for x, y in zip(rng.uniform(-1.9e7, 1.9e7, 300),
+                         rng.uniform(-1.9e7, 1.9e7, 300))]
+    hot = _merc_of_pixel(1, 0, 0, 2, 2, g)
+    a += [hot] * 200                       # 200 in one pixel (pre-clip)
+    b = [(float(x), float(y))
+         for x, y in zip(rng.uniform(-1.9e7, 1.9e7, 150),
+                         rng.uniform(-1.9e7, 1.9e7, 150))]
+    b += [hot] * 100                       # +100 -> saturates at 255
+
+    standing = rasterize_point_tiles(_pts(spark, a), zoom=1, grid=g)
+    merged = raster_merge(standing, _pts(spark, b), zoom=1, grid=g)
+    rebuilt = rasterize_point_tiles(_pts(spark, a + b), zoom=1, grid=g)
+
+    def snap(df):
+        return {(r["z"], r["tx"], r["ty"]):
+                (bytes(r["raster"]), r["n_points"], r["nonzero_pixels"],
+                 r["max_pix"])
+                for r in df.collect()}
+
+    assert snap(merged) == snap(rebuilt)
+    got = snap(merged)[(1, 0, 0)]
+    assert got[3] == 255 and got[1] >= 300   # clipped payload, exact count
