@@ -262,7 +262,7 @@ def main():
         "pii_scrub", "url_canonical_dedup", "paragraph_dedup",
         "lm_quality_score", "bm25_topk",
         "raster_tile_stats", "raster_polygonize_runs",
-        "raster_pyramid_stats",
+        "raster_pyramid_stats", "raster_merge_stats",
     ]:
         fn = Q.QUERIES[name]
         dt, _ = min_of(
