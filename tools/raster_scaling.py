@@ -58,6 +58,9 @@ def control() -> dict:
 
 
 def run_leg(cpus: int, n_pages: int) -> dict:
+    import os
+
+    os.environ["SPARK_DRIVER_MEM"] = "24g"
     from sparktiles.operators.raster import (
         raster_runs_to_features,
         rasterize_point_tiles,
