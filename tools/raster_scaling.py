@@ -89,6 +89,12 @@ def run_leg(cpus: int, n_pages: int) -> dict:
 
     rast = lambda: rasterize_point_tiles(  # noqa: E731
         feats, zoom=10, grid=16, x_col="px", y_col="py")
+    # one untimed warmup of the full path: whole-stage codegen compile,
+    # Arrow/python-worker spin-up and the shuffle path all JIT on the
+    # first execution — without this the first timed leg reads cold
+    # (the 25.6M draw's superset leg beat its subset leg at 8 cores)
+    raster_runs_to_features(rast(), threshold=2).write \
+        .format("noop").mode("overwrite").save()
     dt = best_of_2(rast)
     out["rasterize_s"] = dt
     out["rasterize_feats_per_s"] = round(out["n_features"] / dt, 1)
