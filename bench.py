@@ -260,7 +260,8 @@ def main():
         "ann_cosine_topk", "text_quality_score", "variance_stats",
         "gopher_repetition", "dup_window_fraction", "semdedup_mapping",
         "pii_scrub", "url_canonical_dedup", "paragraph_dedup",
-        "lm_quality_score", "bm25_topk",
+        "lm_quality_score", "bm25_topk", "exactsubstr_cut",
+        "pack_sequences", "domain_temperature_resample",
         "raster_tile_stats", "raster_polygonize_runs",
         "raster_pyramid_stats", "raster_merge_stats",
     ]:

@@ -27,6 +27,13 @@ Analysis family:
                        URL normalization (scheme/www/fragment/
                        tracking params) + best-doc-per-URL dedup
 - paragraph_dedup      CCNet-style cross-doc paragraph removal
+- exactsubstr_cut      ExactSubstr duplicate-span REMOVAL (rebuilds
+                       docs with duplicated windows cut out)
+- pack_sequences       concat-and-chunk training-sequence packing via
+                       a two-pass distributed prefix-sum
+- domain_temperature_resample
+                       count^alpha mixture flattening with
+                       deterministic per-domain quota sampling
 
 All operators are DataFrame->DataFrame, shuffle only on their group
 keys, and keep heavy work in JVM built-ins (higher-order functions) —
@@ -887,4 +894,169 @@ def bm25_topk(df: DataFrame, query_terms: list[str], k: int = 10,
         .agg(F.round(F.sum("_s"), 4).alias("score"))
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .limit(k)
+    )
+
+
+def exactsubstr_cut(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", window: int = 5) -> DataFrame:
+    """ExactSubstr duplicate-SPAN REMOVAL — the cut step of Lee et al.
+    2021 that `duplicate_window_fractions` only measures: any
+    `window`-token sequence occurring more than once in the corpus
+    (cross- OR intra-document, the paper's criterion) is a duplicated
+    span; every token covered by at least one such span is removed and
+    the document is rebuilt from the surviving tokens in order.
+
+    Returns (doc_id, n_tokens, n_removed, kept_text) for every input
+    doc — kept_text == original text when nothing was duplicated, and
+    '' when the whole doc was covered.
+
+    Scale path: the paper's suffix array is single-machine; the
+    distributed equivalent is hashed sliding windows. One explode
+    carries (doc, pos, xxhash64) — 8-byte keys, never raw text; the
+    duplicate set is a map-side-combined groupBy(h) HAVING n > 1; the
+    mark-back is an equi-join on h; per-doc covered-start lists are a
+    collect_set groupBy (bounded by doc length). The rebuild is pure
+    JVM higher-order functions: expand starts -> covered position set
+    -> filter the token array by position. Nothing is O(corpus^2) and
+    no Python runs per row.
+    """
+    toks = F.split(F.col(text_col), " ")
+    base = df.select(F.col(id_col).alias("doc_id"), toks.alias("_ts"))
+    parts = ", ".join(f"element_at(_ts, i + {j})" for j in range(window))
+    grams = F.expr(
+        f"CASE WHEN size(_ts) < {window} THEN "
+        f"array()::array<struct<pos:int,h:bigint>> "
+        f"ELSE transform(sequence(1, size(_ts) - {window - 1}), "
+        f"i -> struct(i AS pos, "
+        f"xxhash64(concat_ws(' ', {parts})) AS h)) END")
+    w = (base.select("doc_id", F.explode(grams).alias("_g"))
+         .select("doc_id", F.col("_g.pos").alias("pos"),
+                 F.col("_g.h").alias("h")))
+    dup = (w.groupBy("h").agg(F.count("*").alias("n"))
+           .where(F.col("n") > 1).select("h"))
+    starts = (w.join(dup, "h")
+              .groupBy("doc_id")
+              .agg(F.sort_array(F.collect_set("pos")).alias("_starts")))
+    rebuilt = (
+        base.join(starts, "doc_id", "left")
+        .withColumn("_starts", F.coalesce(
+            "_starts", F.expr("array()::array<int>")))
+        .withColumn("_covered", F.expr(
+            f"array_distinct(flatten(transform(_starts, "
+            f"st -> sequence(st, st + {window - 1}))))"))
+        .withColumn("_keep", F.expr(
+            "filter(sequence(1, size(_ts)), "
+            "p -> NOT array_contains(_covered, p))"))
+    )
+    return rebuilt.select(
+        "doc_id",
+        F.size("_ts").alias("n_tokens"),
+        F.size("_covered").alias("n_removed"),
+        F.expr("concat_ws(' ', transform(_keep, p -> element_at(_ts, p)))")
+        .alias("kept_text"),
+    )
+
+
+def pack_sequences(df: DataFrame, budget: int = 256, block: int = 64,
+                   text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Training-sequence packing, concat-and-chunk style (the GPT /
+    T5 "pack then split at a fixed token budget" preprocessing): lay
+    all documents end-to-end in deterministic doc_id order and cut the
+    token stream into fixed-`budget` chunks. Per doc, report its token
+    count, global token offset, the first/last chunk it lands in, how
+    many chunks it spans (boundary-crossing docs are the ones a packer
+    must split or pad around), and its offset inside its first chunk.
+
+    Scale path: a naive cumulative sum is `SUM OVER (ORDER BY ...)` —
+    a single-partition window, the classic distributed-scan trap. This
+    runs the textbook two-pass scan instead: docs are range-blocked on
+    `floor(doc_id / block)`, pass 1 computes per-block local prefix
+    sums (windows partitioned BY BLOCK — parallel) plus one tiny
+    per-block total table, pass 2 turns block totals into cumulative
+    block offsets (a window over #blocks rows, trivially small) and
+    broadcast-joins them back. No stage touches more than one block's
+    rows per task; the only full-width exchange is the block hash
+    partition itself.
+    """
+    lens = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.split(F.col(text_col), " ")).cast("bigint")
+        .alias("n_tokens"),
+        F.expr(f"{id_col} div {block}").alias("_blk"),
+    )
+    from pyspark.sql import Window
+    in_blk = (Window.partitionBy("_blk").orderBy("doc_id")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    local = lens.withColumn(
+        "_loc", F.coalesce(F.sum("n_tokens").over(in_blk), F.lit(0)))
+    blk_tot = lens.groupBy("_blk").agg(F.sum("n_tokens").alias("_tot"))
+    blk_w = (Window.orderBy("_blk")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    blk_off = blk_tot.withColumn(
+        "_off", F.coalesce(F.sum("_tot").over(blk_w), F.lit(0))
+    ).select("_blk", "_off")
+    packed = (
+        local.join(F.broadcast(blk_off), "_blk")
+        .withColumn("token_offset", F.col("_off") + F.col("_loc"))
+        .withColumn("first_chunk", F.expr(f"token_offset div {budget}"))
+        .withColumn("last_chunk", F.expr(
+            f"(token_offset + n_tokens - 1) div {budget}"))
+    )
+    return packed.select(
+        "doc_id", "n_tokens", "token_offset", "first_chunk", "last_chunk",
+        (F.col("last_chunk") - F.col("first_chunk") + 1).alias("n_chunks"),
+        (F.col("token_offset") % budget).alias("chunk_offset"),
+        (F.col("last_chunk") > F.col("first_chunk"))
+        .alias("crosses_boundary"),
+    )
+
+
+def domain_temperature_resample(df: DataFrame, alpha: float = 0.5,
+                                scale: float = 4.0,
+                                domain_col: str = "source",
+                                id_col: str = "doc_id") -> DataFrame:
+    """Temperature-flattened domain resampling — the training-mixture
+    step that stops a handful of giant domains from dominating the
+    corpus (the count^alpha reweighting used by CCNet / multilingual
+    LM mixtures): a domain with n docs keeps
+    quota = min(n, floor(scale * n^alpha)) of them, so small domains
+    survive intact while heavy domains are downsampled toward the
+    temperature curve. WHICH docs survive is deterministic: rank
+    within the domain by md5(doc_id) — a stable pseudo-random order
+    any engine reproduces — and keep the first `quota`.
+
+    Returns every input doc with its domain count, quota, rank, and a
+    kept flag (callers filter on `kept`; emitting the flag keeps the
+    row count stable for auditing).
+
+    Scale shape: one map-side-combined count per domain (broadcast
+    back — #domains rows), one rank window partitioned by domain. A
+    single pathological domain is one window partition; real corpora
+    cap per-domain rows far below a task's capacity, and the rank
+    needs no global order. quota stays in exact double territory:
+    n^0.5 is IEEE-correctly-rounded sqrt in every engine, so
+    floor(scale * sqrt(n)) is reproducible cross-engine (no
+    order-dependent double summation anywhere).
+    """
+    from pyspark.sql import Window
+    counts = df.groupBy(domain_col).agg(F.count("*").alias("n_domain"))
+    # alpha=0.5 goes through sqrt, not pow: sqrt is IEEE
+    # correctly-rounded everywhere while pow(x, 0.5) is allowed 1 ulp
+    # of slop on the JVM — enough to flip a floor() at a perfect
+    # square (n=25 -> 4*sqrt=20.0 exactly).
+    nd = F.col("n_domain").cast("double")
+    curve = F.sqrt(nd) if alpha == 0.5 else F.pow(nd, F.lit(alpha))
+    quota = counts.withColumn(
+        "quota", F.least(F.col("n_domain"), F.floor(scale * curve)))
+    rk = Window.partitionBy(domain_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col))
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.col(domain_col))
+        .withColumn("sample_rank",
+                    F.row_number().over(rk).cast("int"))
+        .join(F.broadcast(quota), domain_col)
+        .select("doc_id", F.col(domain_col).alias("domain"),
+                "n_domain", "quota", "sample_rank",
+                (F.col("sample_rank") <= F.col("quota")).alias("kept"))
     )

@@ -3174,3 +3174,128 @@ def raster_merge_stats(spark, sf_dir):
     return raster_grid_stats(merged, grid=16).select(
         "z", "tx", "ty", "n_points", "nonzero_pixels", "max_pix",
         "raster_sum", "pix_checksum")
+
+
+# ================================== ExactSubstr span removal / packing /
+# temperature resampling — the round-5 curation additions
+
+# positions are 1-based in both engines; DuckDB range(1, len-3) and
+# Spark sequence(1, size-4) both enumerate starts 1..len-window+1 for
+# window=5, and both produce nothing for docs shorter than the window.
+_EXACTSUBSTR_CUT_SQL = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+w AS (
+  SELECT doc_id,
+         unnest(range(1, len(ts) - 3)) AS pos,
+         unnest([md5(list_aggregate(ts[i:i+4], 'string_agg', ' '))
+                 for i in range(1, len(ts) - 3)]) AS h
+  FROM t
+),
+dup AS (SELECT h FROM w GROUP BY h HAVING COUNT(*) > 1),
+starts AS (
+  SELECT doc_id, list(DISTINCT pos) AS sts
+  FROM w WHERE h IN (SELECT h FROM dup) GROUP BY doc_id
+),
+cov AS (
+  SELECT t.doc_id, ts,
+         list_distinct(flatten(
+           [range(st, st + 5) for st in COALESCE(sts, [])])) AS covered
+  FROM t LEFT JOIN starts USING (doc_id)
+)
+SELECT doc_id,
+       CAST(len(ts) AS INT) AS n_tokens,
+       CAST(len(covered) AS INT) AS n_removed,
+       COALESCE(list_aggregate(
+         [ts[p] for p in range(1, len(ts) + 1)
+          if NOT list_contains(covered, p)],
+         'string_agg', ' '), '') AS kept_text
+FROM cov
+"""
+
+
+@q("exactsubstr_cut", _EXACTSUBSTR_CUT_SQL)
+def exactsubstr_cut_q(spark, sf_dir):
+    """ExactSubstr duplicate-span REMOVAL (Lee et al. 2021) — the cut
+    step on top of the dup_window_fraction detection: every 5-token
+    window occurring >1 time corpus-wide marks its tokens for removal
+    and the doc is rebuilt from the survivors
+    (operators/text.py exactsubstr_cut)."""
+    from sparktiles.operators.text import exactsubstr_cut
+
+    return exactsubstr_cut(_t(spark, sf_dir, "documents"), window=5)
+
+
+# DuckDB SUM(BIGINT) widens to HUGEINT — cast back so the schema
+# matches Spark's bigint running sum.
+_PACK_SQL = """
+WITH lens AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+off AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+           ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS token_offset
+  FROM lens
+)
+SELECT doc_id, n_tokens, token_offset,
+       token_offset // 256 AS first_chunk,
+       (token_offset + n_tokens - 1) // 256 AS last_chunk,
+       (token_offset + n_tokens - 1) // 256
+         - token_offset // 256 + 1 AS n_chunks,
+       token_offset % 256 AS chunk_offset,
+       (token_offset + n_tokens - 1) // 256
+         > token_offset // 256 AS crosses_boundary
+FROM off
+"""
+
+
+@q("pack_sequences", _PACK_SQL)
+def pack_sequences_q(spark, sf_dir):
+    """Concat-and-chunk training-sequence packing at a 256-token
+    budget (operators/text.py pack_sequences). The oracle is the
+    naive single-window cumulative sum; the Spark side is the
+    two-pass blocked distributed scan — same numbers, scalable
+    plan."""
+    from sparktiles.operators.text import pack_sequences
+
+    return pack_sequences(_t(spark, sf_dir, "documents"), budget=256)
+
+
+_RESAMPLE_SQL = """
+WITH c AS (
+  SELECT source, COUNT(*) AS n_domain FROM documents GROUP BY source
+),
+q AS (
+  SELECT source, n_domain,
+         LEAST(n_domain,
+               CAST(FLOOR(4.0 * SQRT(CAST(n_domain AS DOUBLE)))
+                 AS BIGINT)) AS quota
+  FROM c
+),
+r AS (
+  SELECT doc_id, source,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT)
+           AS sample_rank
+  FROM documents
+)
+SELECT r.doc_id, r.source AS domain, q.n_domain, q.quota, r.sample_rank,
+       r.sample_rank <= q.quota AS kept
+FROM r JOIN q USING (source)
+"""
+
+
+@q("domain_temperature_resample", _RESAMPLE_SQL)
+def domain_temperature_resample_q(spark, sf_dir):
+    """count^0.5 temperature flattening of the domain mixture with
+    deterministic md5-rank quota sampling
+    (operators/text.py domain_temperature_resample)."""
+    from sparktiles.operators.text import domain_temperature_resample
+
+    return domain_temperature_resample(
+        _t(spark, sf_dir, "documents"), alpha=0.5, scale=4.0)
