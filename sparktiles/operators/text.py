@@ -365,38 +365,62 @@ def repetition_signals(df: DataFrame, text_col: str = "text",
     that occur more than once (dup_2gram_frac / dup_3gram_frac), plus
     a boolean gate at the given thresholds.
 
-    Scale path: explode n-grams -> groupBy(doc, gram) -> groupBy(doc).
-    Catalyst's partial aggregation combines (doc, gram) counts
-    map-side, so the shuffle carries only DISTINCT grams per document
-    and nothing is row-local O(n_tokens^2) — 100k-token documents cost
-    the same per token as 100-token ones. Documents too short to have
-    an n-gram keep zero fractions (left join back to the base frame).
+    Scale path: the signals are INTRA-document, so no shuffle needs
+    to exist at all — the first version's explode -> groupBy(doc,
+    gram) -> groupBy(doc) moved every distinct gram across the wire
+    twice, and the 2v8 scaling probe showed that exchange (not the
+    hashing) as the leg's ceiling. This version is map-only: per row,
+    hash the n-grams (xxhash64, 8-byte values, the collision trade
+    every hashed dedup here accepts), array_sort the hashes, and read
+    the signals off adjacent runs — duplicated-occurrence count is
+    (adjacent-equal pairs) + (runs of length >= 2), the top count is
+    the longest run (one O(n) aggregate() pass). All JVM higher-order
+    functions, O(n log n) per doc, zero exchanges; 100k-token docs
+    cost n log n, not n^2. Short docs keep zero fractions.
     """
     toks = F.split(F.col(text_col), " ")
     base = df.select(F.col(id_col).alias("doc_id"), toks.alias("_ts"))
 
-    def gram_stats(n: int, prefix: str) -> DataFrame:
-        # element_at is 1-based on both engines' SQL; guard short docs
-        # (sequence(1, 0) would count DOWN, not produce empty)
+    def add_stats(frame: DataFrame, n: int, prefix: str) -> DataFrame:
+        # element_at is 1-based; CASE guards keep every element_at
+        # in-bounds under ANSI (sequence(1, 0) would count DOWN, and
+        # i=2 must not touch _s[0])
         parts = ", ".join(f"element_at(_ts, i + {j})" for j in range(n))
-        grams = F.expr(
-            f"CASE WHEN size(_ts) < {n} THEN array() "
+        hashes = (
+            f"CASE WHEN size(_ts) < {n} THEN array()::array<bigint> "
             f"ELSE transform(sequence(1, size(_ts) - {n - 1}), "
-            f"i -> concat_ws(' ', {parts})) END")
-        g = base.select("doc_id", F.explode(grams).alias("g"))
-        c = g.groupBy("doc_id", "g").agg(F.count("*").alias("cnt"))
-        return c.groupBy("doc_id").agg(
-            F.sum("cnt").alias(f"n_{prefix}"),
-            (F.max("cnt").cast("double") / F.sum("cnt")
-             ).alias(f"_top_{prefix}"),
-            (F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0))
-             .cast("double") / F.sum("cnt")).alias(f"_dup_{prefix}"),
-        )
+            f"i -> xxhash64(concat_ws(' ', {parts}))) END")
+        frame = frame.withColumn("_s", F.expr(f"array_sort({hashes})"))
+        ng = F.size("_s")
+        pairs = F.expr(
+            "size(filter(sequence(2, size(_s)), i -> "
+            "element_at(_s, i) = element_at(_s, i - 1)))")
+        runs2 = F.expr(
+            "size(filter(sequence(2, size(_s)), i -> "
+            "element_at(_s, i) = element_at(_s, i - 1) AND "
+            "(CASE WHEN i = 2 THEN true "
+            "ELSE element_at(_s, i - 1) != element_at(_s, i - 2) END)))")
+        top_run = F.expr(
+            "aggregate(sequence(2, size(_s)), "
+            "struct(1 AS cur, 1 AS best), "
+            "(st, i) -> CASE WHEN element_at(_s, i) = element_at(_s, i - 1)"
+            " THEN struct(st.cur + 1 AS cur,"
+            " greatest(st.best, st.cur + 1) AS best)"
+            " ELSE struct(1 AS cur, st.best AS best) END, "
+            "st -> st.best)")
+        dup_cnt = F.when(ng < 2, F.lit(0)).otherwise(pairs + runs2)
+        top_cnt = (F.when(ng == 0, F.lit(0)).when(ng == 1, F.lit(1))
+                   .otherwise(top_run))
+        return (
+            frame
+            .withColumn(f"n_{prefix}", ng.cast("bigint"))
+            .withColumn(f"_top_{prefix}", F.when(ng == 0, F.lit(0.0))
+                        .otherwise(top_cnt.cast("double") / ng))
+            .withColumn(f"_dup_{prefix}", F.when(ng == 0, F.lit(0.0))
+                        .otherwise(dup_cnt.cast("double") / ng))
+            .drop("_s"))
 
-    g2 = gram_stats(2, "2grams")
-    g3 = gram_stats(3, "3grams")
-    out = (base.select("doc_id")
-           .join(g2, "doc_id", "left").join(g3, "doc_id", "left"))
+    out = add_stats(add_stats(base, 2, "2grams"), 3, "3grams")
     top2 = F.round(F.coalesce("_top_2grams", F.lit(0.0)), 4)
     dup2 = F.round(F.coalesce("_dup_2grams", F.lit(0.0)), 4)
     dup3 = F.round(F.coalesce("_dup_3grams", F.lit(0.0)), 4)
@@ -446,33 +470,41 @@ def duplicate_window_fractions(df: DataFrame, text_col: str = "text",
     locate verbatim boilerplate spans for removal.
 
     Scale path: the paper's suffix array is a single-machine
-    structure; the Spark-native equivalent is hashed windows.
-    explode -> groupBy(doc, h) gets map-side partial aggregation, so
-    the first shuffle carries distinct (doc, window-hash) pairs;
-    gram-level distinct-doc counts are a second groupBy over those
-    already-distinct rows; the join back is on the gram hash. Nothing
-    is O(corpus^2) and no raw text crosses the wire — window keys are
-    8-byte xxhash64 longs (see _token_windows).
-    Docs shorter than `window` keep zero counts (left join back).
+    structure; the Spark-native equivalent is hashed windows — and
+    the shape matters. "Occurs in some OTHER document" is
+    min(doc_id) != max(doc_id) per gram hash, so the cross-doc dup
+    set falls out of ONE map-side-combined groupBy(h) — the distinct
+    (doc, h) pair stream never has to shuffle, and no 25M-row
+    sort-merge join back on h exists (the first version did both;
+    the 2v8 scaling probe caught it running SLOWER than the strictly
+    bigger exactsubstr_cut). n_windows per doc is pure map-side
+    arithmetic (size - window + 1). Only gram occurrences that hit
+    the dup set — the signal itself — ever shuffle on doc_id; the
+    dup-set join is broadcast when it fits and AQE falls back to a
+    shuffled join when a 100 TB dup set doesn't. Window keys are
+    8-byte xxhash64 longs (see _token_windows); docs shorter than
+    `window` keep zero counts (left join back).
     """
     w = _token_windows(df, text_col, id_col, window)
-    per_doc_gram = w.groupBy("doc_id", "h").agg(F.count("*").alias("cnt"))
-    gram_docs = per_doc_gram.groupBy("h").agg(
-        F.count("*").alias("ndocs"))
-    marked = per_doc_gram.join(gram_docs, "h")
-    stats = marked.groupBy("doc_id").agg(
-        F.sum("cnt").alias("n_windows"),
-        F.sum(F.when(F.col("ndocs") > 1, F.col("cnt")).otherwise(0))
-        .alias("dup_windows"),
-    )
-    base_ids = df.select(F.col(id_col).alias("doc_id"))
-    return base_ids.join(stats, "doc_id", "left").select(
+    dup = (w.groupBy("h")
+           .agg(F.min("doc_id").alias("_lo"), F.max("doc_id").alias("_hi"))
+           .where(F.col("_lo") != F.col("_hi")).select("h"))
+    dup_counts = (w.join(dup, "h")
+                  .groupBy("doc_id").agg(F.count("*").alias("dup_windows")))
+    n_win = F.greatest(
+        F.size(F.split(F.col(text_col), " ")) - (window - 1), F.lit(0)
+    ).cast("bigint")
+    base = df.select(F.col(id_col).alias("doc_id"),
+                     n_win.alias("n_windows"))
+    return base.join(dup_counts, "doc_id", "left").select(
         "doc_id",
-        F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
+        "n_windows",
         F.coalesce("dup_windows", F.lit(0)).alias("dup_windows"),
         F.round(
-            F.coalesce(F.col("dup_windows").cast("double")
-                       / F.col("n_windows"), F.lit(0.0)), 4)
+            F.when(F.col("n_windows") > 0,
+                   F.coalesce(F.col("dup_windows"), F.lit(0))
+                   .cast("double") / F.col("n_windows"))
+            .otherwise(F.lit(0.0)), 4)
         .alias("dup_window_frac"),
     )
 

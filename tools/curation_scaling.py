@@ -96,7 +96,8 @@ def corpus(spark, replicas: int):
 def run_leg(cpus: int, replicas: int) -> dict:
     from sparktiles.session import get_spark
     from sparktiles.operators.text import (
-        duplicate_window_fractions, minhash_dedup, repetition_signals)
+        duplicate_window_fractions, exactsubstr_cut, minhash_dedup,
+        pack_sequences, repetition_signals)
 
     spark = get_spark(f"curation-scaling-{cpus}", cpus=cpus)
     spark.sparkContext.setLogLevel("ERROR")
@@ -128,6 +129,19 @@ def run_leg(cpus: int, replicas: int) -> dict:
     dt = best_of_2(lambda: repetition_signals(docs))
     out["gopher_s"] = dt
     out["gopher_docs_per_s"] = round(n_docs / dt, 1)
+
+    # round-5 additions: the span-REMOVAL sibling of dup_window (the
+    # replica corpus makes nearly every window a duplicate, so the
+    # covered-set rebuild runs at its worst case), and the two-pass
+    # blocked prefix-sum packer (probes whether the blocked scan's
+    # extra exchange erodes scaling vs plain map work)
+    dt = best_of_2(lambda: exactsubstr_cut(docs, window=5))
+    out["exactsubstr_s"] = dt
+    out["exactsubstr_docs_per_s"] = round(n_docs / dt, 1)
+
+    dt = best_of_2(lambda: pack_sequences(docs, budget=256))
+    out["pack_s"] = dt
+    out["pack_docs_per_s"] = round(n_docs / dt, 1)
 
     out["core_index_after"] = core_index()
     return out
@@ -184,11 +198,15 @@ def main():
         "scaling_efficiency_dup_window": eff("dup_window_docs_per_s"),
         "scaling_efficiency_minhash": eff("minhash_docs_per_s"),
         "scaling_efficiency_gopher": eff("gopher_docs_per_s"),
+        "scaling_efficiency_exactsubstr": eff("exactsubstr_docs_per_s"),
+        "scaling_efficiency_pack": eff("pack_docs_per_s"),
         "box_speed_drift_low_over_high": round(drift, 3),
         "hw_norm": {
             "dup_window": round(eff("dup_window_docs_per_s") * drift, 3),
             "minhash": round(eff("minhash_docs_per_s") * drift, 3),
             "gopher": round(eff("gopher_docs_per_s") * drift, 3),
+            "exactsubstr": round(eff("exactsubstr_docs_per_s") * drift, 3),
+            "pack": round(eff("pack_docs_per_s") * drift, 3),
         },
     }
     print(json.dumps(result, indent=1))

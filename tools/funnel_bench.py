@@ -14,9 +14,11 @@ Stages
 1. url_dedup        canonical-URL dedup (best doc per canonical)
 2. exact_dedup      md5 content dedup
 3. minhash_cc       MinHash-LSH + connected-components closure
-4. quality_gate     Gopher repetition gate + unigram-LM band
-5. decontaminate    benchmark 3-gram decontamination
-6. sample           stratified per-lang quota
+4. span_cut         ExactSubstr duplicate-span removal (doc rebuild)
+5. quality_gate     Gopher repetition gate + unigram-LM band
+6. decontaminate    benchmark 5-gram decontamination
+7. sample           stratified per-lang quota
+8. pack_1024        concat-and-chunk packing at a 1024-token budget
 
 usage: python tools/funnel_bench.py [replicas] [cpus]
 writes BENCH_CURATION_FUNNEL.json
@@ -46,6 +48,8 @@ def main():
         dedup_url_canonical,
         decontaminate,
         exact_dedup,
+        exactsubstr_cut,
+        pack_sequences,
         repetition_signals,
         stratified_sample,
         unigram_lm_scores,
@@ -118,7 +122,19 @@ def main():
         return out, out.count()
     cur, n = stage("minhash_cc", n, s_cc)
 
-    # 4. quality gates: Gopher repetition + LM bits/token band
+    # 4. ExactSubstr span removal: cut every 5-token window that still
+    # occurs >1 time among the near-dup survivors, drop docs left with
+    # fewer than 10 tokens (out_docs falls only by those)
+    def s_spancut():
+        cut = exactsubstr_cut(cur, window=5)
+        out = (cut.where(F.col("n_tokens") - F.col("n_removed") >= 10)
+               .join(cur.select("doc_id", "lang"), "doc_id")
+               .select("doc_id", F.col("kept_text").alias("text"), "lang")
+               .cache())
+        return out, out.count()
+    cur, n = stage("span_cut", n, s_spancut)
+
+    # 5. quality gates: Gopher repetition + LM bits/token band
     def s_quality():
         gate = repetition_signals(cur).where(~F.col("repetitive")) \
             .select("doc_id")
@@ -128,7 +144,7 @@ def main():
         return out, out.count()
     cur, n = stage("quality_gate", n, s_quality)
 
-    # 5. benchmark decontamination (5-gram overlap vs a held-out set)
+    # 6. benchmark decontamination (5-gram overlap vs a held-out set)
     def s_decontam():
         bench = docs.limit(50).select("doc_id", "text")
         flags = decontaminate(cur, bench).where(~F.col("contaminated")) \
@@ -137,11 +153,30 @@ def main():
         return out, out.count()
     cur, n = stage("decontaminate", n, s_decontam)
 
-    # 6. stratified per-lang quota sample
+    # 7. stratified per-lang quota sample (rejoin text for the packer)
+    pre_sample = cur
+
     def s_sample():
-        out = stratified_sample(cur, "lang", quota=2000)
+        keep = stratified_sample(cur, "lang", quota=2000).select("doc_id")
+        out = pre_sample.join(keep, "doc_id").cache()
         return out, out.count()
     cur, n = stage("sample", n, s_sample)
+
+    # 8. concat-and-chunk packing at a 1024-token training budget —
+    # the survivors leave as fixed-budget sequences; out_docs is the
+    # doc rows annotated, packed_chunks the sequences produced
+    def s_pack():
+        packed = pack_sequences(cur, budget=1024).cache()
+        row = packed.agg(
+            F.sum("n_tokens").alias("tok"),
+            F.max("last_chunk").alias("mx"),
+            F.sum(F.col("crosses_boundary").cast("int")).alias("xb"),
+        ).collect()[0]
+        result["packed_tokens"] = int(row["tok"])
+        result["packed_chunks"] = int(row["mx"]) + 1
+        result["boundary_crossing_docs"] = int(row["xb"])
+        return packed, packed.count()
+    cur, n = stage("pack_1024", n, s_pack)
 
     result["stages"] = stages
     result["n_docs_out"] = n
