@@ -1044,6 +1044,71 @@ def pack_sequences(df: DataFrame, budget: int = 256, block: int = 64,
     )
 
 
+def inverted_index(df: DataFrame, max_df: int | None = None,
+                   text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Materialized inverted index — one row per token with document
+    frequency, collection frequency, and the posting list serialized
+    as "doc:tf,doc:tf,..." in doc_id order (the string form keeps the
+    artifact cross-engine comparable; a production sink would keep
+    the struct array). `max_df` drops tokens appearing in more than
+    that many documents — the stopword cut every IR system applies,
+    and at corpus scale also the skew guard: a stopword's posting
+    list is O(corpus) on one key, so it must be cut BEFORE the
+    collect, not after.
+
+    Scale path: tf = groupBy(token, doc) with map-side combine (the
+    shuffle carries distinct (token, doc) pairs); df counts are a
+    second map-side-combined groupBy over those rows; the over-limit
+    token set is tiny by Zipf (only heads exceed max_df) and
+    broadcasts as an anti-join filter on the tf stream before the
+    posting-list aggregation, so no collected list can exceed max_df
+    entries."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("token"),
+    ).where(F.col("token") != "")
+    tf = toks.groupBy("token", "doc_id").agg(
+        F.count("*").alias("tf"))
+    if max_df is not None:
+        heads = (tf.groupBy("token").agg(F.count("*").alias("_df"))
+                 .where(F.col("_df") > max_df).select("token"))
+        tf = tf.join(F.broadcast(heads), "token", "left_anti")
+    return tf.groupBy("token").agg(
+        F.count("*").alias("df"),
+        F.sum("tf").alias("cf"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("doc_id", "tf"))),
+                lambda s: F.concat_ws(":", s["doc_id"], s["tf"])),
+            ",").alias("postings"),
+    )
+
+
+def ngram_count_table(df: DataFrame, n: int = 2, min_count: int = 2,
+                      text_col: str = "text") -> DataFrame:
+    """KenLM-style n-gram count table: every n-token sequence in the
+    corpus with its total occurrence count, thresholded at
+    `min_count` (count pruning — the standard LM-training step that
+    keeps the table finite). Returns (gram, cnt).
+
+    Scale path: the grams are generated map-side per row (sequence +
+    element_at, no intermediate explosion of join keys), then one
+    map-side-combined groupBy(gram); the HAVING filter runs post-agg
+    where it must (a pruned gram's count is unknowable earlier), but
+    partial aggregation means the shuffle carries distinct grams per
+    partition, not occurrences."""
+    parts = ", ".join(f"element_at(_ts, i + {j})" for j in range(n))
+    grams = F.expr(
+        f"CASE WHEN size(_ts) < {n} THEN array()::array<string> "
+        f"ELSE transform(sequence(1, size(_ts) - {n - 1}), "
+        f"i -> concat_ws(' ', {parts})) END")
+    g = (df.select(F.split(F.col(text_col), " ").alias("_ts"))
+         .select(F.explode(grams).alias("gram")))
+    return (g.groupBy("gram").agg(F.count("*").alias("cnt"))
+            .where(F.col("cnt") >= min_count))
+
+
 def domain_temperature_resample(df: DataFrame, alpha: float = 0.5,
                                 scale: float = 4.0,
                                 domain_col: str = "source",

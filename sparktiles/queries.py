@@ -3290,6 +3290,56 @@ FROM r JOIN q USING (source)
 """
 
 
+_INVIDX_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+), tf AS (
+  SELECT token, doc_id, COUNT(*) AS tf
+  FROM tok WHERE token <> '' GROUP BY 1, 2
+)
+SELECT token,
+       CAST(COUNT(*) AS BIGINT) AS df,
+       CAST(SUM(tf) AS BIGINT) AS cf,
+       string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id) AS postings
+FROM tf
+GROUP BY token
+"""
+
+
+@q("inverted_index", _INVIDX_SQL)
+def inverted_index_q(spark, sf_dir):
+    """Materialized inverted index (operators/text.py
+    inverted_index); posting lists serialized doc:tf in doc order so
+    the full ordered list is value-compared cross-engine (the
+    synthetic vocab is 31 tokens, so every posting list is
+    corpus-long — a sharper check than a df-thresholded subset; the
+    max_df stopword cut is covered by unit tests)."""
+    from sparktiles.operators.text import inverted_index
+
+    return inverted_index(_t(spark, sf_dir, "documents"))
+
+
+_NGRAM_COUNTS_SQL = """
+WITH g AS (
+  SELECT unnest([list_aggregate(ts[i:i+1], 'string_agg', ' ')
+                 for i in range(1, len(ts))]) AS gram
+  FROM (SELECT string_split(text, ' ') AS ts FROM documents)
+)
+SELECT gram, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM g GROUP BY gram HAVING COUNT(*) >= 2
+"""
+
+
+@q("ngram_count_table", _NGRAM_COUNTS_SQL)
+def ngram_count_table_q(spark, sf_dir):
+    """KenLM-style bigram count table with count-2 pruning
+    (operators/text.py ngram_count_table)."""
+    from sparktiles.operators.text import ngram_count_table
+
+    return ngram_count_table(_t(spark, sf_dir, "documents"),
+                             n=2, min_count=2)
+
+
 @q("domain_temperature_resample", _RESAMPLE_SQL)
 def domain_temperature_resample_q(spark, sf_dir):
     """count^0.5 temperature flattening of the domain mixture with

@@ -132,3 +132,34 @@ def test_resample_rank_is_md5_deterministic(spark):
     again = sorted(domain_temperature_resample(df).collect(),
                    key=lambda r: r["sample_rank"])
     assert [r["doc_id"] for r in again] == [r["doc_id"] for r in out]
+
+
+# ----------------------------------------- inverted_index / ngram table
+
+def test_inverted_index_postings(spark):
+    from sparktiles.operators.text import inverted_index
+    rows = [(1, "a b a"), (2, "b c"), (3, "a")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["token"]: r for r in inverted_index(df).collect()}
+    assert out["a"]["df"] == 2 and out["a"]["cf"] == 3
+    assert out["a"]["postings"] == "1:2,3:1"
+    assert out["b"]["postings"] == "1:1,2:1"
+    assert out["c"]["df"] == 1
+
+
+def test_inverted_index_max_df_cut(spark):
+    from sparktiles.operators.text import inverted_index
+    rows = [(i, "the x%d" % i) for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    toks = {r["token"] for r in inverted_index(df, max_df=3).collect()}
+    assert "the" not in toks          # df=5 > 3: stopword cut
+    assert "x0" in toks and len(toks) == 5
+
+
+def test_ngram_count_table_prune(spark):
+    from sparktiles.operators.text import ngram_count_table
+    rows = [(1, "a b c"), (2, "a b d"), (3, "z")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["gram"]: r["cnt"]
+           for r in ngram_count_table(df, n=2, min_count=2).collect()}
+    assert out == {"a b": 2}          # "b c"/"b d" pruned; "z" too short

@@ -29,7 +29,11 @@ payloads, so they also probe whether the box's weak tile-leg 2v8
 ratios are bus starvation (see BENCH.md) rather than engine
 structure.
 
-usage: python tools/curation_scaling.py [replicas] [n_low] [n_high]
+usage: python tools/curation_scaling.py [replicas] [n_low] [n_high] [ops]
+  ops: comma list from dup_window,minhash,gopher,exactsubstr,pack
+       (default all). Short-leg ops need a bigger corpus to amortize
+       the ~1-2 s fixed job cost — filter to them and raise replicas
+       rather than reading a 2 s leg's ratio.
 """
 
 from __future__ import annotations
@@ -93,7 +97,7 @@ def corpus(spark, replicas: int):
     ).repartition(64)
 
 
-def run_leg(cpus: int, replicas: int) -> dict:
+def run_leg(cpus: int, replicas: int, ops: set[str]) -> dict:
     from sparktiles.session import get_spark
     from sparktiles.operators.text import (
         duplicate_window_fractions, exactsubstr_cut, minhash_dedup,
@@ -118,43 +122,44 @@ def run_leg(cpus: int, replicas: int) -> dict:
             t.append(time.time() - t0)
         return round(min(t), 3)
 
-    dt = best_of_2(lambda: duplicate_window_fractions(docs, window=5))
-    out["dup_window_s"] = dt
-    out["dup_window_docs_per_s"] = round(n_docs / dt, 1)
-
-    dt = best_of_2(lambda: minhash_dedup(docs, n_hashes=8, band_size=2))
-    out["minhash_s"] = dt
-    out["minhash_docs_per_s"] = round(n_docs / dt, 1)
-
-    dt = best_of_2(lambda: repetition_signals(docs))
-    out["gopher_s"] = dt
-    out["gopher_docs_per_s"] = round(n_docs / dt, 1)
-
-    # round-5 additions: the span-REMOVAL sibling of dup_window (the
-    # replica corpus makes nearly every window a duplicate, so the
-    # covered-set rebuild runs at its worst case), and the two-pass
-    # blocked prefix-sum packer (probes whether the blocked scan's
-    # extra exchange erodes scaling vs plain map work)
-    dt = best_of_2(lambda: exactsubstr_cut(docs, window=5))
-    out["exactsubstr_s"] = dt
-    out["exactsubstr_docs_per_s"] = round(n_docs / dt, 1)
-
-    dt = best_of_2(lambda: pack_sequences(docs, budget=256))
-    out["pack_s"] = dt
-    out["pack_docs_per_s"] = round(n_docs / dt, 1)
+    # round-5 additions beyond the first three: the span-REMOVAL
+    # sibling of dup_window (the replica corpus makes nearly every
+    # window a duplicate, so the covered-set rebuild runs at its
+    # worst case), and the two-pass blocked prefix-sum packer (probes
+    # whether the blocked scan's extra exchange erodes scaling vs
+    # plain map work)
+    legs = {
+        "dup_window": lambda: duplicate_window_fractions(docs, window=5),
+        "minhash": lambda: minhash_dedup(docs, n_hashes=8, band_size=2),
+        "gopher": lambda: repetition_signals(docs),
+        "exactsubstr": lambda: exactsubstr_cut(docs, window=5),
+        "pack": lambda: pack_sequences(docs, budget=256),
+    }
+    for name, fn in legs.items():
+        if name not in ops:
+            continue
+        dt = best_of_2(fn)
+        out[f"{name}_s"] = dt
+        out[f"{name}_docs_per_s"] = round(n_docs / dt, 1)
 
     out["core_index_after"] = core_index()
     return out
 
 
+ALL_OPS = ("dup_window", "minhash", "gopher", "exactsubstr", "pack")
+
+
 def main():
     if len(sys.argv) > 1 and sys.argv[1] == "--leg":
-        print("LEGRESULT " + json.dumps(run_leg(int(sys.argv[2]), int(sys.argv[3]))))
+        ops = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else set(ALL_OPS)
+        print("LEGRESULT " + json.dumps(
+            run_leg(int(sys.argv[2]), int(sys.argv[3]), ops)))
         return
 
     replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 100
     n_low = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     n_high = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    ops = (sys.argv[4].split(",") if len(sys.argv) > 4 else list(ALL_OPS))
 
     if SLOCK.exists():
         raise SystemExit("scaling watcher mid-draw (lock present); retry later")
@@ -165,7 +170,8 @@ def main():
         ctl = control()
         legs = {}
         for cpus in (n_low, n_high):
-            cmd = [sys.executable, __file__, "--leg", str(cpus), str(replicas)]
+            cmd = [sys.executable, __file__, "--leg", str(cpus),
+                   str(replicas), ",".join(ops)]
             if shutil.which("taskset"):
                 cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
             proc = subprocess.run(cmd, capture_output=True, text=True,
@@ -195,22 +201,17 @@ def main():
                     "bandwidth_eff": ctl["bandwidth"]["efficiency"]},
         f"N(local[{n_low}])": lo,
         f"4N(local[{n_high}])": hi,
-        "scaling_efficiency_dup_window": eff("dup_window_docs_per_s"),
-        "scaling_efficiency_minhash": eff("minhash_docs_per_s"),
-        "scaling_efficiency_gopher": eff("gopher_docs_per_s"),
-        "scaling_efficiency_exactsubstr": eff("exactsubstr_docs_per_s"),
-        "scaling_efficiency_pack": eff("pack_docs_per_s"),
         "box_speed_drift_low_over_high": round(drift, 3),
-        "hw_norm": {
-            "dup_window": round(eff("dup_window_docs_per_s") * drift, 3),
-            "minhash": round(eff("minhash_docs_per_s") * drift, 3),
-            "gopher": round(eff("gopher_docs_per_s") * drift, 3),
-            "exactsubstr": round(eff("exactsubstr_docs_per_s") * drift, 3),
-            "pack": round(eff("pack_docs_per_s") * drift, 3),
-        },
+        "hw_norm": {},
     }
+    for op in ops:
+        e = eff(f"{op}_docs_per_s")
+        result[f"scaling_efficiency_{op}"] = e
+        result["hw_norm"][op] = round(e * drift, 3)
     print(json.dumps(result, indent=1))
-    Path("BENCH_CURATION_SCALING.json").write_text(json.dumps(result, indent=1))
+    out_name = ("BENCH_CURATION_SCALING.json" if set(ops) == set(ALL_OPS)
+                else "BENCH_CURATION_SCALING_%s.json" % "_".join(ops))
+    Path(out_name).write_text(json.dumps(result, indent=1))
 
 
 if __name__ == "__main__":
