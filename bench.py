@@ -262,6 +262,7 @@ def main():
         "pii_scrub", "url_canonical_dedup", "paragraph_dedup",
         "lm_quality_score", "bm25_topk", "exactsubstr_cut",
         "pack_sequences", "domain_temperature_resample",
+        "inverted_index", "ngram_count_table",
         "raster_tile_stats", "raster_polygonize_runs",
         "raster_pyramid_stats", "raster_merge_stats",
     ]:
