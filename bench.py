@@ -263,6 +263,7 @@ def main():
         "lm_quality_score", "bm25_topk", "exactsubstr_cut",
         "pack_sequences", "domain_temperature_resample",
         "inverted_index", "ngram_count_table",
+        "perplexity_buckets", "minhash_jaccard_verify", "dedup_keep_best",
         "raster_tile_stats", "raster_polygonize_runs",
         "raster_pyramid_stats", "raster_merge_stats",
     ]:

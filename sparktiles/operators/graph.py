@@ -115,3 +115,42 @@ def minhash_dedup_cc(df: DataFrame, n_hashes: int = 8, band_size: int = 2,
     cc = connected_components(edges)
     return cc.select(F.col("node").alias(id_col),
                      F.col("component").alias("canonical_id"))
+
+
+def dedup_keep_best(df: DataFrame, quality_col: str = "n_chars",
+                    n_hashes: int = 8, band_size: int = 2,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Representative selection for near-dup clusters: instead of
+    minhash_dedup_cc's keep-the-smallest-id rule, keep the BEST
+    member of each duplicate component by `quality_col` (ties break
+    on doc_id — deterministic). This is the CCNet/BigScience variant
+    of the dedup finish: when a cluster mixes a full page with its
+    truncated syndications, id-order keeps an arbitrary one; quality
+    order keeps the longest/cleanest.
+
+    Scale shape: the component mapping is minhash_dedup_cc (iterative
+    hash-min over star edges); ranking is one window partitioned by
+    component — duplicate clusters are small by construction (LSH
+    bucket fan-in), so partitions are tiny. The quality lookup joins
+    only docs that are IN a dup component (sparse vs the corpus).
+
+    Returns (doc_id, component, keep_id, is_kept) for every doc in a
+    duplicate component; docs in no component are absent (all kept —
+    anti-join the is_kept=false rows to materialize the dedup)."""
+    from pyspark.sql.window import Window
+
+    mapping = minhash_dedup_cc(df, n_hashes, band_size, text_col, id_col)
+    comp = mapping.select(
+        F.col(id_col).alias("doc_id"),
+        F.least(F.col(id_col), F.col("canonical_id")).alias("component"))
+    q = df.select(F.col(id_col).alias("doc_id"),
+                  F.col(quality_col).alias("_q"))
+    w = Window.partitionBy("component").orderBy(
+        F.col("_q").desc(), F.col("doc_id").asc())
+    return (
+        comp.join(q, "doc_id")
+        .select("doc_id", "component",
+                F.first("doc_id").over(w).alias("keep_id"))
+        .withColumn("is_kept", F.col("doc_id") == F.col("keep_id"))
+    )

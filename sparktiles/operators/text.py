@@ -1157,3 +1157,98 @@ def domain_temperature_resample(df: DataFrame, alpha: float = 0.5,
                 "n_domain", "quota", "sample_rank",
                 (F.col("sample_rank") <= F.col("quota")).alias("kept"))
     )
+
+
+# ------------------------------------------- CCNet perplexity buckets
+
+def perplexity_buckets(df: DataFrame, vocab_size: int = 1024,
+                       n_buckets: int = 3, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       lang_col: str = "lang") -> DataFrame:
+    """CCNet's head/middle/tail perplexity partitioning (Wenzek et al.
+    2020, the step after the LM scoring): score every document with
+    the self-trained unigram LM (`unigram_lm_scores`), then split each
+    language's documents into `n_buckets` equal-frequency bands by
+    bits/token. Band 0 ('head') is the most-stereotypical slice CCNet
+    keeps for LM pretraining; 'tail' is the gibberish end.
+
+    Scale shape: scoring inherits unigram_lm_scores' shape (sort-limit
+    vocab, broadcast model scalars, one groupBy(doc)); the banding is
+    one rank window partitioned by language. A language is one window
+    partition — the same documented tradeoff as
+    domain_temperature_resample: languages are few and the rank gives
+    exact, deterministic, cross-engine band edges (ties break on
+    doc_id). At 100 TB swap the rank window for per-language
+    percentile_approx cutoffs broadcast back (the sketch is
+    merge-combinable, one pass) at the cost of exact edges.
+
+    Returns (doc_id, lang, n_tokens, bits_per_token, ppl_bucket)."""
+    from pyspark.sql.window import Window
+
+    scored = unigram_lm_scores(df, vocab_size, text_col, id_col)
+    langs = df.select(F.col(id_col).alias("doc_id"),
+                      F.col(lang_col).alias("lang"))
+    j = scored.join(langs, "doc_id")
+    w = Window.partitionBy("lang").orderBy(
+        F.col("bits_per_token").asc(), F.col("doc_id").asc())
+    wc = Window.partitionBy("lang")
+    # floor(n_buckets * (rn-1) / count): NTILE-free equal-frequency
+    # band index — integer-exact in both engines (no NTILE remainder
+    # ambiguity to cross-check).
+    bi = F.floor((F.lit(n_buckets) * (F.row_number().over(w) - F.lit(1)))
+                 / F.count("*").over(wc)).cast("int")
+    label = (F.when(bi == 0, F.lit("head"))
+             .when(bi == n_buckets - 1, F.lit("tail"))
+             .otherwise(F.lit("middle")))
+    return j.select("doc_id", "lang", "n_tokens", "bits_per_token",
+                    label.alias("ppl_bucket"))
+
+
+# -------------------------------------- MinHash candidate verification
+
+def minhash_jaccard_verify(df: DataFrame, n_hashes: int = 8,
+                           band_size: int = 2, threshold: float = 0.0,
+                           text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """The verification stage of MinHash dedup (Broder 1997): LSH
+    banding yields CANDIDATE pairs with false positives (two docs can
+    collide on one band and differ everywhere else); the fraction of
+    agreeing signature components is an unbiased Jaccard estimate, and
+    pairs below `threshold` are dropped before any document is. Pairs
+    are the star edges (bucket-canonical, member) — linear in bucket
+    membership, never a bucket's O(k^2) pair explosion.
+
+    Scale shape: the pair list is sparse (dup candidates only); the
+    two signature lookups are equi-joins on doc id against the
+    8-column signature table — shuffle width is candidates + 2
+    signature projections, never the corpus text. Everything is JVM
+    column math.
+
+    Returns (doc_a, doc_b, est_jaccard), doc_a < doc_b, est rounded
+    to 4 dp for cross-engine parity."""
+    sigs = minhash_signatures(df, n_hashes, text_col, id_col)
+    buckets = lsh_buckets(sigs, band_size)
+    # canonical_id = min(members), so (canonical, member) is already
+    # (smaller, larger) — ordered pairs come free of least/greatest.
+    pairs = (
+        buckets.where(F.col("bucket_size") > 1)
+        .select(F.col("canonical_id").alias("doc_a"),
+                F.explode("members").alias("doc_b"))
+        .where(F.col("doc_a") != F.col("doc_b"))
+        .distinct()
+    )
+    a = sigs.select(F.col("doc_id").alias("doc_a"),
+                    *[F.col(f"h{i}").alias(f"_a{i}") for i in range(n_hashes)])
+    b = sigs.select(F.col("doc_id").alias("doc_b"),
+                    *[F.col(f"h{i}").alias(f"_b{i}") for i in range(n_hashes)])
+    agree = sum(
+        (F.col(f"_a{i}") == F.col(f"_b{i}")).cast("int")
+        for i in range(n_hashes)
+    )
+    return (
+        pairs.join(a, "doc_a").join(b, "doc_b")
+        .select("doc_a", "doc_b",
+                F.round(agree / F.lit(float(n_hashes)), 4)
+                .alias("est_jaccard"))
+        .where(F.col("est_jaccard") >= F.lit(threshold))
+    )

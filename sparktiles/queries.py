@@ -3349,3 +3349,186 @@ def domain_temperature_resample_q(spark, sf_dir):
 
     return domain_temperature_resample(
         _t(spark, sf_dir, "documents"), alpha=0.5, scale=4.0)
+
+
+# ============================================ CCNet perplexity buckets
+
+_PPL_BUCKETS_SQL = """
+WITH toks AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents
+), tf AS (
+  SELECT doc_id, tok FROM toks WHERE tok <> ''
+), cf AS (
+  SELECT tok, COUNT(*) AS cf FROM tf GROUP BY tok
+), vocab AS (
+  SELECT tok, cf FROM cf ORDER BY cf DESC, tok ASC LIMIT 16
+), st AS (
+  SELECT (SELECT SUM(cf) FROM cf) AS total,
+         (SELECT COUNT(*) FROM cf) AS ntypes,
+         (SELECT SUM(cf) FROM vocab) AS vmass,
+         (SELECT COUNT(*) FROM vocab) AS nvocab
+), p AS (
+  SELECT t.doc_id,
+    CASE WHEN v.cf IS NOT NULL THEN CAST(v.cf AS DOUBLE) / s.total
+         ELSE CAST(s.total - s.vmass AS DOUBLE) / s.total
+              / (s.ntypes - s.nvocab) END AS p
+  FROM tf t LEFT JOIN vocab v USING (tok) CROSS JOIN st s
+), scored AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         ROUND(-AVG(log2(p)), 4) AS bits_per_token
+  FROM p GROUP BY doc_id
+), j AS (
+  SELECT s.doc_id, d.lang, s.n_tokens, s.bits_per_token
+  FROM scored s JOIN documents d USING (doc_id)
+), r AS (
+  SELECT *,
+    CAST(FLOOR((3 * (ROW_NUMBER() OVER (
+        PARTITION BY lang ORDER BY bits_per_token ASC, doc_id ASC) - 1))
+      / (COUNT(*) OVER (PARTITION BY lang))) AS INT) AS bi
+  FROM j
+)
+SELECT doc_id, lang, n_tokens, bits_per_token,
+       CASE WHEN bi = 0 THEN 'head'
+            WHEN bi = 2 THEN 'tail' ELSE 'middle' END AS ppl_bucket
+FROM r
+"""
+
+
+@q("perplexity_buckets", _PPL_BUCKETS_SQL)
+def perplexity_buckets_q(spark, sf_dir):
+    """CCNet head/middle/tail partitioning: per-language
+    equal-frequency bands over the self-trained unigram-LM bits/token
+    (operators/text.py perplexity_buckets; vocab 16 so the OOV tail
+    branch is exercised like the lm_quality_score oracle)."""
+    from sparktiles.operators.text import perplexity_buckets
+
+    return perplexity_buckets(_t(spark, sf_dir, "documents"),
+                              vocab_size=16, n_buckets=3)
+
+
+# ===================================== MinHash candidate verification
+
+_MINHASH_VERIFY_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+), idx AS (
+  SELECT doc_id, t, UNNEST(range(1, len(t) - 1)) AS i FROM toks
+), shingles AS (
+  SELECT DISTINCT doc_id,
+         t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] || ' ' || t[CAST(i AS INT) + 2] AS s
+  FROM idx
+), sigs AS (
+  SELECT doc_id,
+         MIN(md5('0' || s)) AS h0, MIN(md5('1' || s)) AS h1,
+         MIN(md5('2' || s)) AS h2, MIN(md5('3' || s)) AS h3,
+         MIN(md5('4' || s)) AS h4, MIN(md5('5' || s)) AS h5,
+         MIN(md5('6' || s)) AS h6, MIN(md5('7' || s)) AS h7
+  FROM shingles GROUP BY doc_id
+), bands AS (
+  SELECT doc_id, 0 AS band, h0 || h1 AS sig FROM sigs
+  UNION ALL SELECT doc_id, 1, h2 || h3 FROM sigs
+  UNION ALL SELECT doc_id, 2, h4 || h5 FROM sigs
+  UNION ALL SELECT doc_id, 3, h6 || h7 FROM sigs
+), buckets AS (
+  SELECT band, sig, MIN(doc_id) AS canon, COUNT(*) AS n
+  FROM bands GROUP BY band, sig
+), pairs AS (
+  SELECT DISTINCT k.canon AS doc_a, b.doc_id AS doc_b
+  FROM bands b JOIN buckets k USING (band, sig)
+  WHERE k.n > 1 AND b.doc_id <> k.canon
+)
+SELECT p.doc_a, p.doc_b,
+  ROUND((CAST(sa.h0 = sb.h0 AS INT) + CAST(sa.h1 = sb.h1 AS INT)
+       + CAST(sa.h2 = sb.h2 AS INT) + CAST(sa.h3 = sb.h3 AS INT)
+       + CAST(sa.h4 = sb.h4 AS INT) + CAST(sa.h5 = sb.h5 AS INT)
+       + CAST(sa.h6 = sb.h6 AS INT) + CAST(sa.h7 = sb.h7 AS INT))
+    / 8.0, 4) AS est_jaccard
+FROM pairs p
+JOIN sigs sa ON sa.doc_id = p.doc_a
+JOIN sigs sb ON sb.doc_id = p.doc_b
+WHERE ROUND((CAST(sa.h0 = sb.h0 AS INT) + CAST(sa.h1 = sb.h1 AS INT)
+       + CAST(sa.h2 = sb.h2 AS INT) + CAST(sa.h3 = sb.h3 AS INT)
+       + CAST(sa.h4 = sb.h4 AS INT) + CAST(sa.h5 = sb.h5 AS INT)
+       + CAST(sa.h6 = sb.h6 AS INT) + CAST(sa.h7 = sb.h7 AS INT))
+    / 8.0, 4) >= 0.5
+"""
+
+
+@q("minhash_jaccard_verify", _MINHASH_VERIFY_SQL)
+def minhash_jaccard_verify_q(spark, sf_dir):
+    """Signature-agreement Jaccard estimates over the LSH candidate
+    pairs, thresholded at 0.5 (operators/text.py
+    minhash_jaccard_verify — the false-positive filter between
+    banding and the actual drop)."""
+    from sparktiles.operators.text import minhash_jaccard_verify
+
+    return minhash_jaccard_verify(_t(spark, sf_dir, "documents"),
+                                  threshold=0.5)
+
+
+# ========================================= best-of-cluster dedup keep
+
+_KEEP_BEST_SQL = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+), idx AS (
+  SELECT doc_id, t, UNNEST(range(1, len(t) - 1)) AS i FROM toks
+), shingles AS (
+  SELECT DISTINCT doc_id,
+         t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] || ' ' || t[CAST(i AS INT) + 2] AS s
+  FROM idx
+), sigs AS (
+  SELECT doc_id,
+         MIN(md5('0' || s)) AS h0, MIN(md5('1' || s)) AS h1,
+         MIN(md5('2' || s)) AS h2, MIN(md5('3' || s)) AS h3,
+         MIN(md5('4' || s)) AS h4, MIN(md5('5' || s)) AS h5,
+         MIN(md5('6' || s)) AS h6, MIN(md5('7' || s)) AS h7
+  FROM shingles GROUP BY doc_id
+), bands AS (
+  SELECT doc_id, 0 AS band, h0 || h1 AS sig FROM sigs
+  UNION ALL SELECT doc_id, 1, h2 || h3 FROM sigs
+  UNION ALL SELECT doc_id, 2, h4 || h5 FROM sigs
+  UNION ALL SELECT doc_id, 3, h6 || h7 FROM sigs
+), buckets AS (
+  SELECT band, sig, MIN(doc_id) AS canon, COUNT(*) AS n
+  FROM bands GROUP BY band, sig
+), star AS (
+  SELECT DISTINCT b.doc_id AS a, k.canon AS b
+  FROM bands b JOIN buckets k USING (band, sig)
+  WHERE k.n > 1 AND b.doc_id <> k.canon
+), sym AS (
+  SELECT a, b FROM star UNION SELECT b, a FROM star
+), reach AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+), cc AS (
+  SELECT a AS doc_id, MIN(b) AS canonical_id FROM reach GROUP BY a
+), comp AS (
+  SELECT doc_id, LEAST(doc_id, canonical_id) AS component FROM cc
+), jq AS (
+  SELECT c.doc_id, c.component, d.n_chars AS q
+  FROM comp c JOIN documents d USING (doc_id)
+), ranked AS (
+  SELECT doc_id, component,
+    FIRST_VALUE(doc_id) OVER (
+      PARTITION BY component ORDER BY q DESC, doc_id ASC) AS keep_id
+  FROM jq
+)
+SELECT doc_id, component, keep_id, doc_id = keep_id AS is_kept
+FROM ranked
+"""
+
+
+@q("dedup_keep_best", _KEEP_BEST_SQL)
+def dedup_keep_best_q(spark, sf_dir):
+    """Quality-ranked representative per duplicate component (longest
+    doc by n_chars wins, ties on doc_id) instead of smallest-id
+    (operators/graph.py dedup_keep_best on top of the iterative
+    hash-min CC closure)."""
+    from sparktiles.operators.graph import dedup_keep_best
+
+    return dedup_keep_best(_t(spark, sf_dir, "documents"),
+                           quality_col="n_chars")
