@@ -30,7 +30,8 @@ ratios are bus starvation (see BENCH.md) rather than engine
 structure.
 
 usage: python tools/curation_scaling.py [replicas] [n_low] [n_high] [ops]
-  ops: comma list from dup_window,minhash,gopher,exactsubstr,pack
+  ops: comma list from dup_window,minhash,gopher,exactsubstr,pack,
+       ppl,verify,keepbest
        (default all). Short-leg ops need a bigger corpus to amortize
        the ~1-2 s fixed job cost — filter to them and raise replicas
        rather than reading a 2 s leg's ratio.
@@ -88,20 +89,27 @@ def corpus(spark, replicas: int):
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     rep = docs.select(
-        "doc_id", "text", F.explode(F.sequence(F.lit(0), F.lit(replicas - 1))).alias("r"))
-    return rep.select(
+        "doc_id", "text", "lang",
+        F.explode(F.sequence(F.lit(0), F.lit(replicas - 1))).alias("r"))
+    out = rep.select(
         (F.col("doc_id") + F.col("r") * 1_000_000).alias("doc_id"),
         F.when(F.col("r") % 2 == 1,
                F.concat(F.format_string("rep%d", F.col("r")), F.lit(" "), F.col("text"))
                ).otherwise(F.col("text")).alias("text"),
-    ).repartition(64)
+        "lang",  # perplexity banding partitions on it
+    )
+    # n_chars is the keep-best quality column (odd replicas are longer
+    # by their tag, so the keeper is deterministic and non-minimal-id)
+    return out.withColumn("n_chars", F.length("text")).repartition(64)
 
 
 def run_leg(cpus: int, replicas: int, ops: set[str]) -> dict:
     from sparktiles.session import get_spark
+    from sparktiles.operators.graph import dedup_keep_best
     from sparktiles.operators.text import (
         duplicate_window_fractions, exactsubstr_cut, minhash_dedup,
-        pack_sequences, repetition_signals)
+        minhash_jaccard_verify, pack_sequences, perplexity_buckets,
+        repetition_signals)
 
     spark = get_spark(f"curation-scaling-{cpus}", cpus=cpus)
     spark.sparkContext.setLogLevel("ERROR")
@@ -134,6 +142,13 @@ def run_leg(cpus: int, replicas: int, ops: set[str]) -> dict:
         "gopher": lambda: repetition_signals(docs),
         "exactsubstr": lambda: exactsubstr_cut(docs, window=5),
         "pack": lambda: pack_sequences(docs, budget=256),
+        # round-5 late additions: the perplexity band window is
+        # partitioned by lang (5 values here), so its window stage has
+        # parallelism 5 by design — the leg measures whether the
+        # LM-scoring phase (the bulk) still scales around it
+        "ppl": lambda: perplexity_buckets(docs, vocab_size=16),
+        "verify": lambda: minhash_jaccard_verify(docs, threshold=0.5),
+        "keepbest": lambda: dedup_keep_best(docs, quality_col="n_chars"),
     }
     for name, fn in legs.items():
         if name not in ops:
@@ -146,7 +161,8 @@ def run_leg(cpus: int, replicas: int, ops: set[str]) -> dict:
     return out
 
 
-ALL_OPS = ("dup_window", "minhash", "gopher", "exactsubstr", "pack")
+ALL_OPS = ("dup_window", "minhash", "gopher", "exactsubstr", "pack",
+           "ppl", "verify", "keepbest")
 
 
 def main():
