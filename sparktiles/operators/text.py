@@ -1173,14 +1173,22 @@ def perplexity_buckets(df: DataFrame, vocab_size: int = 1024,
     keeps for LM pretraining; 'tail' is the gibberish end.
 
     Scale shape: scoring inherits unigram_lm_scores' shape (sort-limit
-    vocab, broadcast model scalars, one groupBy(doc)); the banding is
-    one rank window partitioned by language. A language is one window
-    partition — the same documented tradeoff as
-    domain_temperature_resample: languages are few and the rank gives
-    exact, deterministic, cross-engine band edges (ties break on
-    doc_id). At 100 TB swap the rank window for per-language
-    percentile_approx cutoffs broadcast back (the sketch is
-    merge-combinable, one pass) at the cost of exact edges.
+    vocab, broadcast model scalars, one groupBy(doc)). The banding
+    needs an exact per-language rank, and both obvious spellings lose
+    at scale (both were 2v8-measured): a window partitioned by lang
+    caps the stage's parallelism at #languages (0.48 at 3M docs), and
+    a repartitionByRange sort fixes the ratio but its boundary-
+    sampling job RE-EXECUTES the whole LM upstream (2.1x absolute,
+    0.59). So the rank is decomposed instead: bits/token is rounded
+    to 4 dp, so the distinct (lang, score) table is bounded by value
+    granularity — a few hundred thousand rows at ANY corpus size —
+    and rank(doc) = [docs of this lang with a smaller score]
+    (a cumulative window over that tiny table, broadcast back)
+    + [tie rank by doc_id within the doc's own (lang, score) group]
+    (a window whose partition count is the distinct table — wide
+    parallelism). One corpus-wide hash exchange total, no range
+    sampling, no #langs bottleneck; a pathological every-doc-same-
+    score corpus degrades only the tie window to per-lang partitions.
 
     Returns (doc_id, lang, n_tokens, bits_per_token, ppl_bucket)."""
     from pyspark.sql.window import Window
@@ -1189,18 +1197,28 @@ def perplexity_buckets(df: DataFrame, vocab_size: int = 1024,
     langs = df.select(F.col(id_col).alias("doc_id"),
                       F.col(lang_col).alias("lang"))
     j = scored.join(langs, "doc_id")
-    w = Window.partitionBy("lang").orderBy(
-        F.col("bits_per_token").asc(), F.col("doc_id").asc())
-    wc = Window.partitionBy("lang")
-    # floor(n_buckets * (rn-1) / count): NTILE-free equal-frequency
+    cnts = j.groupBy("lang", "bits_per_token").agg(
+        F.count("*").alias("_c"))
+    w_below = (Window.partitionBy("lang").orderBy("bits_per_token")
+               .rowsBetween(Window.unboundedPreceding, -1))
+    w_tot = Window.partitionBy("lang")
+    off = cnts.select(
+        "lang", "bits_per_token",
+        F.coalesce(F.sum("_c").over(w_below), F.lit(0)).alias("_off"),
+        F.sum("_c").over(w_tot).alias("_n"))
+    w_tie = Window.partitionBy("lang", "bits_per_token").orderBy(
+        F.col("doc_id").asc())
+    r = (j.join(F.broadcast(off), ["lang", "bits_per_token"])
+         .withColumn("_rn", F.row_number().over(w_tie)))
+    # floor(n_buckets * rank0 / count): NTILE-free equal-frequency
     # band index — integer-exact in both engines (no NTILE remainder
     # ambiguity to cross-check).
-    bi = F.floor((F.lit(n_buckets) * (F.row_number().over(w) - F.lit(1)))
-                 / F.count("*").over(wc)).cast("int")
+    pos = F.col("_off") + F.col("_rn") - F.lit(1)
+    bi = F.floor((F.lit(n_buckets) * pos) / F.col("_n")).cast("int")
     label = (F.when(bi == 0, F.lit("head"))
              .when(bi == n_buckets - 1, F.lit("tail"))
              .otherwise(F.lit("middle")))
-    return j.select("doc_id", "lang", "n_tokens", "bits_per_token",
+    return r.select("doc_id", "lang", "n_tokens", "bits_per_token",
                     label.alias("ppl_bucket"))
 
 

@@ -142,10 +142,12 @@ def run_leg(cpus: int, replicas: int, ops: set[str]) -> dict:
         "gopher": lambda: repetition_signals(docs),
         "exactsubstr": lambda: exactsubstr_cut(docs, window=5),
         "pack": lambda: pack_sequences(docs, budget=256),
-        # round-5 late additions: the perplexity band window is
-        # partitioned by lang (5 values here), so its window stage has
-        # parallelism 5 by design — the leg measures whether the
-        # LM-scoring phase (the bulk) still scales around it
+        # round-5 late additions: ppl's first draft banded via a
+        # lang-partitioned window (parallelism 5, 0.48 at 3M docs); a
+        # range-sort rewrite fixed the ratio but re-executed the LM
+        # upstream in the boundary-sampling job (2.1x absolute). The
+        # leg now measures the granularity-bounded rank decomposition
+        # that replaced both.
         "ppl": lambda: perplexity_buckets(docs, vocab_size=16),
         "verify": lambda: minhash_jaccard_verify(docs, threshold=0.5),
         "keepbest": lambda: dedup_keep_best(docs, quality_col="n_chars"),
