@@ -264,6 +264,7 @@ def main():
         "pack_sequences", "domain_temperature_resample",
         "inverted_index", "ngram_count_table",
         "perplexity_buckets", "minhash_jaccard_verify", "dedup_keep_best",
+        "winnowing_fingerprints", "dsir_importance", "bpe_pair_counts",
         "raster_tile_stats", "raster_polygonize_runs",
         "raster_pyramid_stats", "raster_merge_stats",
     ]:

@@ -1270,3 +1270,157 @@ def minhash_jaccard_verify(df: DataFrame, n_hashes: int = 8,
                 .alias("est_jaccard"))
         .where(F.col("est_jaccard") >= F.lit(threshold))
     )
+
+
+# --------------------------------------------- winnowing fingerprints
+
+def winnowing_fingerprints(df: DataFrame, k: int = 8, window: int = 4,
+                           text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """True winnowing (Schleimer/Wilkerson/Aiken 2003, the MOSS
+    algorithm): hash every char k-gram, slide a window of `window`
+    consecutive hashes, and in each window select the minimum hash —
+    ties broken by the RIGHTMOST position, the property that makes
+    the selected set a function of document content alone (guaranteed
+    density 2/(window+1), every match of length >= window+k-1 shares
+    a fingerprint). Upgrades the strided-min `fingerprint` sketch to
+    the real fingerprint SET with positions, which is what plagiarism
+    / overlap detection joins on.
+
+    Engine parity: the per-window argmin-with-rightmost-tie is done
+    with one string MIN over `md5hash || lpad(10^9 - pos)` — the
+    32-hex md5 compares first, and among equal hashes the smaller
+    (2^20 - pos) wins, i.e. the largest pos. Integer-exact in any
+    engine with lpad/substr; no floats anywhere.
+
+    Scale shape: the k-gram rows never leave their input partition
+    before the per-(doc, window) MIN collapses them (doc rows are
+    partition-local, so the map-side partial aggregation is total);
+    the only exchanges are the collapsed per-window minima and the
+    final DISTINCT over selected fingerprints — both ~n/window per
+    doc, not n*window. Returns (doc_id, pos, fp); pos is the 0-based
+    k-gram start offset, fp the md5 hex of the k-gram."""
+    n = F.length(F.col(text_col)) - F.lit(k - 1)
+    g = df.where(n >= window).select(
+        F.col(id_col).alias("doc_id"), n.alias("_n"),
+        F.posexplode(F.expr(
+            f"transform(sequence(1, length({text_col}) - {k} + 1), "
+            f"i -> md5(substr({text_col}, i, {k})))")).alias("i", "h"))
+    # windows containing gram i: starts s in [max(0, i-window+1),
+    # min(i, n-window)] — both bounds guarded non-decreasing so
+    # sequence() can never count down
+    e = g.select(
+        "doc_id", "h", "i",
+        F.explode(F.sequence(
+            F.greatest(F.lit(0), F.col("i") - F.lit(window - 1)),
+            F.least(F.col("i"), F.col("_n") - F.lit(window)))).alias("s"))
+    packed = F.concat(
+        F.col("h"),
+        F.lpad((F.lit(1_000_000_000) - F.col("i")).cast("string"), 10, "0"))
+    per_window = e.groupBy("doc_id", "s").agg(F.min(packed).alias("_m"))
+    return (per_window.select(
+        "doc_id",
+        (F.lit(1_000_000_000) - F.substring("_m", 33, 10).cast("int"))
+        .alias("pos"),
+        F.substring("_m", 1, 32).alias("fp"))
+        .distinct())
+
+
+# ------------------------------------------ DSIR importance weights
+
+def dsir_logweights(df: DataFrame, target_col: str = "lang",
+                    target_value: str = "en", n_buckets: int = 256,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): featurize every
+    document as hashed n-gram (uni+bi) bucket counts, fit two bag-of-
+    buckets models — target p (docs matching the target predicate)
+    and raw q (the whole corpus) with add-one smoothing — and score
+    each document by log w = sum over its gram occurrences of
+    ln p(bucket) - ln q(bucket). High log-weight docs look like the
+    target distribution; resampling by w is the DSIR selection step
+    (the deterministic top-fraction cut composes with
+    domain_temperature_resample's md5-rank machinery).
+
+    Engine parity: bucket = md5-low-60-bits % n_buckets (the repo's
+    portable hash idiom); both LN terms are computed as the same
+    quotient expression; the per-doc sum is rounded to 4 dp.
+
+    Scale shape: gram rows are doc-local so both count groupBys are
+    map-side-combined down to <= n_buckets rows per partition; the
+    lambda table (n_buckets rows) broadcasts back; the per-doc sum is
+    ONE corpus-wide exchange (groupBy doc with partial agg). The
+    target/raw models are corpus aggregates, not samples — at 100 TB
+    the bucket tables are still n_buckets rows.
+
+    Returns (doc_id, n_feats, log_weight)."""
+    t0 = df.select(
+        F.col(id_col).alias("doc_id"),
+        (F.col(target_col) == target_value).alias("_is_t"),
+        F.filter(F.split(F.col(text_col), " "),
+                 lambda t: t != "").alias("_ts"))
+    grams = F.concat(
+        F.col("_ts"),
+        F.expr("CASE WHEN size(_ts) < 2 THEN array()::array<string> "
+               "ELSE transform(sequence(1, size(_ts) - 1), "
+               "i -> concat_ws(' ', _ts[i - 1], _ts[i])) END"))
+    base = t0.select("doc_id", "_is_t", F.explode(grams).alias("g"))
+    b = base.select(
+        "doc_id", "_is_t",
+        (F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("long")
+         % n_buckets).alias("b"))
+    cr = b.groupBy("b").agg(F.count("*").alias("cr"))
+    ct = (b.where("_is_t").groupBy("b").agg(F.count("*").alias("ct")))
+    lam_rows = (cr.join(ct, "b", "left")
+                .select("b", "cr", F.coalesce("ct", F.lit(0)).alias("ct")))
+    tots = lam_rows.agg(F.sum("cr").alias("_tr"),
+                        F.sum("ct").alias("_tt"))
+    lam = (lam_rows.crossJoin(F.broadcast(tots)).select(
+        "b",
+        (F.log((F.col("ct") + F.lit(1.0))
+               / (F.col("_tt") + F.lit(float(n_buckets))))
+         - F.log((F.col("cr") + F.lit(1.0))
+                 / (F.col("_tr") + F.lit(float(n_buckets)))))
+        .alias("_lam")))
+    return (b.join(F.broadcast(lam), "b")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_feats"),
+                 F.round(F.sum("_lam"), 4).alias("log_weight")))
+
+
+# ------------------------------------------------- BPE pair counting
+
+def bpe_pair_counts(df: DataFrame, top_k: int = 20,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """The counting step of BPE tokenizer training (Sennrich et al.
+    2016): split the corpus into whitespace words, read each word as
+    a symbol sequence (chars at iteration 0), and count adjacent
+    symbol pairs across the corpus; the trainer's merge loop picks
+    the top pair, rewrites, and recounts. This operator is that
+    count-and-rank primitive — iterating it with a rewrite rule IS
+    the trainer, and each iteration keeps this one's shape.
+
+    Scale shape: pair extraction is map-side array math; the groupBy
+    key space is the symbol-pair alphabet (bounded, tiny), so the
+    hash aggregate is map-side-combined to near-nothing and the
+    top-k is a sort-limit over a bounded table — no stage touches
+    corpus-order data after the scan.
+
+    Returns the top_k (left_sym, right_sym, cnt) by count desc, then
+    pair asc for determinism."""
+    w = df.select(
+        F.explode(F.filter(F.split(F.col(text_col), " "),
+                           lambda t: F.length(t) >= 2)).alias("w"))
+    pairs = w.select(
+        F.posexplode(F.expr(
+            "transform(sequence(1, length(w) - 1), "
+            "i -> struct(substr(w, i, 1) AS l, "
+            "substr(w, i + 1, 1) AS r))")).alias("_i", "p"))
+    return (pairs.groupBy(F.col("p.l").alias("left_sym"),
+                          F.col("p.r").alias("right_sym"))
+            .agg(F.count("*").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("left_sym").asc(),
+                     F.col("right_sym").asc())
+            .limit(top_k))

@@ -3532,3 +3532,129 @@ def dedup_keep_best_q(spark, sf_dir):
 
     return dedup_keep_best(_t(spark, sf_dir, "documents"),
                            quality_col="n_chars")
+
+
+# =============================================== winnowing (MOSS) set
+
+_WINNOW_SQL = """
+WITH h0 AS (
+  SELECT doc_id, length(text) - 7 AS n,
+         UNNEST(range(1, length(text) - 6)) AS i1, text
+  FROM documents WHERE length(text) - 7 >= 4
+), g AS (
+  SELECT doc_id, n, CAST(i1 - 1 AS BIGINT) AS i,
+         md5(substr(text, CAST(i1 AS INT), 8)) AS h
+  FROM h0
+), e AS (
+  SELECT doc_id, h, i,
+         UNNEST(range(GREATEST(0, i - 3), LEAST(i, n - 4) + 1)) AS s
+  FROM g
+), m AS (
+  SELECT doc_id, s,
+         MIN(h || lpad(CAST(1000000000 - i AS VARCHAR), 10, '0')) AS m
+  FROM e GROUP BY doc_id, s
+)
+SELECT DISTINCT doc_id,
+       CAST(1000000000 - CAST(substr(m, 33, 10) AS BIGINT) AS INT) AS pos,
+       substr(m, 1, 32) AS fp
+FROM m
+"""
+
+
+@q("winnowing_fingerprints", _WINNOW_SQL)
+def winnowing_fingerprints_q(spark, sf_dir):
+    """True winnowing fingerprint sets (Schleimer et al. 2003 — the
+    MOSS scheme; operators/text.py winnowing_fingerprints): per-window
+    min k-gram hash with rightmost-position tie-break, k=8 window=4,
+    selected (pos, fp) pairs deduplicated per document."""
+    from sparktiles.operators.text import winnowing_fingerprints
+
+    return winnowing_fingerprints(_t(spark, sf_dir, "documents"),
+                                  k=8, window=4)
+
+
+# ============================================ DSIR importance weights
+
+_DSIR_SQL = """
+WITH t0 AS (
+  SELECT doc_id, lang = 'en' AS is_t,
+         list_filter(string_split(text, ' '), t -> t <> '') AS ts
+  FROM documents
+), uni AS (
+  SELECT doc_id, is_t, UNNEST(ts) AS g FROM t0
+), bi AS (
+  SELECT doc_id, is_t,
+         UNNEST(CASE WHEN len(ts) < 2 THEN []::VARCHAR[] ELSE
+           list_transform(range(1, len(ts)),
+             i -> ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT) + 1])
+           END) AS g
+  FROM t0
+), ga AS (
+  SELECT * FROM uni UNION ALL SELECT * FROM bi
+), gb AS (
+  SELECT doc_id, is_t,
+         ('0x' || substr(md5(g), 1, 15))::BIGINT % 256 AS b
+  FROM ga
+), cr AS (
+  SELECT b, COUNT(*) AS cr FROM gb GROUP BY b
+), ctt AS (
+  SELECT b, COUNT(*) AS ct FROM gb WHERE is_t GROUP BY b
+), lr AS (
+  SELECT cr.b, cr.cr, COALESCE(ctt.ct, 0) AS ct
+  FROM cr LEFT JOIN ctt USING (b)
+), tt AS (
+  SELECT SUM(cr) AS tr, SUM(ct) AS tsum FROM lr
+), lam AS (
+  SELECT b, LN((ct + 1.0) / (tt.tsum + 256.0))
+            - LN((cr + 1.0) / (tt.tr + 256.0)) AS lam
+  FROM lr, tt
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+       ROUND(SUM(lam), 4) AS log_weight
+FROM gb JOIN lam USING (b) GROUP BY doc_id
+"""
+
+
+@q("dsir_importance", _DSIR_SQL)
+def dsir_importance_q(spark, sf_dir):
+    """DSIR hashed-ngram importance weights (Xie et al. 2023;
+    operators/text.py dsir_logweights): uni+bi grams into 256 md5
+    buckets, add-one-smoothed target (lang='en') vs raw bucket
+    models, per-doc sum of log-likelihood ratios."""
+    from sparktiles.operators.text import dsir_logweights
+
+    return dsir_logweights(_t(spark, sf_dir, "documents"),
+                           target_col="lang", target_value="en",
+                           n_buckets=256)
+
+
+# ================================================== BPE pair counting
+
+_BPE_SQL = """
+WITH w AS (
+  SELECT UNNEST(list_filter(string_split(text, ' '),
+                            t -> len(t) >= 2)) AS w
+  FROM documents
+), wi AS (
+  SELECT w, UNNEST(range(1, len(w))) AS i FROM w
+), p AS (
+  SELECT substr(w, CAST(i AS INT), 1) AS left_sym,
+         substr(w, CAST(i AS INT) + 1, 1) AS right_sym
+  FROM wi
+)
+SELECT left_sym, right_sym, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM p GROUP BY 1, 2
+ORDER BY cnt DESC, left_sym ASC, right_sym ASC
+LIMIT 20
+"""
+
+
+@q("bpe_pair_counts", _BPE_SQL)
+def bpe_pair_counts_q(spark, sf_dir):
+    """The BPE trainer's count-and-rank primitive (Sennrich et al.
+    2016; operators/text.py bpe_pair_counts): adjacent char-pair
+    counts over whitespace words, top-20 by count with full ordering
+    for determinism."""
+    from sparktiles.operators.text import bpe_pair_counts
+
+    return bpe_pair_counts(_t(spark, sf_dir, "documents"), top_k=20)

@@ -107,9 +107,10 @@ def run_leg(cpus: int, replicas: int, ops: set[str]) -> dict:
     from sparktiles.session import get_spark
     from sparktiles.operators.graph import dedup_keep_best
     from sparktiles.operators.text import (
-        duplicate_window_fractions, exactsubstr_cut, minhash_dedup,
-        minhash_jaccard_verify, pack_sequences, perplexity_buckets,
-        repetition_signals)
+        bpe_pair_counts, dsir_logweights, duplicate_window_fractions,
+        exactsubstr_cut, minhash_dedup, minhash_jaccard_verify,
+        pack_sequences, perplexity_buckets, repetition_signals,
+        winnowing_fingerprints)
 
     spark = get_spark(f"curation-scaling-{cpus}", cpus=cpus)
     spark.sparkContext.setLogLevel("ERROR")
@@ -151,6 +152,12 @@ def run_leg(cpus: int, replicas: int, ops: set[str]) -> dict:
         "ppl": lambda: perplexity_buckets(docs, vocab_size=16),
         "verify": lambda: minhash_jaccard_verify(docs, threshold=0.5),
         "keepbest": lambda: dedup_keep_best(docs, quality_col="n_chars"),
+        # session-11 additions — all three are map-dominant shapes
+        # (doc-local partial aggs / bounded key spaces), so they probe
+        # the same bus-vs-structure question as gopher
+        "winnow": lambda: winnowing_fingerprints(docs, k=8, window=4),
+        "dsir": lambda: dsir_logweights(docs),
+        "bpe": lambda: bpe_pair_counts(docs, top_k=20),
     }
     for name, fn in legs.items():
         if name not in ops:
@@ -164,7 +171,7 @@ def run_leg(cpus: int, replicas: int, ops: set[str]) -> dict:
 
 
 ALL_OPS = ("dup_window", "minhash", "gopher", "exactsubstr", "pack",
-           "ppl", "verify", "keepbest")
+           "ppl", "verify", "keepbest", "winnow", "dsir", "bpe")
 
 
 def main():
