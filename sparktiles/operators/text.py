@@ -377,6 +377,20 @@ def repetition_signals(df: DataFrame, text_col: str = "text",
     the longest run (one O(n) aggregate() pass). All JVM higher-order
     functions, O(n log n) per doc, zero exchanges; 100k-token docs
     cost n log n, not n^2. Short docs keep zero fractions.
+
+    Optimizer hardening: the sorted hash array is bound as a
+    HIGHER-ORDER LAMBDA VARIABLE (`transform(array(sorted), s ->
+    struct(<all signals>))[0]`), never as a plain projected column.
+    A projected `_s` referenced inside the filter()/aggregate()
+    lambdas looks harmless, but predicate pushdown substitutes the
+    column's defining expression into EVERY reference when the gate
+    (`where(~repetitive)`) crosses the projection — including the
+    per-element lambda references — turning the per-doc cost into
+    O(n) re-evaluations of the full tokenize+hash+sort chain (an
+    80x measured slowdown in join/filter contexts, invisible in a
+    bare noop sink because CollapseProject's multi-reference guard
+    keeps the column materialized there). No rewrite rule inlines
+    through a lambda binding, so this shape is safe in ANY context.
     """
     toks = F.split(F.col(text_col), " ")
     base = df.select(F.col(id_col).alias("doc_id"), toks.alias("_ts"))
@@ -384,41 +398,47 @@ def repetition_signals(df: DataFrame, text_col: str = "text",
     def add_stats(frame: DataFrame, n: int, prefix: str) -> DataFrame:
         # element_at is 1-based; CASE guards keep every element_at
         # in-bounds under ANSI (sequence(1, 0) would count DOWN, and
-        # i=2 must not touch _s[0])
+        # i=2 must not touch s[0])
         parts = ", ".join(f"element_at(_ts, i + {j})" for j in range(n))
         hashes = (
             f"CASE WHEN size(_ts) < {n} THEN array()::array<bigint> "
             f"ELSE transform(sequence(1, size(_ts) - {n - 1}), "
             f"i -> xxhash64(concat_ws(' ', {parts}))) END")
-        frame = frame.withColumn("_s", F.expr(f"array_sort({hashes})"))
-        ng = F.size("_s")
-        pairs = F.expr(
-            "size(filter(sequence(2, size(_s)), i -> "
-            "element_at(_s, i) = element_at(_s, i - 1)))")
-        runs2 = F.expr(
-            "size(filter(sequence(2, size(_s)), i -> "
-            "element_at(_s, i) = element_at(_s, i - 1) AND "
-            "(CASE WHEN i = 2 THEN true "
-            "ELSE element_at(_s, i - 1) != element_at(_s, i - 2) END)))")
-        top_run = F.expr(
-            "aggregate(sequence(2, size(_s)), "
+        pairs = ("size(filter(sequence(2, size(s)), i -> "
+                 "element_at(s, i) = element_at(s, i - 1)))")
+        runs2 = ("size(filter(sequence(2, size(s)), i -> "
+                 "element_at(s, i) = element_at(s, i - 1) AND "
+                 "(CASE WHEN i = 2 THEN true "
+                 "ELSE element_at(s, i - 1) != element_at(s, i - 2) END)))")
+        top_run = (
+            "aggregate(sequence(2, size(s)), "
             "struct(1 AS cur, 1 AS best), "
-            "(st, i) -> CASE WHEN element_at(_s, i) = element_at(_s, i - 1)"
+            "(st, i) -> CASE WHEN element_at(s, i) = element_at(s, i - 1)"
             " THEN struct(st.cur + 1 AS cur,"
             " greatest(st.best, st.cur + 1) AS best)"
             " ELSE struct(1 AS cur, st.best AS best) END, "
             "st -> st.best)")
-        dup_cnt = F.when(ng < 2, F.lit(0)).otherwise(pairs + runs2)
-        top_cnt = (F.when(ng == 0, F.lit(0)).when(ng == 1, F.lit(1))
-                   .otherwise(top_run))
+        # the lambda yields the FINAL per-order outputs (count + both
+        # fractions), so every downstream column touches the struct
+        # exactly once — a pushed-down predicate costs one chain eval
+        # per n-gram order, the same as the bare projection
+        sig = F.expr(
+            f"transform(array(array_sort({hashes})), s -> struct("
+            f"size(s) AS ng, "
+            f"CASE WHEN size(s) < 2 THEN 0.0D "
+            f"ELSE CAST({pairs} + {runs2} AS DOUBLE) / size(s) END"
+            f" AS dup_frac, "
+            f"CASE WHEN size(s) = 0 THEN 0.0D WHEN size(s) = 1 THEN 1.0D "
+            f"ELSE CAST({top_run} AS DOUBLE) / size(s) END"
+            f" AS top_frac))[0]")
+        frame = frame.withColumn(f"_sig_{prefix}", sig)
         return (
             frame
-            .withColumn(f"n_{prefix}", ng.cast("bigint"))
-            .withColumn(f"_top_{prefix}", F.when(ng == 0, F.lit(0.0))
-                        .otherwise(top_cnt.cast("double") / ng))
-            .withColumn(f"_dup_{prefix}", F.when(ng == 0, F.lit(0.0))
-                        .otherwise(dup_cnt.cast("double") / ng))
-            .drop("_s"))
+            .withColumn(f"n_{prefix}",
+                        F.col(f"_sig_{prefix}.ng").cast("bigint"))
+            .withColumn(f"_top_{prefix}", F.col(f"_sig_{prefix}.top_frac"))
+            .withColumn(f"_dup_{prefix}", F.col(f"_sig_{prefix}.dup_frac"))
+            .drop(f"_sig_{prefix}"))
 
     out = add_stats(add_stats(base, 2, "2grams"), 3, "3grams")
     top2 = F.round(F.coalesce("_top_2grams", F.lit(0.0)), 4)

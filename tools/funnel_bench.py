@@ -15,10 +15,13 @@ Stages
 2. exact_dedup      md5 content dedup
 3. minhash_cc       MinHash-LSH + connected-components closure
 4. span_cut         ExactSubstr duplicate-span removal (doc rebuild)
-5. quality_gate     Gopher repetition gate + unigram-LM band
+5. quality_gate     Gopher repetition gate + CCNet per-lang ppl band
+                    (head/middle kept, tail cut)
 6. decontaminate    benchmark 5-gram decontamination
-7. sample           stratified per-lang quota
-8. pack_1024        concat-and-chunk packing at a 1024-token budget
+7. dsir_select      DSIR importance cut toward the head-band gram
+                    profile (log_weight > 0)
+8. sample           stratified per-lang quota
+9. pack_1024        concat-and-chunk packing at a 1024-token budget
 
 usage: python tools/funnel_bench.py [replicas] [cpus]
 writes BENCH_CURATION_FUNNEL.json
@@ -47,12 +50,13 @@ def main():
     from sparktiles.operators.text import (
         dedup_url_canonical,
         decontaminate,
+        dsir_logweights,
         exact_dedup,
         exactsubstr_cut,
         pack_sequences,
+        perplexity_buckets,
         repetition_signals,
         stratified_sample,
-        unigram_lm_scores,
     )
 
     spark = get_spark("funnel-bench", cpus=cpus)
@@ -91,6 +95,13 @@ def main():
     def stage(name, n_in, fn):
         t0 = time.time()
         out_df, n_out = fn()
+        # stage boundary = a table write in a real pipeline. Truncate
+        # the logical plan here (reads back the just-counted cache):
+        # self-referencing downstream stages (dsir fits two bucket
+        # models on the same frame, ppl joins scores back to langs)
+        # otherwise replicate the WHOLE upstream funnel lineage per
+        # reference and the plan string alone OOMs the driver.
+        out_df = out_df.localCheckpoint()
         dt = round(time.time() - t0, 2)
         stages.append({"stage": name, "in_docs": n_in, "out_docs": n_out,
                        "wall_s": dt, "docs_per_s": round(n_in / dt, 1)})
@@ -134,13 +145,17 @@ def main():
         return out, out.count()
     cur, n = stage("span_cut", n, s_spancut)
 
-    # 5. quality gates: Gopher repetition + LM bits/token band
+    # 5. quality gates: Gopher repetition + the CCNet per-language
+    # perplexity band (equal-frequency head/middle/tail on self-trained
+    # LM bits/token; tail = the gibberish end, cut). Adaptive per
+    # language, unlike a fixed bits threshold.
     def s_quality():
         gate = repetition_signals(cur).where(~F.col("repetitive")) \
             .select("doc_id")
-        lm = unigram_lm_scores(cur, vocab_size=1024)
-        lm_ok = lm.where(F.col("bits_per_token") <= 8.0).select("doc_id")
-        out = cur.join(gate, "doc_id").join(lm_ok, "doc_id").cache()
+        bands = perplexity_buckets(cur, vocab_size=1024, n_buckets=3)
+        keep = bands.where(F.col("ppl_bucket") != "tail") \
+            .select("doc_id", "ppl_bucket")
+        out = cur.join(gate, "doc_id").join(keep, "doc_id").cache()
         return out, out.count()
     cur, n = stage("quality_gate", n, s_quality)
 
@@ -153,7 +168,19 @@ def main():
         return out, out.count()
     cur, n = stage("decontaminate", n, s_decontam)
 
-    # 7. stratified per-lang quota sample (rejoin text for the packer)
+    # 7. DSIR importance selection toward the head-band gram profile:
+    # fit target (ppl_bucket = head survivors) vs raw bucket models on
+    # the corpus itself and keep docs whose hashed-gram profile looks
+    # MORE like the head band than like the average (log_weight > 0)
+    def s_dsir():
+        w = dsir_logweights(cur, target_col="ppl_bucket",
+                            target_value="head")
+        keep = w.where(F.col("log_weight") > 0).select("doc_id")
+        out = cur.join(keep, "doc_id").cache()
+        return out, out.count()
+    cur, n = stage("dsir_select", n, s_dsir)
+
+    # 8. stratified per-lang quota sample (rejoin text for the packer)
     pre_sample = cur
 
     def s_sample():
@@ -162,7 +189,7 @@ def main():
         return out, out.count()
     cur, n = stage("sample", n, s_sample)
 
-    # 8. concat-and-chunk packing at a 1024-token training budget —
+    # 9. concat-and-chunk packing at a 1024-token training budget —
     # the survivors leave as fixed-budget sequences; out_docs is the
     # doc rows annotated, packed_chunks the sequences produced
     def s_pack():
