@@ -989,23 +989,32 @@ def exactsubstr_cut(df: DataFrame, text_col: str = "text",
     starts = (w.join(dup, "h")
               .groupBy("doc_id")
               .agg(F.sort_array(F.collect_set("pos")).alias("_starts")))
+    # ts and cov are bound as higher-order lambda variables (see the
+    # repetition_signals hardening note): a consumer predicate pushed
+    # across this projection (e.g. `where(kept_text != '')` or the
+    # funnel's min-length gate) then costs ONE evaluation of the
+    # covered-set chain, never a per-element re-expansion of it
+    # inside the position filter.
+    out = F.expr(
+        f"transform(array(_ts), ts -> transform(array("
+        f"array_distinct(flatten(transform(_starts, "
+        f"st -> sequence(st, st + {window - 1}))))), cov -> struct("
+        f"size(ts) AS n_tokens, "
+        f"size(cov) AS n_removed, "
+        f"concat_ws(' ', transform(filter(sequence(1, size(ts)), "
+        f"p -> NOT array_contains(cov, p)), "
+        f"p -> element_at(ts, p))) AS kept_text))[0])[0]")
     rebuilt = (
         base.join(starts, "doc_id", "left")
         .withColumn("_starts", F.coalesce(
             "_starts", F.expr("array()::array<int>")))
-        .withColumn("_covered", F.expr(
-            f"array_distinct(flatten(transform(_starts, "
-            f"st -> sequence(st, st + {window - 1}))))"))
-        .withColumn("_keep", F.expr(
-            "filter(sequence(1, size(_ts)), "
-            "p -> NOT array_contains(_covered, p))"))
+        .withColumn("_out", out)
     )
     return rebuilt.select(
         "doc_id",
-        F.size("_ts").alias("n_tokens"),
-        F.size("_covered").alias("n_removed"),
-        F.expr("concat_ws(' ', transform(_keep, p -> element_at(_ts, p)))")
-        .alias("kept_text"),
+        F.col("_out.n_tokens").alias("n_tokens"),
+        F.col("_out.n_removed").alias("n_removed"),
+        F.col("_out.kept_text").alias("kept_text"),
     )
 
 
