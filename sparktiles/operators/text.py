@@ -863,35 +863,49 @@ def unigram_lm_scores(df: DataFrame, vocab_size: int = 1024,
     quality partitioning, self-contained.
 
     Scale shape: the type-frequency table is the only wide exchange
-    (map-side combined); the top-V model comes from a distributed
-    sort-limit (never a single-partition window); model + tail scalars
-    broadcast; scoring is a broadcast join + one groupBy(doc).
-    Returns (doc_id, n_tokens, bits_per_token)."""
+    (map-side combined), computed ONCE — the first version derived the
+    vocab broadcast, the total/ntypes scalars and the vocab-mass
+    scalars as three independent lazy subtrees, so one scoring run
+    re-tokenized the corpus ~4x through serialized broadcast-build
+    jobs (the ppl 2v8 stage decomposition measured that increment at
+    0.45 scaling, BENCH_PPL_STAGEDECOMP.json). Now cf is persisted,
+    the model (<= vocab_size rows) and its scalars are collected
+    driver-side in two tiny jobs — the same bounded-aggregate-collect
+    pattern as the IVF centroids — and the scoring pass references
+    nothing but the token stream and a literal-backed broadcast:
+    exactly two corpus scans total, no crossJoins, no repeated
+    sort-limit. Returns (doc_id, n_tokens, bits_per_token)."""
+    spark = df.sparkSession
     toks = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.col(text_col), " ")).alias("tok"),
     ).where(F.col("tok") != "")
-    cf = toks.groupBy("tok").agg(F.count("*").alias("cf"))
-    vocab = cf.orderBy(F.col("cf").desc(), F.col("tok").asc()) \
-        .limit(vocab_size)
-    stats = (
-        cf.agg(F.sum("cf").alias("_total"),
-               F.count("*").alias("_ntypes"))
-        .crossJoin(vocab.agg(F.sum("cf").alias("_vmass"),
-                             F.count("*").alias("_nvocab")))
-    )
+    cf = toks.groupBy("tok").agg(F.count("*").alias("cf")).persist()
+    try:
+        vocab_rows = (cf.orderBy(F.col("cf").desc(), F.col("tok").asc())
+                      .limit(vocab_size).collect())
+        tot_row = cf.agg(F.sum("cf").alias("t"),
+                         F.count("*").alias("n")).first()
+    finally:
+        cf.unpersist(blocking=False)
+    total, ntypes = int(tot_row["t"] or 0), int(tot_row["n"])
+    vmass = sum(int(r["cf"]) for r in vocab_rows)
+    nvocab = len(vocab_rows)
+    # identical arithmetic ORDER to the JVM expression it replaces:
+    # ((t - v) as double) / t / (n - k) — IEEE-reproducible
+    tail_p = (float(total - vmass) / total / (ntypes - nvocab)
+              if ntypes > nvocab else 1.0)
+    vocab_df = spark.createDataFrame(
+        [(r["tok"], int(r["cf"])) for r in vocab_rows] or
+        [("", 0)], "tok string, cf long").where(F.col("cf") > 0)
     scored = (
-        toks.join(F.broadcast(vocab), "tok", "left")
-        .crossJoin(F.broadcast(stats))
+        toks.join(F.broadcast(vocab_df), "tok", "left")
         .withColumn(
             "_p",
             F.when(
                 F.col("cf").isNotNull(),
-                F.col("cf").cast("double") / F.col("_total"))
-            .otherwise(
-                (F.col("_total") - F.col("_vmass")).cast("double")
-                / F.col("_total")
-                / (F.col("_ntypes") - F.col("_nvocab"))))
+                F.col("cf").cast("double") / F.lit(total).cast("long"))
+            .otherwise(F.lit(tail_p)))
     )
     return scored.groupBy("doc_id").agg(
         F.count("*").alias("n_tokens"),
