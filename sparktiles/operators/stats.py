@@ -174,3 +174,42 @@ def tile_contents(tiles: DataFrame, attr: str = "name") -> DataFrame:
 def find_duplicate_ids(df: DataFrame, id_col: str) -> DataFrame:
     """O7: ids appearing more than once (validation, utils.py:197-200)."""
     return df.groupBy(id_col).agg(F.count("*").alias("cnt")).where(F.col("cnt") > 1)
+
+
+def exact_group_quantiles(df: DataFrame, group_col: str, value_col: str,
+                          qs: list[float]) -> DataFrame:
+    """EXACT per-group quantiles at corpus scale, without the classic
+    single-partition sort: quantile_disc semantics (the value at rank
+    max(1, ceil(q*n)) in the group's sorted order — verified against
+    DuckDB's quantile_disc, which serves as the independent oracle).
+
+    Shape (the same granularity-bounded rank decomposition as
+    perplexity_buckets' banding, generalized): a quantile needs only
+    the per-(group, value) COUNT table, never a per-row rank — one
+    map-side-combined groupBy bounds the shuffle by distinct
+    (group, value) pairs at ANY corpus size, a cumulative window runs
+    over that tiny table (partitioned by group, so many groups
+    parallelize; one group's partition is bounded by its value
+    granularity, not its row count), and the <=len(qs)-row quantile
+    table cross-broadcasts onto it. Contrast percentile_approx: this
+    is exact, deterministic, and cheaper when values are granular
+    (ints, rounded floats) — the common case for curation signals.
+
+    Returns (grp, q, value), one row per group per requested q."""
+    spark = df.sparkSession
+    cnts = (df.groupBy(F.col(group_col).alias("grp"),
+                       F.col(value_col).alias("value"))
+            .agg(F.count("*").alias("_c")))
+    w_cum = (Window.partitionBy("grp").orderBy("value")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    w_all = Window.partitionBy("grp")
+    t = cnts.select(
+        "grp", "value", "_c",
+        F.sum("_c").over(w_cum).alias("_cum"),
+        F.sum("_c").over(w_all).alias("_n"))
+    qdf = spark.createDataFrame([(float(q),) for q in qs], "q double")
+    r = F.greatest(F.lit(1).cast("bigint"),
+                   F.ceil(F.col("q") * F.col("_n")))
+    return (t.crossJoin(F.broadcast(qdf))
+            .where((F.col("_cum") - F.col("_c") < r) & (r <= F.col("_cum")))
+            .select("grp", "q", "value"))

@@ -3658,3 +3658,35 @@ def bpe_pair_counts_q(spark, sf_dir):
     from sparktiles.operators.text import bpe_pair_counts
 
     return bpe_pair_counts(_t(spark, sf_dir, "documents"), top_k=20)
+
+
+# ============================================= exact group quantiles
+
+_QUANTILES_SQL = """
+SELECT lang AS grp, CAST(0.25 AS DOUBLE) AS q,
+       quantile_disc(n_chars, 0.25) AS value
+FROM documents GROUP BY lang
+UNION ALL
+SELECT lang, CAST(0.5 AS DOUBLE), quantile_disc(n_chars, 0.5)
+FROM documents GROUP BY lang
+UNION ALL
+SELECT lang, CAST(0.75 AS DOUBLE), quantile_disc(n_chars, 0.75)
+FROM documents GROUP BY lang
+UNION ALL
+SELECT lang, CAST(0.9 AS DOUBLE), quantile_disc(n_chars, 0.9)
+FROM documents GROUP BY lang
+"""
+
+
+@q("exact_group_quantiles", _QUANTILES_SQL)
+def exact_group_quantiles_q(spark, sf_dir):
+    """Exact per-language quantiles of document length via the
+    granularity-bounded rank decomposition (operators/stats.py
+    exact_group_quantiles) — checked against DuckDB's own
+    quantile_disc, an INDEPENDENT implementation of the same
+    semantics rather than a mirrored query."""
+    from sparktiles.operators.stats import exact_group_quantiles
+
+    return exact_group_quantiles(_t(spark, sf_dir, "documents"),
+                                 "lang", "n_chars",
+                                 [0.25, 0.5, 0.75, 0.9])
