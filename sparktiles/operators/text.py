@@ -1467,3 +1467,39 @@ def bpe_pair_counts(df: DataFrame, top_k: int = 20,
             .orderBy(F.col("cnt").desc(), F.col("left_sym").asc(),
                      F.col("right_sym").asc())
             .limit(top_k))
+
+
+def winnowing_overlap_pairs(df: DataFrame, k: int = 8, window: int = 4,
+                            min_shared: int = 2, max_df: int = 16,
+                            text_col: str = "text",
+                            id_col: str = "doc_id") -> DataFrame:
+    """The MOSS overlap join winnowing exists for: document pairs
+    sharing at least `min_shared` distinct selected fingerprints,
+    i.e. pairs containing a common passage of length >= window+k-1
+    per shared fingerprint. This is the cross-document plagiarism /
+    near-identical-passage detector that complements MinHash (whole-
+    document similarity) and ExactSubstr (span removal).
+
+    Scale shape: the per-doc fingerprint sets come from
+    winnowing_fingerprints (map-side-collapsed); boilerplate
+    fingerprints appearing in more than `max_df` documents are cut
+    BEFORE the self-join (the same Zipf-head guard as
+    inverted_index's max_df — the over-limit set is tiny and
+    broadcasts as an anti-join), so the fp self-join's fan-out is
+    bounded by max_df^2 per fingerprint — never a hot key. The pair
+    aggregation is map-side-combined on (doc_a, doc_b).
+
+    Returns (doc_a, doc_b, shared_fps), doc_a < doc_b."""
+    fps = (winnowing_fingerprints(df, k=k, window=window,
+                                  text_col=text_col, id_col=id_col)
+           .select("doc_id", "fp").distinct())
+    hot = (fps.groupBy("fp").agg(F.count("*").alias("_df"))
+           .where(F.col("_df") > max_df).select("fp"))
+    cold = fps.join(F.broadcast(hot), "fp", "left_anti")
+    a = cold.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = cold.select(F.col("doc_id").alias("doc_b"), "fp")
+    return (a.join(b, "fp")
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("shared_fps"))
+            .where(F.col("shared_fps") >= min_shared))

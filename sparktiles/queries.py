@@ -3690,3 +3690,52 @@ def exact_group_quantiles_q(spark, sf_dir):
     return exact_group_quantiles(_t(spark, sf_dir, "documents"),
                                  "lang", "n_chars",
                                  [0.25, 0.5, 0.75, 0.9])
+
+
+# ============================================ winnowing overlap pairs
+
+_WINNOW_PAIRS_SQL = """
+WITH h0 AS (
+  SELECT doc_id, length(text) - 7 AS n,
+         UNNEST(range(1, length(text) - 6)) AS i1, text
+  FROM documents WHERE length(text) - 7 >= 4
+), g AS (
+  SELECT doc_id, n, CAST(i1 - 1 AS BIGINT) AS i,
+         md5(substr(text, CAST(i1 AS INT), 8)) AS h
+  FROM h0
+), e AS (
+  SELECT doc_id, h, i,
+         UNNEST(range(GREATEST(0, i - 3), LEAST(i, n - 4) + 1)) AS s
+  FROM g
+), m AS (
+  SELECT doc_id, s,
+         MIN(h || lpad(CAST(1000000000 - i AS VARCHAR), 10, '0')) AS m
+  FROM e GROUP BY doc_id, s
+), fps AS (
+  SELECT DISTINCT doc_id, substr(m, 1, 32) AS fp FROM m
+), hot AS (
+  SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) > 16
+), cold AS (
+  SELECT doc_id, fp FROM fps
+  WHERE fp NOT IN (SELECT fp FROM hot)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(COUNT(*) AS BIGINT) AS shared_fps
+FROM cold a JOIN cold b USING (fp)
+WHERE a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING COUNT(*) >= 2
+"""
+
+
+@q("winnowing_overlap_pairs", _WINNOW_PAIRS_SQL)
+def winnowing_overlap_pairs_q(spark, sf_dir):
+    """The MOSS overlap join (operators/text.py
+    winnowing_overlap_pairs): doc pairs sharing >= 2 distinct
+    winnowing fingerprints after the max_df=16 boilerplate cut —
+    each shared fingerprint certifies a common passage of length
+    >= window+k-1 chars."""
+    from sparktiles.operators.text import winnowing_overlap_pairs
+
+    return winnowing_overlap_pairs(_t(spark, sf_dir, "documents"),
+                                   k=8, window=4, min_shared=2,
+                                   max_df=16)

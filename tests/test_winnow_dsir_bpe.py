@@ -142,3 +142,30 @@ def test_bpe_pair_counts_match_python(spark, docs):
            .orderBy(F.col("cnt").desc(), "left_sym", "right_sym")
            .collect()]
     assert got == top
+
+
+def test_winnowing_overlap_detects_planted_clone(spark):
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the quiet forest before dawn")
+    rows = [(1, base), (2, base + " with a changed tail here"),
+            (3, "completely different content about spark shuffles "
+                "and partitions and broadcast joins at scale")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.doc_a, r.doc_b): r.shared_fps
+           for r in T.winnowing_overlap_pairs(
+               d, k=8, window=4, min_shared=2, max_df=16).collect()}
+    assert (1, 2) in got and got[(1, 2)] >= 2   # clone pair found
+    assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_winnowing_overlap_hot_fp_cut(spark):
+    # 20 docs all sharing one identical sentence: every fingerprint of
+    # that sentence has df=20 > max_df=16, so the cut removes them and
+    # NO pair survives — the boilerplate guard working as intended
+    rows = [(i, f"unique{i}x prefix words " +
+             "shared boilerplate sentence appearing everywhere")
+            for i in range(20)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = T.winnowing_overlap_pairs(d, k=8, window=4,
+                                    min_shared=2, max_df=16)
+    assert out.count() == 0
