@@ -1503,3 +1503,126 @@ def winnowing_overlap_pairs(df: DataFrame, k: int = 8, window: int = 4,
             .groupBy("doc_a", "doc_b")
             .agg(F.count("*").alias("shared_fps"))
             .where(F.col("shared_fps") >= min_shared))
+
+
+def kn_bigram_scores(df: DataFrame, vocab_size: int = 1024,
+                     discount: float = 0.75,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM quality scores — the honest
+    distributed version of CCNet's KenLM perplexity filter (CCNet
+    trains a smoothed n-gram model and buckets documents by ppl;
+    `unigram_lm_scores` is the order-1 proxy, this is order 2 with
+    the real KN smoothing math: Kneser/Ney 1995, Chen & Goodman 1999
+    eq. 4.26, interpolated form, one fixed discount).
+
+    Self-trained like the unigram op: the corpus is both the training
+    and the scoring set, so every scored bigram was seen and all
+    probabilities are well-defined without further backoff. Tokens
+    outside the top `vocab_size` types (by corpus frequency, ties on
+    token — deterministic) collapse to an UNK symbol first, exactly
+    the fixed-vocab treatment KenLM applies, which also bounds the
+    bigram model at (V+2)^2 rows worst case (far fewer in practice) —
+    small enough to broadcast. Each document is scored as
+    bits/token = -mean(log2 P(w|v)) over its tokens, with a
+    begin-of-sentence sentinel conditioning the first token:
+
+        P(w|v) = max(c(v,w) - d, 0)/c(v) + d*N1+(v,.)/c(v) * Pcont(w)
+        Pcont(w) = N1+(.,w) / |distinct bigrams|
+
+    Scale shape: exactly three corpus scans, all map-side until their
+    one combined groupBy — (A) the type-frequency pass that picks the
+    vocab (sort-limit, same as unigram_lm_scores), (B) the bigram
+    count pass, (C) the scoring pass. Bigram pairs are built per row
+    with zip_with over the filtered token array (no shuffle, no
+    window-over-doc exchange); the UNK mapping is two broadcast
+    left-joins against the <=vocab_size-row vocab, applied AFTER the
+    explode so the per-element work stays codegen explode + hash
+    probe rather than an interpreted per-token HOF membership test
+    (the session-12b lesson: interpreted lambdas lose to codegen
+    streams). The KN model (c_vw + history stats + continuation
+    counts in one frame) is a broadcast; scoring is one probe + one
+    map-side-combined groupBy(doc). No Python UDFs anywhere.
+
+    Sentinels are chr(2) (BOS) and chr(1) (UNK); corpus text is
+    assumed control-character-free (the reference's extracted text
+    is). Returns (doc_id, n_tokens, bits_per_token) rounded to 4 dp.
+    """
+    bos, unk = "\x02", "\x01"
+    arr = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+
+    # -- scan A: vocab by corpus frequency (sort-limit, bounded rows;
+    # localCheckpoint because FOUR lazy references follow — the two
+    # broadcast probes in each of scans B and C would otherwise each
+    # re-derive the sort-limit from a fresh corpus scan)
+    toks = df.select(F.explode(arr).alias("tok"))
+    vocab_df = (toks.groupBy("tok").agg(F.count("*").alias("cf"))
+                .orderBy(F.col("cf").desc(), F.col("tok").asc())
+                .limit(vocab_size).select("tok").localCheckpoint())
+
+    def bigram_stream(frame):
+        """(doc_id, v, w) per token — built map-side, UNK-mapped via
+        two broadcast probes. Each token of a doc is predicted once;
+        the first is conditioned on BOS."""
+        n = F.size(F.col("_a"))
+        av = F.concat(F.array(F.lit(bos)), F.col("_a"))
+        pairs = F.zip_with(
+            F.slice(av, 1, n), F.slice(av, 2, n),
+            lambda x, y: F.struct(x.alias("v_raw"), y.alias("w_raw")))
+        big = (frame
+               .select(F.col(id_col).alias("doc_id"), arr.alias("_a"))
+               .where(F.size("_a") > 0)
+               .select("doc_id", F.explode(pairs).alias("_p"))
+               .select("doc_id", F.col("_p.v_raw").alias("v_raw"),
+                       F.col("_p.w_raw").alias("w_raw")))
+        vv = vocab_df.select(F.col("tok").alias("v_raw"),
+                             F.lit(True).alias("_inv"))
+        vw = vocab_df.select(F.col("tok").alias("w_raw"),
+                             F.lit(True).alias("_inw"))
+        return (big
+                .join(F.broadcast(vv), "v_raw", "left")
+                .join(F.broadcast(vw), "w_raw", "left")
+                .select(
+                    "doc_id",
+                    F.when(F.col("v_raw") == bos, F.lit(bos))
+                    .when(F.col("_inv"), F.col("v_raw"))
+                    .otherwise(F.lit(unk)).alias("v"),
+                    F.when(F.col("_inw"), F.col("w_raw"))
+                    .otherwise(F.lit(unk)).alias("w")))
+
+    # -- scan B: the KN count tables (all derived from c_vw, which is
+    # bounded by the capped vocab, then assembled into one broadcast)
+    c_vw = (bigram_stream(df).groupBy("v", "w")
+            .agg(F.count("*").alias("c_vw")).persist())
+    try:
+        hist = c_vw.groupBy("v").agg(
+            F.sum("c_vw").alias("c_v"),
+            F.count("*").alias("n1p_v"))
+        cont = c_vw.groupBy("w").agg(F.count("*").alias("n1p_w"))
+        # the model is BOUNDED (one row per distinct capped bigram);
+        # localCheckpoint materializes it once so the scoring plan
+        # references a leaf, not three lazy re-derivations of c_vw —
+        # the exact re-scan bug the session-12 unigram fix removed
+        model = (c_vw.join(hist, "v").join(cont, "w")
+                 .select("v", "w", "c_vw", "c_v", "n1p_v", "n1p_w")
+                 .localCheckpoint())
+        n_bigrams = model.count()
+    finally:
+        c_vw.unpersist(blocking=False)
+    d = float(discount)
+    nb = float(n_bigrams) if n_bigrams else 1.0
+    # -- scan C: probe + score; arithmetic order mirrors the SQL
+    # oracle exactly (greatest-diff / c_v, then the lambda term)
+    return (
+        bigram_stream(df).join(F.broadcast(model), ["v", "w"])
+        .withColumn(
+            "_p",
+            F.greatest(F.col("c_vw").cast("double") - F.lit(d),
+                       F.lit(0.0)) / F.col("c_v").cast("double")
+            + F.lit(d) * F.col("n1p_v").cast("double")
+            / F.col("c_v").cast("double")
+            * (F.col("n1p_w").cast("double") / F.lit(nb)))
+        .groupBy("doc_id").agg(
+            F.count("*").alias("n_tokens"),
+            F.round(-F.avg(F.log2("_p")), 4)
+            .alias("bits_per_token")))

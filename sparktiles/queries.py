@@ -3739,3 +3739,64 @@ def winnowing_overlap_pairs_q(spark, sf_dir):
     return winnowing_overlap_pairs(_t(spark, sf_dir, "documents"),
                                    k=8, window=4, min_shared=2,
                                    max_df=16)
+
+
+# ============================================ Kneser-Ney bigram LM
+
+_KN_SQL = """
+WITH arr AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS a
+  FROM documents
+), toks AS (
+  SELECT doc_id, unnest(a) AS tok, generate_subscripts(a, 1) AS pos
+  FROM arr WHERE len(a) > 0
+), cf AS (
+  SELECT tok, COUNT(*) AS cf FROM toks GROUP BY tok
+), vocab AS (
+  SELECT tok FROM cf ORDER BY cf DESC, tok ASC LIMIT 16
+), toksm AS (
+  SELECT t.doc_id, t.pos,
+         CASE WHEN v.tok IS NOT NULL THEN t.tok ELSE chr(1) END AS tok
+  FROM toks t LEFT JOIN vocab v USING (tok)
+), big AS (
+  SELECT doc_id,
+         lag(tok, 1, chr(2)) OVER (PARTITION BY doc_id ORDER BY pos) AS v,
+         tok AS w
+  FROM toksm
+), c_vw AS (
+  SELECT v, w, COUNT(*) AS c_vw FROM big GROUP BY v, w
+), hist AS (
+  SELECT v, SUM(c_vw) AS c_v, COUNT(*) AS n1p_v FROM c_vw GROUP BY v
+), cont AS (
+  SELECT w, COUNT(*) AS n1p_w FROM c_vw GROUP BY w
+), nb AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS nb FROM c_vw
+), p AS (
+  SELECT b.doc_id,
+    GREATEST(CAST(m.c_vw AS DOUBLE) - 0.75, 0.0) / CAST(h.c_v AS DOUBLE)
+    + 0.75 * CAST(h.n1p_v AS DOUBLE) / CAST(h.c_v AS DOUBLE)
+      * (CAST(c.n1p_w AS DOUBLE) / s.nb) AS p
+  FROM big b JOIN c_vw m USING (v, w) JOIN hist h USING (v)
+       JOIN cont c USING (w) CROSS JOIN nb s
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       ROUND(-AVG(log2(p)), 4) AS bits_per_token
+FROM p GROUP BY doc_id
+"""
+
+
+@q("kn_bigram_quality", _KN_SQL)
+def kn_bigram_quality(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram bits/token per document — the
+    order-2 upgrade of lm_quality_score, i.e. the distributed
+    equivalent of CCNet's KenLM perplexity filter with real KN
+    smoothing (operators/text.py kn_bigram_scores: three map-side
+    corpus scans, checkpointed bounded vocab + model broadcasts,
+    zip_with bigram construction — no shuffle before the count
+    groupBys). vocab_size=16 so the UNK path is exercised; the
+    oracle rebuilds the same model with window-lag bigrams and the
+    identical IEEE operation order."""
+    from sparktiles.operators.text import kn_bigram_scores
+
+    return kn_bigram_scores(_t(spark, sf_dir, "documents"),
+                            vocab_size=16)
