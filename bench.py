@@ -263,7 +263,7 @@ def main():
         "lm_quality_score", "bm25_topk", "exactsubstr_cut",
         "pack_sequences", "domain_temperature_resample",
         "inverted_index", "ngram_count_table",
-        "perplexity_buckets", "kn_bigram_quality",
+        "perplexity_buckets", "kn_bigram_quality", "bpe_tokenize",
         "minhash_jaccard_verify", "dedup_keep_best",
         "winnowing_fingerprints", "dsir_importance", "bpe_pair_counts",
         "exact_group_quantiles",

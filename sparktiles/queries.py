@@ -3800,3 +3800,17 @@ def kn_bigram_quality(spark, sf_dir):
 
     return kn_bigram_scores(_t(spark, sf_dir, "documents"),
                             vocab_size=16)
+
+
+@q("bpe_tokenize")
+def bpe_tokenize(spark, sf_dir):
+    """BPE train-then-apply over the documents table
+    (operators/tokenizer.py): merges learned driver-side from the
+    bounded word-frequency table, documents encoded via Arrow-batched
+    mapInPandas with a per-batch word cache. Rows-only driver check —
+    greedy BPE has no SQL oracle; token-sequence parity is pinned by
+    the pure-Python golden in tests/test_bpe_encode.py."""
+    from sparktiles.operators.tokenizer import bpe_tokenize_corpus
+
+    return bpe_tokenize_corpus(_t(spark, sf_dir, "documents"),
+                               n_merges=64)
