@@ -1626,3 +1626,59 @@ def kn_bigram_scores(df: DataFrame, vocab_size: int = 1024,
             F.count("*").alias("n_tokens"),
             F.round(-F.avg(F.log2("_p")), 4)
             .alias("bits_per_token")))
+
+
+# Mojibake repairs (UTF-8 bytes mis-decoded as cp1252 -- the ftfy
+# core cases), applied FIRST so the punctuation fold sees real
+# characters. \\u escapes throughout: several sequences contain C1
+# codepoints that would be invisible (and strip-rule bait) as raw
+# source bytes. Rule ORDER is part of the contract (applied in
+# sequence, like ftfy).
+_MOJIBAKE_PAIRS = [
+    ("\u00e2\u20ac\u2122", "\u2019"),  # E2 80 99 -> right single quote
+    ("\u00e2\u20ac\u02dc", "\u2018"),  # E2 80 98 -> left single quote
+    ("\u00e2\u20ac\u0153", "\u201c"),  # E2 80 9C -> left double quote
+    ("\u00e2\u20ac\u009d", "\u201d"),  # E2 80 9D -> right double quote
+    ("\u00e2\u20ac\u201d", "\u2014"),  # E2 80 94 -> em dash
+    ("\u00e2\u20ac\u00a6", "\u2026"),  # E2 80 A6 -> ellipsis
+    ("\u00c3\u00a9", "\u00e9"),         # C3 A9 -> e acute
+    ("\u00c3\u00a8", "\u00e8"),         # C3 A8 -> e grave
+    ("\u00c3\u00bc", "\u00fc"),         # C3 BC -> u umlaut
+    ("\u00c3\u00b1", "\u00f1"),         # C3 B1 -> n tilde
+]
+# 1:1 punctuation fold (translate): curly quotes -> straight, en/em
+# dash -> hyphen, NBSP -> space
+_PUNCT_FROM = "\u2019\u2018\u201c\u201d\u2013\u2014\u00a0"
+_PUNCT_TO = "''\"\"-- "
+
+
+def normalize_text(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """C4/ftfy-style deterministic text normalization — the cleanup
+    stage web-crawl pipelines run before dedup/quality (C4 strips
+    control characters and collapses whitespace; ftfy repairs
+    UTF-8-as-cp1252 mojibake; quote/dash folding is the standard
+    pre-tokenizer canonicalization). A fixed, ORDERED rule chain so
+    two engines reproduce it byte-for-byte:
+
+      1. mojibake repairs (literal replaces, table above)
+      2. punctuation fold (1:1 translate)
+      3. ellipsis char -> "..."
+      4. strip C0 controls except tab/newline, plus DEL
+      5. collapse space/tab runs -> one space, trim ends
+
+    All JVM column ops (replace/translate/regexp_replace) — one
+    map-side projection, no shuffle, no UDF, trivially pushdown-safe.
+    Returns (doc_id, norm_text, changed)."""
+    c = F.col(text_col)
+    for bad, good in _MOJIBAKE_PAIRS:
+        c = F.replace(c, F.lit(bad), F.lit(good))
+    c = F.translate(c, _PUNCT_FROM, _PUNCT_TO)
+    c = F.regexp_replace(c, "…", "...")
+    c = F.regexp_replace(c, "[\\x00-\\x08\\x0b-\\x1f\\x7f]", "")
+    c = F.trim(F.regexp_replace(c, "[ \\t]+", " "))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        c.alias("norm_text"),
+        (c != F.col(text_col)).alias("changed"),
+    )

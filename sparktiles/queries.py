@@ -3814,3 +3814,54 @@ def bpe_tokenize(spark, sf_dir):
 
     return bpe_tokenize_corpus(_t(spark, sf_dir, "documents"),
                                n_merges=64)
+
+
+# ==================================== C4/ftfy text normalization
+
+# exercises: two mojibake sequences, curly quotes, en dash, NBSP,
+# ellipsis, a BEL control char, tab + double-space runs, edge spaces
+_NORM_SUFFIX = (" It\u00e2\u20ac\u2122s  \u00c3\u00a9lan\t"
+                "\u2013 \u201cq\u201d\u00a0\u2026\x07end ")
+
+
+def _normalize_sql() -> str:
+    """DuckDB rebuild of operators/text.py normalize_text, GENERATED
+    from the same rule tables (single source of truth, no drift).
+    Every literal is chr()-composed so the SQL stays ASCII. The query
+    appends a crafted suffix exercising every rule to each document
+    (both engines append the identical suffix), so the parity check
+    does real normalization work on every row."""
+    from sparktiles.operators.text import (_MOJIBAKE_PAIRS, _PUNCT_FROM,
+                                           _PUNCT_TO)
+
+    def cc(s):
+        return "||".join(f"chr({ord(c)})" for c in s) if s else "''"
+
+    expr = "t2"
+    for bad, good in _MOJIBAKE_PAIRS:
+        expr = f"replace({expr}, {cc(bad)}, {cc(good)})"
+    expr = f"translate({expr}, {cc(_PUNCT_FROM)}, {cc(_PUNCT_TO)})"
+    expr = f"regexp_replace({expr}, {cc(chr(8230))}, '...', 'g')"
+    expr = (f"regexp_replace({expr}, "
+            "'[\\x00-\\x08\\x0b-\\x1f\\x7f]', '', 'g')")
+    expr = f"trim(regexp_replace({expr}, '[ \\t]+', ' ', 'g'))"
+    return f"""
+WITH enriched AS (
+  SELECT doc_id, text || {cc(_NORM_SUFFIX)} AS t2 FROM documents
+)
+SELECT doc_id, {expr} AS norm_text, {expr} <> t2 AS changed
+FROM enriched
+"""
+
+
+@q("text_normalize", _normalize_sql())
+def text_normalize(spark, sf_dir):
+    """C4/ftfy normalization chain (operators/text.py normalize_text)
+    over documents enriched with a suffix that exercises every rule;
+    the oracle SQL is generated from the operator's own rule tables."""
+    from sparktiles.operators.text import normalize_text
+
+    docs = (_t(spark, sf_dir, "documents")
+            .withColumn("text",
+                        F.concat(F.col("text"), F.lit(_NORM_SUFFIX))))
+    return normalize_text(docs)
