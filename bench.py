@@ -264,7 +264,7 @@ def main():
         "pack_sequences", "domain_temperature_resample",
         "inverted_index", "ngram_count_table",
         "perplexity_buckets", "kn_bigram_quality", "bpe_tokenize",
-        "text_normalize",
+        "text_normalize", "leakage_safe_split",
         "minhash_jaccard_verify", "dedup_keep_best",
         "winnowing_fingerprints", "dsir_importance", "bpe_pair_counts",
         "exact_group_quantiles",

@@ -154,3 +154,41 @@ def dedup_keep_best(df: DataFrame, quality_col: str = "n_chars",
                 F.first("doc_id").over(w).alias("keep_id"))
         .withColumn("is_kept", F.col("doc_id") == F.col("keep_id"))
     )
+
+
+def leakage_safe_split(df: DataFrame, holdout_pct: int = 10,
+                       n_hashes: int = 8, band_size: int = 2,
+                       text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Dedup-aware train/holdout split: assign documents to sides by
+    their near-dup COMPONENT, never individually, so no near-dup
+    pair straddles the split — the leakage guard every pretraining
+    eval needs (a held-out doc whose near-duplicate sits in train is
+    a contaminated eval point; Lee et al. 2021 measure exactly this
+    seepage). Docs in no duplicate component are their own group.
+
+    Deterministic and engine-reproducible: side is decided by the
+    repo's md5 integer idiom on the group id's decimal string —
+    ('0x'||substr(md5(g),1,15))::bigint % 100 < holdout_pct — so an
+    engine-independent auditor reproduces the exact split.
+
+    Scale shape: the component mapping is minhash_dedup_cc (iterative
+    hash-min over star edges, linear in bucket membership); the split
+    itself adds ONE broadcast-or-shuffle left join (the mapping is
+    sparse — only docs in dup components) and a map-side hash per
+    row. Returns (doc_id, group_id, side)."""
+    mapping = minhash_dedup_cc(df, n_hashes, band_size, text_col, id_col)
+    comp = mapping.select(
+        F.col(id_col).alias("doc_id"),
+        F.least(F.col(id_col), F.col("canonical_id")).alias("_comp"))
+    g = (df.select(F.col(id_col).alias("doc_id"))
+         .join(comp, "doc_id", "left")
+         .select("doc_id",
+                 F.coalesce("_comp", F.col("doc_id")).alias("group_id")))
+    bucket = (F.conv(F.substring(
+        F.md5(F.col("group_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % 100)
+    return g.select(
+        "doc_id", "group_id",
+        F.when(bucket < holdout_pct, F.lit("holdout"))
+        .otherwise(F.lit("train")).alias("side"))

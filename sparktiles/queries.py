@@ -3865,3 +3865,34 @@ def text_normalize(spark, sf_dir):
             .withColumn("text",
                         F.concat(F.col("text"), F.lit(_NORM_SUFFIX))))
     return normalize_text(docs)
+
+
+# ================================== leakage-safe train/holdout split
+
+# the oracle REUSES the CC oracle verbatim as a CTE, then applies the
+# same md5-integer side rule — one source of truth for the closure
+_SPLIT_SQL = _MINHASH_CC_SQL.replace(
+    "SELECT a AS doc_id, MIN(b) AS canonical_id FROM reach GROUP BY a",
+    """, mapping AS (
+  SELECT a AS doc_id, MIN(b) AS canonical_id FROM reach GROUP BY a
+), grp AS (
+  SELECT d.doc_id,
+         COALESCE(LEAST(m.doc_id, m.canonical_id), d.doc_id) AS group_id
+  FROM documents d LEFT JOIN mapping m USING (doc_id)
+)
+SELECT doc_id, group_id,
+       CASE WHEN ('0x' || substr(md5(CAST(group_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 10
+            THEN 'holdout' ELSE 'train' END AS side
+FROM grp""")
+
+
+@q("leakage_safe_split", _SPLIT_SQL)
+def leakage_safe_split_q(spark, sf_dir):
+    """Dedup-aware train/holdout split (operators/graph.py
+    leakage_safe_split): sides assigned per near-dup COMPONENT via
+    the md5 integer idiom, so no near-duplicate pair straddles the
+    split; singleton docs are their own group."""
+    from sparktiles.operators.graph import leakage_safe_split
+
+    return leakage_safe_split(_t(spark, sf_dir, "documents"),
+                              holdout_pct=10)
