@@ -158,6 +158,10 @@ def run_leg(cpus: int, replicas: int, ops: set[str]) -> dict:
         "winnow": lambda: winnowing_fingerprints(docs, k=8, window=4),
         "dsir": lambda: dsir_logweights(docs),
         "bpe": lambda: bpe_pair_counts(docs, top_k=20),
+        # session-13: the order-2 LM — same tokenize-heavy scan family
+        # as ppl but with a bigram-count model build + probe; probes
+        # whether the KN shape scales where unigram ppl is bus-bound
+        "kn": lambda: kn_bigram_scores(docs, vocab_size=16),
     }
     for name, fn in legs.items():
         if name not in ops:
@@ -171,7 +175,7 @@ def run_leg(cpus: int, replicas: int, ops: set[str]) -> dict:
 
 
 ALL_OPS = ("dup_window", "minhash", "gopher", "exactsubstr", "pack",
-           "ppl", "verify", "keepbest", "winnow", "dsir", "bpe")
+           "ppl", "verify", "keepbest", "winnow", "dsir", "bpe", "kn")
 
 
 def main():

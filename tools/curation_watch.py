@@ -65,11 +65,23 @@ def main():
                "compute_eff": ce, "bandwidth_eff": be, "ops": ops}
         print(f"[cwatch] attempt {attempt}: ce={ce} be={be} "
               f"load={load1:.1f}", flush=True)
-        if ce < CE_GATE or be < be_gate:
+        # band, not floor: an efficiency ABOVE ~1 is not a great box,
+        # it is a contaminated control (another job stole cycles from
+        # the 2-core leg — the 2026-08-19 be=1.446 fire happened
+        # exactly this way, into a 32-core funnel run)
+        if not (CE_GATE <= ce <= 1.15) or not (be_gate <= be <= 1.05):
             rec["fired"] = False
             with OUT.open("a") as f:
                 f.write(json.dumps(rec) + "\n")
             time.sleep(420)
+            continue
+        if ILOCK.exists() or SLOCK.exists():
+            # a heavy job started while the control ran — don't fire
+            rec["fired"] = False
+            rec["late_lock"] = True
+            with OUT.open("a") as f:
+                f.write(json.dumps(rec) + "\n")
+            time.sleep(180)
             continue
         out_file = ROOT / ("BENCH_CURATION_SCALING_%s.json"
                            % "_".join(ops.split(",")))

@@ -11,6 +11,9 @@ scheme/tracking/fragment variants per canonical so URL dedup has
 real work) and the original lang column for the final sampling.
 
 Stages
+0. normalize        C4/ftfy normalization (mojibake + spacing fixes;
+                    odd replicas carry injected mojibake so the stage
+                    has real repairs to make)
 1. url_dedup        canonical-URL dedup (best doc per canonical)
 2. exact_dedup      md5 content dedup
 3. minhash_cc       MinHash-LSH + connected-components closure
@@ -21,7 +24,9 @@ Stages
 7. dsir_select      DSIR importance cut toward the head-band gram
                     profile (log_weight > 0)
 8. sample           stratified per-lang quota
-9. pack_1024        concat-and-chunk packing at a 1024-token budget
+9. split            leakage-safe train/holdout split (whole near-dup
+                    components stay on one side); train side proceeds
+10. pack_1024       concat-and-chunk packing at a 1024-token budget
 
 usage: python tools/funnel_bench.py [replicas] [cpus]
 writes BENCH_CURATION_FUNNEL.json
@@ -46,13 +51,15 @@ def main():
     from pyspark.sql import functions as F
 
     from sparktiles.session import get_spark
-    from sparktiles.operators.graph import minhash_dedup_cc
+    from sparktiles.operators.graph import (leakage_safe_split,
+                                            minhash_dedup_cc)
     from sparktiles.operators.text import (
         dedup_url_canonical,
         decontaminate,
         dsir_logweights,
         exact_dedup,
         exactsubstr_cut,
+        normalize_text,
         pack_sequences,
         perplexity_buckets,
         repetition_signals,
@@ -69,7 +76,8 @@ def main():
     did = (F.col("doc_id") + F.col("r") * 1_000_000).alias("doc_id")
     text = F.when(
         F.col("r") % 2 == 1,
-        F.concat(F.format_string("rep%d", F.col("r")), F.lit(" "),
+        F.concat(F.format_string("rep%d", F.col("r")),
+                 F.lit("\u00e2\u20ac\u2122s  "),
                  F.col("text"))).otherwise(F.col("text")).alias("text")
     # URL variants: every 5th replica refetches replica r-4's page
     # through a different scheme/tracking/fragment combination, so
@@ -108,13 +116,27 @@ def main():
         print(json.dumps(stages[-1]), flush=True)
         return out_df, n_out
 
+    # 0. normalization — rebuild the text column through the C4/ftfy
+    # chain; row count is unchanged, repaired-doc count is recorded
+    def s_norm():
+        nt = normalize_text(corpus)
+        result["normalize_changed_docs"] = int(
+            nt.agg(F.sum(F.col("changed").cast("int"))).collect()[0][0])
+        out = (corpus.drop("text", "n_chars")
+               .join(nt.select("doc_id",
+                               F.col("norm_text").alias("text")),
+                     "doc_id")
+               .withColumn("n_chars", F.length("text")).cache())
+        return out, out.count()
+    corpus, n0b = stage("normalize", n0, s_norm)
+
     # 1. URL dedup (keeps best doc per canonical URL)
     def s_url():
         kept = dedup_url_canonical(corpus).select("doc_id")
         out = corpus.join(kept, "doc_id").select(
             "doc_id", "text", "lang").cache()
         return out, out.count()
-    cur, n = stage("url_dedup", n0, s_url)
+    cur, n = stage("url_dedup", n0b, s_url)
 
     # 2. exact content dedup (canonical id survives)
     def s_exact():
@@ -189,7 +211,18 @@ def main():
         return out, out.count()
     cur, n = stage("sample", n, s_sample)
 
-    # 9. concat-and-chunk packing at a 1024-token training budget —
+    # 9. leakage-safe split: whole near-dup components on one side;
+    # the holdout fraction leaves the training funnel here
+    def s_split():
+        sp = leakage_safe_split(cur, holdout_pct=10)
+        result["holdout_docs"] = sp.where(
+            F.col("side") == "holdout").count()
+        out = cur.join(sp.where(F.col("side") == "train")
+                       .select("doc_id"), "doc_id").cache()
+        return out, out.count()
+    cur, n = stage("split", n, s_split)
+
+    # 10. concat-and-chunk packing at a 1024-token training budget —
     # the survivors leave as fixed-budget sequences; out_docs is the
     # doc rows annotated, packed_chunks the sequences produced
     def s_pack():
