@@ -1682,3 +1682,131 @@ def normalize_text(df: DataFrame, text_col: str = "text",
         c.alias("norm_text"),
         (c != F.col(text_col)).alias("changed"),
     )
+
+
+def url_domain(url_col) -> "F.Column":
+    """Registrable-host extraction from a crawl URL (lowercased, no
+    scheme/www/port/path) — the blocklist and per-domain-stats key.
+    RE2-compatible pieces so any engine reproduces it."""
+    u = F.lower(url_col)
+    u = F.regexp_replace(u, "^https?://", "")
+    u = F.regexp_replace(u, "^www\\.", "")
+    host = F.split(u, "/").getItem(0)
+    return F.split(host, ":").getItem(0)
+
+
+def filter_blocked_domains(df: DataFrame, blocked: list[str],
+                           url_col: str = "url") -> DataFrame:
+    """UT1/blocklist-style domain filter — the first gate of a crawl
+    curation pipeline (C4 and RefinedWeb both open with one): drop
+    every doc whose URL host IS a blocked domain or is a SUBDOMAIN of
+    one. Returns the surviving rows unchanged plus the extracted
+    `domain` column.
+
+    Scale shape: the blocklist is a broadcast; matching is one hash
+    probe on the exact host plus a probe per dot-suffix of the host
+    (hosts have ~2-4 labels, and the suffix set is built map-side
+    with JVM array ops) — NOT a contains()/LIKE scan over the
+    blocklist, which would be O(|blocklist|) per row and unusable at
+    the UT1 list's millions of entries."""
+    spark = df.sparkSession
+    bl = spark.createDataFrame(
+        [(d.lower(),) for d in blocked] or [("",)],
+        "blocked_domain string").where(F.col("blocked_domain") != "")
+    dom = url_domain(F.col(url_col))
+    with_dom = df.withColumn("domain", dom)
+    # every dot-suffix of the host that has >= 2 labels: a.b.c.d ->
+    # [a.b.c.d, b.c.d, c.d]
+    labels = F.split(F.col("domain"), "\\.")
+    # guard: a single-label host (sequence(0, -1) would DESCEND in
+    # Spark) probes only itself
+    suffixes = F.when(
+        F.size(labels) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(labels) - 2),
+            lambda i: F.array_join(
+                F.slice(labels, i + 1, F.size(labels) - i), "."))
+    ).otherwise(F.array(F.col("domain")))
+    probes = with_dom.select(
+        F.col(url_col).alias("_u"),
+        F.explode(suffixes).alias("blocked_domain"))
+    hit = (probes.join(F.broadcast(bl), "blocked_domain")
+           .select(F.col("_u").alias(url_col)).distinct())
+    return with_dom.join(hit, url_col, "left_anti")
+
+
+def corpus_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-row corpus profile: doc/token/type counts, hapax fraction
+    (Zipf tail mass — a data-quality smell when it collapses), and
+    the coverage of the 10 most frequent types (a head-heaviness
+    smell when it explodes). The table every curation run prints
+    before and after its gates.
+
+    Scale shape: one tokenize scan into the map-side-combined cf
+    groupBy; everything else is aggregates of that bounded table plus
+    one sort-limit for the top-10 mass. Fractions round to 4 dp for
+    cross-engine parity."""
+    toks = df.select(F.explode(
+        F.filter(F.split(F.col(text_col), " "),
+                 lambda t: t != "")).alias("tok"))
+    cf = toks.groupBy("tok").agg(F.count("*").alias("cf"))
+    n_docs = df.count()
+    agg = cf.agg(
+        F.sum("cf").alias("_ntok"),
+        F.count("*").alias("_ntype"),
+        F.sum(F.when(F.col("cf") == 1, 1).otherwise(0)).alias("_hapax"),
+    )
+    top10 = (cf.orderBy(F.col("cf").desc(), F.col("tok").asc()).limit(10)
+             .agg(F.sum("cf").alias("_top10")))
+    return (agg.crossJoin(top10).select(
+        F.lit(n_docs).alias("n_docs"),
+        F.col("_ntok").alias("n_tokens"),
+        F.col("_ntype").alias("n_types"),
+        F.round(F.col("_hapax").cast("double") / F.col("_ntype"), 4)
+        .alias("hapax_frac"),
+        F.round(F.col("_top10").cast("double") / F.col("_ntok"), 4)
+        .alias("top10_coverage")))
+
+
+def source_mix_report(df: DataFrame, group_col: str = "source",
+                      text_col: str = "text",
+                      lang_col: str = "lang") -> DataFrame:
+    """Per-source mixture report: docs, tokens, mean chars, language
+    count, dominant language (ties break lang-asc) and language
+    entropy in bits — the table a data-mixture decision reads
+    (domain_temperature_resample consumes exactly these counts).
+
+    Scale shape: one map-side length/token projection into a
+    (source) groupBy and a tiny (source, lang) groupBy; the dominant
+    lang is a row_number window over the latter (bounded: sources x
+    langs rows). Entropy rounds to 4 dp."""
+    from pyspark.sql.window import Window
+
+    base = df.select(
+        F.col(group_col).alias("source"),
+        F.col(lang_col).alias("lang"),
+        F.length(text_col).alias("_nc"),
+        F.size(F.filter(F.split(F.col(text_col), " "),
+                        lambda t: t != "")).alias("_nt"))
+    per_src = base.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("_nt").alias("n_tokens"),
+        F.round(F.avg(F.col("_nc").cast("double")), 2).alias("avg_chars"))
+    sl = base.groupBy("source", "lang").agg(F.count("*").alias("_n"))
+    w = Window.partitionBy("source").orderBy(
+        F.col("_n").desc(), F.col("lang").asc())
+    top = (sl.withColumn("_rk", F.row_number().over(w))
+           .where(F.col("_rk") == 1)
+           .select("source", F.col("lang").alias("top_lang")))
+    ent = (sl.withColumn(
+        "_tot", F.sum("_n").over(Window.partitionBy("source")))
+        .withColumn("_p", F.col("_n").cast("double") / F.col("_tot"))
+        .groupBy("source").agg(
+            F.count("*").alias("n_langs"),
+            # + 0.0 folds IEEE -0.0 (single-lang source) to +0.0 so
+            # both engines serialize the identical double
+            F.round(-F.sum(F.col("_p") * F.log2("_p")) + F.lit(0.0), 4)
+            .alias("lang_entropy_bits")))
+    return (per_src.join(top, "source").join(ent, "source")
+            .select("source", "n_docs", "n_tokens", "avg_chars",
+                    "n_langs", "top_lang", "lang_entropy_bits"))

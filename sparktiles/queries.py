@@ -3896,3 +3896,119 @@ def leakage_safe_split_q(spark, sf_dir):
 
     return leakage_safe_split(_t(spark, sf_dir, "documents"),
                               holdout_pct=10)
+
+
+# ================================================ domain blocklist
+
+_BLOCKLIST_SQL = """
+WITH docs AS (
+  SELECT *, 'https://www.s' || CAST(doc_id % 13 AS VARCHAR) || '.example'
+         || CASE WHEN doc_id % 3 = 0 THEN '.net' ELSE '.com' END
+         || '/p/' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents
+), dom AS (
+  SELECT *, string_split(string_split(regexp_replace(regexp_replace(
+           lower(url), '^https?://', ''), '^www\\.', ''),
+           '/')[1], ':')[1] AS domain
+  FROM docs
+)
+SELECT * FROM dom
+WHERE NOT (domain = 's1.example.com' OR domain LIKE '%.s1.example.com'
+        OR domain = 'example.net'    OR domain LIKE '%.example.net'
+        OR domain = 's5.example.com' OR domain LIKE '%.s5.example.com')
+"""
+
+
+@q("domain_blocklist_filter", _BLOCKLIST_SQL)
+def domain_blocklist_filter(spark, sf_dir):
+    """UT1-style blocklist gate (operators/text.py
+    filter_blocked_domains): hash-probe on the host and every
+    dot-suffix against a broadcast blocklist — synthetic URLs give
+    every doc a host; 'example.net' blocks a third of the corpus via
+    the SUBDOMAIN rule. The oracle is an independent implementation
+    (literal equality/LIKE per blocked entry, no suffix explode)."""
+    from sparktiles.operators.text import filter_blocked_domains
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "url",
+        F.concat(F.lit("https://www.s"),
+                 (F.col("doc_id") % 13).cast("string"),
+                 F.lit(".example"),
+                 F.when(F.col("doc_id") % 3 == 0, F.lit(".net"))
+                 .otherwise(F.lit(".com")),
+                 F.lit("/p/"), F.col("doc_id").cast("string")))
+    return filter_blocked_domains(
+        docs, ["s1.example.com", "example.net", "s5.example.com"])
+
+
+# ================================================== corpus profile
+
+_CORPUS_STATS_SQL = """
+WITH toks AS (
+  SELECT UNNEST(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+  FROM documents
+), cf AS (
+  SELECT tok, COUNT(*) AS cf FROM toks GROUP BY tok
+), top10 AS (
+  SELECT SUM(cf) AS t10 FROM
+    (SELECT cf FROM cf ORDER BY cf DESC, tok ASC LIMIT 10)
+)
+SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+       (SELECT SUM(cf) FROM cf) AS n_tokens,
+       (SELECT COUNT(*) FROM cf) AS n_types,
+       ROUND(CAST((SELECT COUNT(*) FROM cf WHERE cf = 1) AS DOUBLE)
+             / (SELECT COUNT(*) FROM cf), 4) AS hapax_frac,
+       ROUND(CAST((SELECT t10 FROM top10) AS DOUBLE)
+             / (SELECT SUM(cf) FROM cf), 4) AS top10_coverage
+"""
+
+
+@q("corpus_stats", _CORPUS_STATS_SQL)
+def corpus_stats_q(spark, sf_dir):
+    """One-row corpus profile (operators/text.py corpus_stats):
+    doc/token/type counts, hapax fraction, top-10 type coverage."""
+    from sparktiles.operators.text import corpus_stats
+
+    return corpus_stats(_t(spark, sf_dir, "documents"))
+
+
+# ============================================== source mix report
+
+_SOURCE_MIX_SQL = """
+WITH base AS (
+  SELECT source, lang, length(text) AS nc,
+         len(list_filter(string_split(text, ' '), t -> t <> '')) AS nt
+  FROM documents
+), per_src AS (
+  SELECT source, COUNT(*) AS n_docs, SUM(nt) AS n_tokens,
+         ROUND(AVG(CAST(nc AS DOUBLE)), 2) AS avg_chars
+  FROM base GROUP BY source
+), sl AS (
+  SELECT source, lang, COUNT(*) AS n FROM base GROUP BY source, lang
+), top AS (
+  SELECT source, lang AS top_lang FROM (
+    SELECT source, lang,
+           ROW_NUMBER() OVER (PARTITION BY source
+                              ORDER BY n DESC, lang ASC) AS rk
+    FROM sl) WHERE rk = 1
+), ent AS (
+  SELECT source, COUNT(*) AS n_langs,
+         ROUND(-SUM(p * log2(p)) + 0.0, 4) AS lang_entropy_bits
+  FROM (SELECT source, CAST(n AS DOUBLE)
+               / SUM(n) OVER (PARTITION BY source) AS p, n
+        FROM sl) GROUP BY source
+)
+SELECT p.source, p.n_docs, p.n_tokens, p.avg_chars,
+       e.n_langs, t.top_lang, e.lang_entropy_bits
+FROM per_src p JOIN top t USING (source) JOIN ent e USING (source)
+"""
+
+
+@q("source_mix_report", _SOURCE_MIX_SQL)
+def source_mix_report_q(spark, sf_dir):
+    """Per-source mixture table (operators/text.py source_mix_report):
+    docs/tokens/avg chars, language count, dominant language,
+    language entropy in bits."""
+    from sparktiles.operators.text import source_mix_report
+
+    return source_mix_report(_t(spark, sf_dir, "documents"))
