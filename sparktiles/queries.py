@@ -4012,3 +4012,86 @@ def source_mix_report_q(spark, sf_dir):
     from sparktiles.operators.text import source_mix_report
 
     return source_mix_report(_t(spark, sf_dir, "documents"))
+
+
+# ================================ cross-domain: per-tile language mix
+
+_TILE_LANG_SQL = f"""
+WITH pts AS (
+  SELECT doc_id, lang,
+         {_LON_SQL.format(k='doc_id')} AS lon,
+         {_LAT_SQL.format(k='doc_id')} AS lat
+  FROM documents
+), m AS (
+  SELECT lang, lon / 180.0 * {HALF!r} AS mx,
+         {_MERCY_SQL.format(lat='lat', pi=PI, half=HALF)} AS my
+  FROM pts
+), t AS (
+  SELECT CAST(FLOOR((mx + {HALF!r}) / {WORLD_MERC_WIDTH!r} * 32.0) AS BIGINT) AS tile_x,
+         CAST(FLOOR(({HALF!r} - my) / {WORLD_MERC_WIDTH!r} * 32.0) AS BIGINT) AS tile_y,
+         lang
+  FROM m
+), tl AS (
+  SELECT tile_x, tile_y, lang, COUNT(*) AS n FROM t
+  GROUP BY tile_x, tile_y, lang
+), top AS (
+  SELECT tile_x, tile_y, lang AS top_lang FROM (
+    SELECT tile_x, tile_y, lang,
+           ROW_NUMBER() OVER (PARTITION BY tile_x, tile_y
+                              ORDER BY n DESC, lang ASC) AS rk
+    FROM tl) WHERE rk = 1
+), ent AS (
+  SELECT tile_x, tile_y, SUM(n) AS n_docs, COUNT(*) AS n_langs,
+         ROUND(-SUM(p * log2(p)) + 0.0, 4) AS lang_entropy_bits
+  FROM (SELECT tile_x, tile_y, n, CAST(n AS DOUBLE)
+               / SUM(n) OVER (PARTITION BY tile_x, tile_y) AS p
+        FROM tl) GROUP BY tile_x, tile_y
+)
+SELECT e.tile_x, e.tile_y, e.n_docs, e.n_langs, t.top_lang,
+       e.lang_entropy_bits
+FROM ent e JOIN top t USING (tile_x, tile_y)
+"""
+
+
+@q("tile_lang_entropy", _TILE_LANG_SQL)
+def tile_lang_entropy(spark, sf_dir):
+    """The graft's two halves in ONE plan: geoparsed documents (the
+    repo's deterministic lon/lat derivation — the geoparse stand-in
+    every spatial oracle uses) are assigned z5 tiles map-side, then
+    each tile aggregates its documents' language mixture: doc count,
+    language count, dominant language, language entropy in bits. The
+    shape is a single (tile, lang) groupBy (map-side combined; the
+    per-tile windows run over the BOUNDED tiles x langs table), i.e.
+    a language-diversity choropleth over the crawl at raster-tile
+    granularity."""
+    from pyspark.sql.window import Window
+
+    d = _t(spark, sf_dir, "documents")
+    key = F.col("doc_id")
+    mx = _merc_x(_lon(key))
+    my = _merc_y(_lat(key))
+    n = F.lit(32.0)   # zoom 5
+    t = d.select(
+        F.floor((mx + F.lit(HALF)) / F.lit(WORLD_MERC_WIDTH) * n)
+        .alias("tile_x"),
+        F.floor((F.lit(HALF) - my) / F.lit(WORLD_MERC_WIDTH) * n)
+        .alias("tile_y"),
+        "lang")
+    tl = t.groupBy("tile_x", "tile_y", "lang").agg(
+        F.count("*").alias("_n"))
+    w = Window.partitionBy("tile_x", "tile_y").orderBy(
+        F.col("_n").desc(), F.col("lang").asc())
+    top = (tl.withColumn("_rk", F.row_number().over(w))
+           .where(F.col("_rk") == 1)
+           .select("tile_x", "tile_y", F.col("lang").alias("top_lang")))
+    ent = (tl.withColumn(
+        "_tot", F.sum("_n").over(Window.partitionBy("tile_x", "tile_y")))
+        .withColumn("_p", F.col("_n").cast("double") / F.col("_tot"))
+        .groupBy("tile_x", "tile_y").agg(
+            F.sum("_n").alias("n_docs"),
+            F.count("*").alias("n_langs"),
+            F.round(-F.sum(F.col("_p") * F.log2("_p")) + F.lit(0.0), 4)
+            .alias("lang_entropy_bits")))
+    return (ent.join(top, ["tile_x", "tile_y"])
+            .select("tile_x", "tile_y", "n_docs", "n_langs",
+                    "top_lang", "lang_entropy_bits"))
