@@ -266,7 +266,7 @@ def main():
         "perplexity_buckets", "kn_bigram_quality", "bpe_tokenize",
         "text_normalize", "leakage_safe_split",
         "domain_blocklist_filter", "corpus_stats", "source_mix_report",
-        "tile_lang_entropy",
+        "tile_lang_entropy", "asof_join_events",
         "minhash_jaccard_verify", "dedup_keep_best",
         "winnowing_fingerprints", "dsir_importance", "bpe_pair_counts",
         "exact_group_quantiles",

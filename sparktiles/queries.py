@@ -4095,3 +4095,35 @@ def tile_lang_entropy(spark, sf_dir):
     return (ent.join(top, ["tile_x", "tile_y"])
             .select("tile_x", "tile_y", "n_docs", "n_langs",
                     "top_lang", "lang_entropy_bits"))
+
+
+# ===================================================== as-of join
+
+_ASOF_SQL = """
+WITH probes AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+), builds AS (
+  SELECT user_id, ts, MAX(value) AS value FROM events
+  WHERE event_type = 'signup' GROUP BY user_id, ts
+)
+SELECT p.user_id, p.event_id, p.ts, b.ts AS asof_ts, b.value AS asof_value
+FROM probes p ASOF LEFT JOIN builds b
+  ON p.user_id = b.user_id AND p.ts >= b.ts
+"""
+
+
+@q("asof_join_events", _ASOF_SQL)
+def asof_join_events(spark, sf_dir):
+    """Backward as-of join (operators/temporal.py asof_join): every
+    purchase event picks the user's most recent at-or-before signup.
+    The engine's union + last-ignorenulls window construction is
+    checked against DuckDB's NATIVE ASOF LEFT JOIN operator — two
+    independent implementations of the semantics."""
+    from sparktiles.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    probes = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts")
+    builds = ev.where(F.col("event_type") == "signup").select(
+        "user_id", "ts", "value")
+    return asof_join(probes, builds)
