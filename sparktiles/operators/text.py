@@ -1317,6 +1317,20 @@ def minhash_jaccard_verify(df: DataFrame, n_hashes: int = 8,
 
 # --------------------------------------------- winnowing fingerprints
 
+def _winnow_packed_hashes(text_col: str, k: int):
+    """Array of packed gram keys for gram i (1-based in SQL):
+    md5hex || lpad(10^9 - (i-1)). The 32-hex md5 compares first;
+    among equal hashes the smaller (10^9 - pos) wins, i.e. the
+    RIGHTMOST position — the MOSS tie-break, integer-exact with no
+    floats. Kept as its own projection column (`_hs`) so Catalyst's
+    CollapseProject cheap-expression rule never duplicates the md5
+    transform into each window read."""
+    return F.expr(
+        f"transform(sequence(1, length({text_col}) - {k} + 1), "
+        f"i -> concat(md5(substr({text_col}, i, {k})), "
+        f"lpad(cast(1000000001 - i AS string), 10, '0')))")
+
+
 def winnowing_fingerprints(df: DataFrame, k: int = 8, window: int = 4,
                            text_col: str = "text",
                            id_col: str = "doc_id") -> DataFrame:
@@ -1336,37 +1350,31 @@ def winnowing_fingerprints(df: DataFrame, k: int = 8, window: int = 4,
     (2^20 - pos) wins, i.e. the largest pos. Integer-exact in any
     engine with lpad/substr; no floats anywhere.
 
-    Scale shape: the k-gram rows never leave their input partition
-    before the per-(doc, window) MIN collapses them (doc rows are
-    partition-local, so the map-side partial aggregation is total);
-    the only exchanges are the collapsed per-window minima and the
-    final DISTINCT over selected fingerprints — both ~n/window per
-    doc, not n*window. Returns (doc_id, pos, fp); pos is the 0-based
-    k-gram start offset, fp the md5 hex of the k-gram."""
+    Scale shape: ZERO exchanges — the whole selection is one map-side
+    projection. Per doc, the packed gram hashes land in one array
+    column; each window's argmin is `array_min(slice(...))` (string
+    compare on ASCII hex+digits == the engine MIN); the per-doc
+    selected set is deduped with array_distinct before the explode.
+    Earlier revisions exploded every (gram, window) pair — n*window
+    rows of 42-byte strings — into a groupBy; at 100 TB that shuffle
+    write is the whole job, here nothing ever leaves its scan task.
+    Contract: `id_col` identifies the document (unique per row, as an
+    id is) — per-doc (pos, fp) sets are exact-distinct.
+    Returns (doc_id, pos, fp); pos is the 0-based k-gram start
+    offset, fp the md5 hex of the k-gram."""
     n = F.length(F.col(text_col)) - F.lit(k - 1)
-    g = df.where(n >= window).select(
-        F.col(id_col).alias("doc_id"), n.alias("_n"),
-        F.posexplode(F.expr(
-            f"transform(sequence(1, length({text_col}) - {k} + 1), "
-            f"i -> md5(substr({text_col}, i, {k})))")).alias("i", "h"))
-    # windows containing gram i: starts s in [max(0, i-window+1),
-    # min(i, n-window)] — both bounds guarded non-decreasing so
-    # sequence() can never count down
-    e = g.select(
-        "doc_id", "h", "i",
-        F.explode(F.sequence(
-            F.greatest(F.lit(0), F.col("i") - F.lit(window - 1)),
-            F.least(F.col("i"), F.col("_n") - F.lit(window)))).alias("s"))
-    packed = F.concat(
-        F.col("h"),
-        F.lpad((F.lit(1_000_000_000) - F.col("i")).cast("string"), 10, "0"))
-    per_window = e.groupBy("doc_id", "s").agg(F.min(packed).alias("_m"))
-    return (per_window.select(
-        "doc_id",
-        (F.lit(1_000_000_000) - F.substring("_m", 33, 10).cast("int"))
-        .alias("pos"),
-        F.substring("_m", 1, 32).alias("fp"))
-        .distinct())
+    hs = _winnow_packed_hashes(text_col, k)
+    sel = F.expr(
+        f"array_distinct(transform(sequence(1, size(_hs) - {window} + 1), "
+        f"s -> array_min(slice(_hs, s, {window}))))")
+    return (df.where(n >= window)
+            .select(F.col(id_col).alias("doc_id"), hs.alias("_hs"))
+            .select("doc_id", F.explode(sel).alias("_m"))
+            .select(
+                "doc_id",
+                (F.lit(1_000_000_000) - F.substring("_m", 33, 10)
+                 .cast("int")).alias("pos"),
+                F.substring("_m", 1, 32).alias("fp")))
 
 
 # ------------------------------------------ DSIR importance weights
@@ -1480,8 +1488,13 @@ def winnowing_overlap_pairs(df: DataFrame, k: int = 8, window: int = 4,
     near-identical-passage detector that complements MinHash (whole-
     document similarity) and ExactSubstr (span removal).
 
-    Scale shape: the per-doc fingerprint sets come from
-    winnowing_fingerprints (map-side-collapsed); boilerplate
+    Scale shape: the per-doc fingerprint SETS are built map-side in
+    one projection (the winnowing argmin plus an array_distinct over
+    the 32-hex prefixes — no global DISTINCT exchange, since doc ids
+    are unique), then localCheckpointed: three lazy references follow
+    (the hot-fp count, and both sides of the self-join), and without
+    the checkpoint each would replay the full md5 scan — the same
+    lazy-subtree trap kn_bigram_scores documents. Boilerplate
     fingerprints appearing in more than `max_df` documents are cut
     BEFORE the self-join (the same Zipf-head guard as
     inverted_index's max_df — the over-limit set is tiny and
@@ -1490,9 +1503,17 @@ def winnowing_overlap_pairs(df: DataFrame, k: int = 8, window: int = 4,
     aggregation is map-side-combined on (doc_a, doc_b).
 
     Returns (doc_a, doc_b, shared_fps), doc_a < doc_b."""
-    fps = (winnowing_fingerprints(df, k=k, window=window,
-                                  text_col=text_col, id_col=id_col)
-           .select("doc_id", "fp").distinct())
+    n = F.length(F.col(text_col)) - F.lit(k - 1)
+    hs = _winnow_packed_hashes(text_col, k)
+    fp_set = F.expr(
+        f"array_distinct(transform("
+        f"transform(sequence(1, size(_hs) - {window} + 1), "
+        f"s -> array_min(slice(_hs, s, {window}))), "
+        f"m -> substring(m, 1, 32)))")
+    fps = (df.where(n >= window)
+           .select(F.col(id_col).alias("doc_id"), hs.alias("_hs"))
+           .select("doc_id", F.explode(fp_set).alias("fp"))
+           .localCheckpoint())
     hot = (fps.groupBy("fp").agg(F.count("*").alias("_df"))
            .where(F.col("_df") > max_df).select("fp"))
     cold = fps.join(F.broadcast(hot), "fp", "left_anti")
