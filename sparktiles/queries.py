@@ -4127,3 +4127,81 @@ def asof_join_events(spark, sf_dir):
     builds = ev.where(F.col("event_type") == "signup").select(
         "user_id", "ts", "value")
     return asof_join(probes, builds)
+
+
+# ===================================== model-based quality filter
+
+_SW_LIST = "['the','a','of','and','to','in','is','on','for','with']"
+
+_CLASSIFIER_SQL = f"""
+WITH f AS (
+  SELECT doc_id,
+    ROUND(CAST(len(list_filter(string_split(text, ' '),
+        x -> list_contains({_SW_LIST}, x))) AS DOUBLE)
+      / len(string_split(text, ' ')), 4) AS stopword_ratio,
+    ROUND(CAST(length(regexp_replace(text, '[^\\.,;:!?]', '', 'g'))
+        AS DOUBLE) / length(text), 4) AS punct_ratio,
+    ROUND(CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+        AS DOUBLE) / length(text), 4) AS digit_ratio,
+    ROUND(CAST(length(regexp_replace(text, '[^A-Z]', '', 'g'))
+        AS DOUBLE) / length(text), 4) AS upper_ratio,
+    ROUND(CAST(length(text) AS DOUBLE)
+      / len(string_split(text, ' ')) / 10.0, 4) AS tok_len_scaled
+  FROM documents
+)
+SELECT doc_id, stopword_ratio, punct_ratio, digit_ratio, upper_ratio,
+       tok_len_scaled,
+       ROUND(CAST(0.755 AS DOUBLE) * 1.0
+           + CAST(4.4772 AS DOUBLE) * stopword_ratio
+           + CAST(0.0 AS DOUBLE) * punct_ratio
+           + CAST(0.0 AS DOUBLE) * digit_ratio
+           + CAST(0.0 AS DOUBLE) * upper_ratio
+           + CAST(-1.8182 AS DOUBLE) * tok_len_scaled, 4) AS lr_logit,
+       (ROUND(CAST(0.755 AS DOUBLE) * 1.0
+           + CAST(4.4772 AS DOUBLE) * stopword_ratio
+           + CAST(0.0 AS DOUBLE) * punct_ratio
+           + CAST(0.0 AS DOUBLE) * digit_ratio
+           + CAST(0.0 AS DOUBLE) * upper_ratio
+           + CAST(-1.8182 AS DOUBLE) * tok_len_scaled, 4)
+         > CAST(0.0 AS DOUBLE)) AS lr_keep
+FROM f
+"""
+
+
+@q("quality_classifier_scores", _CLASSIFIER_SQL)
+def quality_classifier_scores(spark, sf_dir):
+    """Model-based quality filter, serving side (operators/classify.py
+    lr_score with the frozen DEFAULT_WEIGHTS): five map-side quality
+    signals, a left-associated w.x logit, and the keep flag. All
+    integer-ratio arithmetic rounded to 4 dp before the dot product,
+    so DuckDB reproduces every double bit-for-bit."""
+    from sparktiles.operators.classify import quality_classifier
+
+    d = _t(spark, sf_dir, "documents")
+    return quality_classifier(d).select(
+        "doc_id", "stopword_ratio", "punct_ratio", "digit_ratio",
+        "upper_ratio", "tok_len_scaled", "lr_logit", "lr_keep")
+
+
+@q("quality_lr_train_weights")
+def quality_lr_train_weights(spark, sf_dir):
+    """Model-based quality filter, training side (rows-only check —
+    iterative gradient descent is not SQL-expressible): distill the
+    stopword/token-length band gate into linear weights. 40 full-batch
+    iterations, each ONE map-side-combined aggregate job over a
+    localCheckpointed 6-double/row frame. Returns (feature, weight)
+    rows, weights rounded to 2 dp (partition-order float-sum noise
+    sits far below that)."""
+    from sparktiles.operators.classify import (
+        FEATURE_COLS, lr_train, quality_features)
+
+    d = _t(spark, sf_dir, "documents")
+    feat = quality_features(d).withColumn(
+        "_lbl",
+        ((F.col("stopword_ratio") > 0.05)
+         & (F.col("tok_len_scaled") < 0.56)).cast("int"))
+    w = lr_train(feat, "_lbl", iters=40, lr=2.0)
+    names = ["bias"] + list(FEATURE_COLS)
+    return spark.createDataFrame(
+        [(n, float(round(v, 2))) for n, v in zip(names, w)],
+        "feature string, weight double")
