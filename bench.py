@@ -270,7 +270,7 @@ def main():
         "minhash_jaccard_verify", "dedup_keep_best",
         "winnowing_fingerprints", "dsir_importance", "bpe_pair_counts",
         "exact_group_quantiles",
-        "winnowing_overlap_pairs",
+        "winnowing_overlap_pairs", "quality_classifier_scores",
         "raster_tile_stats", "raster_polygonize_runs",
         "raster_pyramid_stats", "raster_merge_stats",
     ]:
