@@ -21,12 +21,20 @@ Stages
 5. quality_gate     Gopher repetition gate + CCNet per-lang ppl band
                     (head/middle kept, tail cut)
 6. decontaminate    benchmark 5-gram decontamination
-7. dsir_select      DSIR importance cut toward the head-band gram
+7. classifier_gate  FineWeb-Edu-shape model gate: distill the per-lang
+                    LM band (ppl_bucket == head) into a linear scorer
+                    on cheap surface features, trained ON this
+                    funnel's survivors (40 one-job GD iterations over
+                    a checkpointed 6-double/row frame), then keep
+                    positive logits — serving is one map-side
+                    projection. Runs before dsir, while head/middle
+                    is still balanced
+8. dsir_select      DSIR importance cut toward the head-band gram
                     profile (log_weight > 0)
-8. sample           stratified per-lang quota
-9. split            leakage-safe train/holdout split (whole near-dup
+9. sample           stratified per-lang quota
+10. split           leakage-safe train/holdout split (whole near-dup
                     components stay on one side); train side proceeds
-10. pack_1024       concat-and-chunk packing at a 1024-token budget
+11. pack_1024       concat-and-chunk packing at a 1024-token budget
 
 usage: python tools/funnel_bench.py [replicas] [cpus]
 writes BENCH_CURATION_FUNNEL.json
@@ -190,7 +198,28 @@ def main():
         return out, out.count()
     cur, n = stage("decontaminate", n, s_decontam)
 
-    # 7. DSIR importance selection toward the head-band gram profile:
+    # 7. model-based quality gate: the classifier is trained HERE, on
+    # the funnel's own survivors, to predict the expensive per-lang LM
+    # head band from five cheap surface signals — then applied as pure
+    # column math. It must run BEFORE dsir (which also selects toward
+    # head): head vs middle is ~balanced at this point (tail already
+    # cut), so a 0 logit threshold cuts real mass without emptying
+    # the funnel; after dsir the label is nearly all-positive and the
+    # gate would be vacuous.
+    def s_classifier():
+        from sparktiles.operators.classify import (lr_score, lr_train,
+                                                   quality_features)
+        feat = quality_features(cur).withColumn(
+            "_lbl", (F.col("ppl_bucket") == "head").cast("int"))
+        w = lr_train(feat, "_lbl", iters=40, lr=2.0)
+        result["classifier_weights"] = [round(x, 4) for x in w]
+        out = (lr_score(quality_features(cur), weights=w)
+               .where("lr_keep")
+               .select("doc_id", "text", "lang", "ppl_bucket").cache())
+        return out, out.count()
+    cur, n = stage("classifier_gate", n, s_classifier)
+
+    # 8. DSIR importance selection toward the head-band gram profile:
     # fit target (ppl_bucket = head survivors) vs raw bucket models on
     # the corpus itself and keep docs whose hashed-gram profile looks
     # MORE like the head band than like the average (log_weight > 0)
@@ -202,7 +231,7 @@ def main():
         return out, out.count()
     cur, n = stage("dsir_select", n, s_dsir)
 
-    # 8. stratified per-lang quota sample (rejoin text for the packer)
+    # 9. stratified per-lang quota sample (rejoin text for the packer)
     pre_sample = cur
 
     def s_sample():
