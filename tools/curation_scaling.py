@@ -108,9 +108,9 @@ def run_leg(cpus: int, replicas: int, ops: set[str]) -> dict:
     from sparktiles.operators.graph import dedup_keep_best
     from sparktiles.operators.text import (
         bpe_pair_counts, dsir_logweights, duplicate_window_fractions,
-        exactsubstr_cut, minhash_dedup, minhash_jaccard_verify,
-        pack_sequences, perplexity_buckets, repetition_signals,
-        winnowing_fingerprints)
+        exactsubstr_cut, kn_bigram_scores, minhash_dedup,
+        minhash_jaccard_verify, pack_sequences, perplexity_buckets,
+        repetition_signals, winnowing_fingerprints)
 
     spark = get_spark(f"curation-scaling-{cpus}", cpus=cpus)
     spark.sparkContext.setLogLevel("ERROR")
