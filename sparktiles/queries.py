@@ -4205,3 +4205,60 @@ def quality_lr_train_weights(spark, sf_dir):
     return spark.createDataFrame(
         [(n, float(round(v, 2))) for n, v in zip(names, w)],
         "feature string, weight double")
+
+
+# ================================================ Bloom incremental dedup
+
+_BLOOM_SQL = """
+WITH standing AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 0
+), batch AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM standing WHERE doc_id % 10 = 1
+), seeds AS (
+  SELECT UNNEST([0, 1, 2, 3]) AS i
+), bits AS (
+  SELECT DISTINCT
+    ('0x' || substr(md5(CAST(i AS VARCHAR) || text), 1, 15))::BIGINT
+      % 32768 AS pos
+  FROM standing, seeds
+), miss AS (
+  SELECT DISTINCT doc_id
+  FROM batch, seeds
+  WHERE ('0x' || substr(md5(CAST(i AS VARCHAR) || text), 1, 15))::BIGINT
+          % 32768
+        NOT IN (SELECT pos FROM bits)
+), sh AS (
+  SELECT DISTINCT md5(text) AS h FROM standing
+)
+SELECT b.doc_id,
+       (m.doc_id IS NULL) AS maybe_dup,
+       ((m.doc_id IS NULL) AND (s.h IS NOT NULL)) AS is_dup
+FROM batch b
+LEFT JOIN miss m ON b.doc_id = m.doc_id
+LEFT JOIN sh s ON md5(b.text) = s.h
+"""
+
+
+@q("bloom_dedup_incremental", _BLOOM_SQL)
+def bloom_dedup_incremental_q(spark, sf_dir):
+    """Bloom-filter incremental dedup (operators/sketch.py): a fresh
+    crawl batch checked against the STANDING corpus's fixed-size bit
+    sketch — map-only Arrow probe over the batch, exact md5 rescue
+    join over flagged docs only. Standing = docs with doc_id%4!=0;
+    batch = the doc_id%4==0 docs plus re-id'd replicas of every
+    standing doc with doc_id%10==1 (the true dups the sketch must
+    catch — Bloom guarantees zero false negatives, asserted in
+    tests/test_sketch.py). m=32768 bits, k=4 seeded-md5 hashes via
+    the repo's md5-integer idiom, so DuckDB reproduces every bit
+    position and therefore every flag."""
+    from sparktiles.operators.sketch import bloom_dedup_incremental
+
+    d = _t(spark, sf_dir, "documents")
+    standing = d.where(F.col("doc_id") % 4 != 0).select("doc_id", "text")
+    replicas = standing.where(F.col("doc_id") % 10 == 1).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    batch = (d.where(F.col("doc_id") % 4 == 0).select("doc_id", "text")
+             .unionAll(replicas))
+    return bloom_dedup_incremental(standing, batch, m_bits=32768, k=4)
