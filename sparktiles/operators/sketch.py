@@ -83,10 +83,14 @@ def bloom_sketch_bitmap(df: DataFrame, text_col: str = "text",
                         m_bits: int = DEFAULT_M_BITS,
                         k: int = DEFAULT_K) -> np.ndarray:
     """Materialize the sketch as a packed uint8 bitmap (m_bits/8
-    bytes). Bounded collect: ≤ m_bits longs cross to the driver once;
-    the bitmap is what gets broadcast."""
-    rows = bloom_bit_table(df, text_col, m_bits, k).collect()
-    pos = np.fromiter((r[0] for r in rows), dtype=np.int64, count=len(rows))
+    bytes). Bounded collect: ≤ m_bits longs cross to the driver once
+    (Arrow path — position tables in the millions land in seconds);
+    the bitmap is what gets broadcast. At cluster scale the same
+    bound holds per the sketch property; a mapPartitions bitmap-OR
+    reduce is the constant-memory alternative if even the position
+    table is unwelcome on the driver."""
+    pos = (bloom_bit_table(df, text_col, m_bits, k)
+           .toPandas()["pos"].to_numpy(dtype=np.int64))
     bm = np.zeros(m_bits >> 3, dtype=np.uint8)
     np.bitwise_or.at(bm, pos >> 3, np.left_shift(
         np.uint8(1), (pos & 7).astype(np.uint8)))

@@ -104,8 +104,10 @@ def corpus(spark, replicas: int):
 
 
 def run_leg(cpus: int, replicas: int, ops: set[str]) -> dict:
+    from pyspark.sql import functions as F
     from sparktiles.session import get_spark
     from sparktiles.operators.graph import dedup_keep_best
+    from sparktiles.operators.sketch import bloom_dedup_incremental
     from sparktiles.operators.text import (
         bpe_pair_counts, dsir_logweights, duplicate_window_fractions,
         exactsubstr_cut, kn_bigram_scores, minhash_dedup,
@@ -162,6 +164,14 @@ def run_leg(cpus: int, replicas: int, ops: set[str]) -> dict:
         # as ppl but with a bigram-count model build + probe; probes
         # whether the KN shape scales where unigram ppl is bus-bound
         "kn": lambda: kn_bigram_scores(docs, vocab_size=16),
+        # session-15: Bloom incremental dedup — sketch build (one
+        # bounded distinct) + zero-exchange Arrow probe + md5 rescue
+        # join; standing/batch split by replica index so even-r batch
+        # docs are true dups of standing copies (worst-case rescue)
+        "bloom": lambda: bloom_dedup_incremental(
+            docs.where(F.col("doc_id") % 4_000_000 >= 1_000_000),
+            docs.where(F.col("doc_id") % 4_000_000 < 1_000_000),
+            m_bits=1 << 24, k=4),
     }
     for name, fn in legs.items():
         if name not in ops:
@@ -175,7 +185,8 @@ def run_leg(cpus: int, replicas: int, ops: set[str]) -> dict:
 
 
 ALL_OPS = ("dup_window", "minhash", "gopher", "exactsubstr", "pack",
-           "ppl", "verify", "keepbest", "winnow", "dsir", "bpe", "kn")
+           "ppl", "verify", "keepbest", "winnow", "dsir", "bpe", "kn",
+           "bloom")
 
 
 def main():
