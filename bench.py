@@ -273,6 +273,7 @@ def main():
         "winnowing_overlap_pairs", "quality_classifier_scores",
         "raster_tile_stats", "raster_polygonize_runs",
         "raster_pyramid_stats", "raster_merge_stats",
+        "bloom_dedup_incremental",
     ]:
         fn = Q.QUERIES[name]
         dt, _ = min_of(
