@@ -874,7 +874,22 @@ def unigram_lm_scores(df: DataFrame, vocab_size: int = 1024,
     pattern as the IVF centroids — and the scoring pass references
     nothing but the token stream and a literal-backed broadcast:
     exactly two corpus scans total, no crossJoins, no repeated
-    sort-limit. Returns (doc_id, n_tokens, bits_per_token)."""
+    sort-limit.
+
+    The scoring probe itself is bandwidth-shaped (the 2v8 phase
+    ablation in BENCH.md measured it at ~0.3 in bus-starved windows),
+    so the per-token work is kept minimal: log2 is factored OUT of the
+    token stream onto the <= vocab_size model rows (computed by the
+    SAME JVM log2 expression on the same doubles, so per-token values
+    are bit-identical to the inline form), and the broadcast probe is
+    keyed on xxhash64(tok) longs — Spark builds a primitive
+    LongHashedRelation instead of a string-keyed UnsafeHashedRelation,
+    and the exploded stream carries (long, long) rows with no string
+    ever reaching the join. The hash never reaches operator output, so
+    only equality matters (the dup-window idiom); a vocab/corpus-type
+    collision needs ~1M types against 2^64 (p ~ 1e-13) and would be
+    caught by the cross-engine oracle. Returns
+    (doc_id, n_tokens, bits_per_token)."""
     spark = df.sparkSession
     toks = df.select(
         F.col(id_col).alias("doc_id"),
@@ -898,18 +913,22 @@ def unigram_lm_scores(df: DataFrame, vocab_size: int = 1024,
     vocab_df = spark.createDataFrame(
         [(r["tok"], int(r["cf"])) for r in vocab_rows] or
         [("", 0)], "tok string, cf long").where(F.col("cf") > 0)
+    # tail log2 through the same JVM expression as the model rows
+    tail_lp = spark.range(1).select(
+        F.log2(F.lit(tail_p)).alias("lp")).first()["lp"]
+    model = vocab_df.select(
+        F.xxhash64("tok").alias("_h"),
+        F.log2(F.col("cf").cast("double")
+               / F.lit(total).cast("long")).alias("_lp"))
     scored = (
-        toks.join(F.broadcast(vocab_df), "tok", "left")
-        .withColumn(
-            "_p",
-            F.when(
-                F.col("cf").isNotNull(),
-                F.col("cf").cast("double") / F.lit(total).cast("long"))
-            .otherwise(F.lit(tail_p)))
+        toks.select("doc_id", F.xxhash64("tok").alias("_h"))
+        .join(F.broadcast(model), "_h", "left")
+        .select("doc_id",
+                F.coalesce(F.col("_lp"), F.lit(tail_lp)).alias("_lp"))
     )
     return scored.groupBy("doc_id").agg(
         F.count("*").alias("n_tokens"),
-        F.round(-F.avg(F.log2("_p")), 4).alias("bits_per_token"),
+        F.round(-F.avg("_lp"), 4).alias("bits_per_token"),
     )
 
 
