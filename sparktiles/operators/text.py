@@ -1584,6 +1584,18 @@ def kn_bigram_scores(df: DataFrame, vocab_size: int = 1024,
     counts in one frame) is a broadcast; scoring is one probe + one
     map-side-combined groupBy(doc). No Python UDFs anywhere.
 
+    Like the unigram probe, every join in the token stream is keyed
+    on xxhash64 LONGS, not strings (LongHashedRelation probes; the
+    stream after the raw explode carries only longs): tokens become
+    hash ids with BOS/UNK as hashed sentinels, the bigram tables key
+    on xxhash64(v_id, w_id), and the full KN probability — including
+    its log2 — is precomputed per MODEL row by the identical JVM
+    expression chain, so the per-token work in scan C is two string
+    hashes, three long probes and one avg. Hash ids also key scan
+    B's counts, so a 64-bit collision would merge two types on both
+    sides consistently; at ~1M types p ~ 1e-13, and the cross-engine
+    oracle (string-keyed DuckDB) would catch it.
+
     Sentinels are chr(2) (BOS) and chr(1) (UNK); corpus text is
     assumed control-character-free (the reference's extracted text
     is). Returns (doc_id, n_tokens, bits_per_token) rounded to 4 dp.
@@ -1594,16 +1606,27 @@ def kn_bigram_scores(df: DataFrame, vocab_size: int = 1024,
     # -- scan A: vocab by corpus frequency (sort-limit, bounded rows;
     # localCheckpoint because FOUR lazy references follow — the two
     # broadcast probes in each of scans B and C would otherwise each
-    # re-derive the sort-limit from a fresh corpus scan)
+    # re-derive the sort-limit from a fresh corpus scan). Kept as
+    # hash ids only: strings never leave scan A.
     toks = df.select(F.explode(arr).alias("tok"))
     vocab_df = (toks.groupBy("tok").agg(F.count("*").alias("cf"))
                 .orderBy(F.col("cf").desc(), F.col("tok").asc())
-                .limit(vocab_size).select("tok").localCheckpoint())
+                .limit(vocab_size)
+                .select(F.xxhash64("tok").alias("_h"))
+                .localCheckpoint())
+    spark = df.sparkSession
+    sent = spark.range(1).select(
+        F.xxhash64(F.lit(bos)).alias("hb"),
+        F.xxhash64(F.lit(unk)).alias("hu")).first()
+    h_bos, h_unk = int(sent["hb"]), int(sent["hu"])
 
     def bigram_stream(frame):
-        """(doc_id, v, w) per token — built map-side, UNK-mapped via
-        two broadcast probes. Each token of a doc is predicted once;
-        the first is conditioned on BOS."""
+        """(doc_id, v, w) hash-id pair per token — built map-side,
+        UNK-mapped via two broadcast long probes. Each token of a doc
+        is predicted once; the first is conditioned on BOS. The pair
+        array stays strings through the (already-HOF) zip_with and is
+        hashed AFTER the explode, in the codegen'd stream — not via a
+        second interpreted per-element HOF (session-12b lesson)."""
         n = F.size(F.col("_a"))
         av = F.concat(F.array(F.lit(bos)), F.col("_a"))
         pairs = F.zip_with(
@@ -1613,22 +1636,23 @@ def kn_bigram_scores(df: DataFrame, vocab_size: int = 1024,
                .select(F.col(id_col).alias("doc_id"), arr.alias("_a"))
                .where(F.size("_a") > 0)
                .select("doc_id", F.explode(pairs).alias("_p"))
-               .select("doc_id", F.col("_p.v_raw").alias("v_raw"),
-                       F.col("_p.w_raw").alias("w_raw")))
-        vv = vocab_df.select(F.col("tok").alias("v_raw"),
+               .select("doc_id",
+                       F.xxhash64(F.col("_p.v_raw")).alias("hv"),
+                       F.xxhash64(F.col("_p.w_raw")).alias("hw")))
+        vv = vocab_df.select(F.col("_h").alias("hv"),
                              F.lit(True).alias("_inv"))
-        vw = vocab_df.select(F.col("tok").alias("w_raw"),
+        vw = vocab_df.select(F.col("_h").alias("hw"),
                              F.lit(True).alias("_inw"))
         return (big
-                .join(F.broadcast(vv), "v_raw", "left")
-                .join(F.broadcast(vw), "w_raw", "left")
+                .join(F.broadcast(vv), "hv", "left")
+                .join(F.broadcast(vw), "hw", "left")
                 .select(
                     "doc_id",
-                    F.when(F.col("v_raw") == bos, F.lit(bos))
-                    .when(F.col("_inv"), F.col("v_raw"))
-                    .otherwise(F.lit(unk)).alias("v"),
-                    F.when(F.col("_inw"), F.col("w_raw"))
-                    .otherwise(F.lit(unk)).alias("w")))
+                    F.when(F.col("hv") == h_bos, F.lit(h_bos))
+                    .when(F.col("_inv"), F.col("hv"))
+                    .otherwise(F.lit(h_unk)).alias("v"),
+                    F.when(F.col("_inw"), F.col("hw"))
+                    .otherwise(F.lit(h_unk)).alias("w")))
 
     # -- scan B: the KN count tables (all derived from c_vw, which is
     # bounded by the capped vocab, then assembled into one broadcast)
@@ -1651,21 +1675,29 @@ def kn_bigram_scores(df: DataFrame, vocab_size: int = 1024,
         c_vw.unpersist(blocking=False)
     d = float(discount)
     nb = float(n_bigrams) if n_bigrams else 1.0
-    # -- scan C: probe + score; arithmetic order mirrors the SQL
-    # oracle exactly (greatest-diff / c_v, then the lambda term)
+    # -- scan C: probe + score. The full KN probability AND its log2
+    # are precomputed per MODEL row with the exact arithmetic order
+    # the SQL oracle uses (greatest-diff / c_v, then the lambda term)
+    # — same JVM expressions on the same doubles, so per-token values
+    # are bit-identical to the inline form; the token stream carries
+    # one long key and fetches one double.
+    scored_model = (
+        model.select(
+            F.xxhash64("v", "w").alias("_hm"),
+            F.log2(
+                F.greatest(F.col("c_vw").cast("double") - F.lit(d),
+                           F.lit(0.0)) / F.col("c_v").cast("double")
+                + F.lit(d) * F.col("n1p_v").cast("double")
+                / F.col("c_v").cast("double")
+                * (F.col("n1p_w").cast("double") / F.lit(nb))
+            ).alias("_lp")))
     return (
-        bigram_stream(df).join(F.broadcast(model), ["v", "w"])
-        .withColumn(
-            "_p",
-            F.greatest(F.col("c_vw").cast("double") - F.lit(d),
-                       F.lit(0.0)) / F.col("c_v").cast("double")
-            + F.lit(d) * F.col("n1p_v").cast("double")
-            / F.col("c_v").cast("double")
-            * (F.col("n1p_w").cast("double") / F.lit(nb)))
+        bigram_stream(df)
+        .select("doc_id", F.xxhash64("v", "w").alias("_hm"))
+        .join(F.broadcast(scored_model), "_hm")
         .groupBy("doc_id").agg(
             F.count("*").alias("n_tokens"),
-            F.round(-F.avg(F.log2("_p")), 4)
-            .alias("bits_per_token")))
+            F.round(-F.avg("_lp"), 4).alias("bits_per_token")))
 
 
 # Mojibake repairs (UTF-8 bytes mis-decoded as cp1252 -- the ftfy
