@@ -12,6 +12,9 @@ engine's forward-looking streaming surface for the same corpus shape:
   operator — accumulates per-url mention counts across micro-batches
 - streaming_dedup: watermark-bounded content dedup for crawl ingest
   (dropDuplicatesWithinWatermark over md5(text) — bounded state)
+- streaming_bloom_dedup: cross-crawl dedup of the ingest stream
+  against a STANDING corpus's bounded Bloom sketch (map-only probe;
+  only the flagged slice enters the exact rescue join)
 """
 
 from __future__ import annotations
@@ -106,3 +109,44 @@ def streaming_dedup(spark: SparkSession, path: str,
         .withWatermark("warc_ts", watermark)
         .dropDuplicatesWithinWatermark(["content_hash"])
     )
+
+
+def streaming_bloom_dedup(spark: SparkSession, path: str,
+                          standing: DataFrame, text_col: str = "text",
+                          m_bits: int = 1 << 20, k: int = 4) -> DataFrame:
+    """Cross-crawl streaming dedup against a STANDING corpus — the
+    streaming twin of operators/sketch.py::bloom_dedup_incremental
+    (streaming_dedup above handles within-stream re-crawls; this
+    handles "already in last year's curated corpus").
+
+    The standing corpus is summarized ONCE at job start into the
+    bounded Bloom bitmap (<= m_bits/8 bytes however large the corpus)
+    and broadcast; every micro-batch is flagged by the same
+    vectorized map-only probe as the batch op. Zero false negatives
+    means no standing duplicate ever survives; the false-positive
+    slice is rescued by an exact md5 stream-static left join that
+    ONLY the flagged rows enter — the unflagged stream (the vast
+    majority of a fresh crawl) is unioned back without touching any
+    join, so per micro-batch the shuffle-side work is
+    O(fp_rate x batch + true dups), not O(batch). At 10^12 standing
+    docs the `seen` side is a bucketed hash table; the sketch's job
+    is exactly to keep the probe side of that join tiny.
+    """
+    from sparktiles.operators.sketch import (bloom_probe_flag,
+                                             bloom_sketch_bitmap)
+
+    bitmap = bloom_sketch_bitmap(standing, text_col, m_bits, k)
+    seen = standing.select(F.md5(text_col).alias("_seen_h")).distinct()
+
+    pages = spark.readStream.schema(PAGE_SCHEMA).parquet(path)
+    flagged = bloom_probe_flag(pages, bitmap, text_col, m_bits, k,
+                               flag_col="_maybe")
+    fresh = flagged.where(~F.col("_maybe")).drop("_maybe")
+    rescued = (
+        flagged.where(F.col("_maybe"))
+        .withColumn("_h", F.md5(text_col))
+        .join(seen, F.col("_h") == F.col("_seen_h"), "left")
+        .where(F.col("_seen_h").isNull())
+        .drop("_maybe", "_h", "_seen_h")
+    )
+    return fresh.unionByName(rescued)

@@ -275,3 +275,27 @@ def test_streaming_dedup(spark, page_dir, tmp_path):
     n_distinct = base.select(F.md5("text")).distinct().count()
     assert got.count() == n_distinct
     assert got.distinct().count() == n_distinct
+
+
+def test_streaming_bloom_dedup(spark, page_dir, tmp_path):
+    """Re-crawl stream vs a standing corpus: every standing duplicate
+    is dropped (zero false negatives), every genuinely-new page
+    survives (the exact rescue join removes Bloom false positives —
+    m_bits is deliberately tiny so FPs actually occur)."""
+    from sparktiles.streaming.jobs import streaming_bloom_dedup
+
+    standing = spark.read.parquet(page_dir)
+    new = (standing.limit(100)
+           .withColumn("text", F.concat(F.lit("NEW "), F.col("text")))
+           .withColumn("url", F.concat(F.lit("http://new/"), F.col("url"))))
+    crawl_dir = str(tmp_path / "recrawl")
+    standing.unionByName(new).write.mode("overwrite").parquet(crawl_dir)
+
+    out = streaming_bloom_dedup(spark, crawl_dir, standing,
+                                m_bits=4096, k=2)
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName("sbloom").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("SELECT url, text FROM sbloom")
+    assert got.count() == 100
+    assert got.where(~F.col("text").startswith("NEW ")).count() == 0
