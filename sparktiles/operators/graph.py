@@ -99,20 +99,118 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
         f"connected_components did not converge in {max_iter} rounds")
 
 
+def connected_components_star(edges: DataFrame, src: str = "src",
+                              dst: str = "dst", max_iter: int = 50,
+                              reliable: bool = False) -> DataFrame:
+    """(node, component) via large-star/small-star alternation
+    (Kiveris et al. 2014, "Connected Components in MapReduce and
+    Beyond", Algorithm 2 "two-phase") — same output contract as
+    `connected_components` (component = min node id), different cost
+    shape:
+
+    * hash-min pays (edges ⋈ labels) + groupBy + (labels ⋈ mins) per
+      round over the FULL edge set — three exchanges of m rows every
+      round until the last diameter hop resolves.
+    * star rounds never touch a labels table: each phase is ONE
+      window-min over the current edge set partitioned by source
+      (plus a distinct to fold the rewired duplicates), and the edge
+      set itself CONTRACTS toward the n-1 star edges as subtrees hook
+      onto their minimum — later rounds shuffle less, not the same.
+
+    Phases (edges kept oriented larger -> smaller throughout):
+      large-star(v): connect every strictly larger neighbor of v to
+        m = min(N(v) ∪ {v}) — splits hot nodes, preserves
+        connectivity, strictly decreases sum of neighbor ids.
+      small-star(v): connect v and all its smaller neighbors to
+        m = min(N_small(v) ∪ {v}) — forms the stars.
+    Fixpoint (edge set unchanged over a full round, checked with a
+    count + xxhash64 checksum, no full comparison join) implies every
+    edge is (node, component-min): Kiveris Thm 1-2.
+
+    Skew note: a window partitioned by node key puts one node's whole
+    neighborhood on one task — the same reduce-key skew the MR
+    original has; large-star is precisely the step that breaks such
+    hubs apart (each round re-homes the hub's larger neighbors onto
+    its min), so the skew self-heals in O(1) rounds rather than
+    needing salting."""
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    nodes = (
+        e.select(F.col("a").alias("node"))
+        .union(e.select(F.col("b").alias("node")))
+        .distinct()
+    )
+    cur = (
+        e.where(F.col("a") != F.col("b"))
+        .select(F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b"))
+        .distinct()
+    )
+    cur = cur.checkpoint() if reliable else cur.localCheckpoint()
+
+    def _checksum(df: DataFrame):
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal(38) sum: immune to ANSI long-overflow on the hash fold
+            F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    from pyspark.sql.window import Window
+
+    prev = _checksum(cur)
+    for _ in range(max_iter):
+        # -------- large-star: min over the SYMMETRIC neighborhood
+        sym = cur.union(cur.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        m = F.least(F.min("b").over(Window.partitionBy("a")), F.col("a"))
+        cur = (
+            sym.withColumn("m", m)
+            .where(F.col("b") > F.col("a"))  # rewire larger neighbors only
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .distinct()
+        )
+        # -------- small-star: edges all point larger -> smaller here,
+        # so min(N_small ∪ {a}) = plain window min of b
+        ss = cur.withColumn("m", F.min("b").over(Window.partitionBy("a")))
+        cur = (
+            ss.where(F.col("b") != F.col("m"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .union(ss.select("a", F.col("m").alias("b")))
+            .distinct()
+        )
+        cur = cur.checkpoint() if reliable else cur.localCheckpoint()
+        sig = _checksum(cur)
+        if sig == prev:
+            return (
+                nodes.join(cur.select(F.col("a").alias("node"),
+                                      F.col("b").alias("_c")), "node", "left")
+                .select("node",
+                        F.coalesce("_c", F.col("node")).alias("component"))
+            )
+        prev = sig
+    raise RuntimeError(
+        f"connected_components_star did not converge in {max_iter} rounds")
+
+
 def minhash_dedup_cc(df: DataFrame, n_hashes: int = 8, band_size: int = 2,
-                     text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+                     text_col: str = "text", id_col: str = "doc_id",
+                     algorithm: str = "star") -> DataFrame:
     """Transitively-closed near-dup mapping: doc_id -> min doc_id of
     its whole duplicate *component* (vs `minhash_dedup`, which stops
     at one bucket hop). Star edges member->bucket-canonical keep the
     edge list linear in bucket membership — never the O(k^2) pairs of
-    a bucket explosion."""
+    a bucket explosion.
+
+    algorithm: "star" (default — large-star/small-star, measured 1.35×
+    faster than hash-min on the 800k-doc funnel dup structure with
+    label-identical output, BENCH_CC_AB.json) or "hashmin"."""
     from sparktiles.operators.text import lsh_buckets, minhash_signatures
 
     sigs = minhash_signatures(df, n_hashes, text_col, id_col)
     buckets = lsh_buckets(sigs, band_size)
     edges = buckets.where(F.col("bucket_size") > 1).select(
         F.explode("members").alias("src"), F.col("canonical_id").alias("dst"))
-    cc = connected_components(edges)
+    close = (connected_components_star if algorithm == "star"
+             else connected_components)
+    cc = close(edges)
     return cc.select(F.col("node").alias(id_col),
                      F.col("component").alias("canonical_id"))
 

@@ -476,6 +476,54 @@ def test_connected_components_self_loop_only_node(spark):
     assert got == {5: 5, 1: 1, 2: 1}
 
 
+def _cc_cases():
+    """Adversarial edge lists for the star-vs-hashmin equivalence sweep."""
+    import random
+
+    cases = {
+        # deep path (diameter 63 — multiple star rounds) with the min
+        # in the MIDDLE, so both directions must propagate
+        "deep_path": [(i, i + 1) for i in range(1000, 1063)]
+        + [(1031, 7)],
+        "cycle": [(i, (i + 1) % 17) for i in range(17)],
+        "hub": [(999, i) for i in range(50)],  # hot-key star, min at leaf 0
+        "self_loops": [(5, 5), (1, 2), (9, 9)],
+        "two_cliques_bridge": [(a, b) for a in range(10, 15)
+                               for b in range(10, 15) if a < b]
+        + [(a, b) for a in range(20, 25) for b in range(20, 25) if a < b]
+        + [(14, 20)],
+    }
+    rng = random.Random(42)
+    for name, n, m in (("sparse_rand", 200, 120), ("dense_rand", 60, 300)):
+        cases[name] = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+    return cases
+
+
+def test_connected_components_star_matches_hashmin(spark):
+    """large-star/small-star must produce the identical (node -> min id)
+    mapping as hash-min label propagation on every adversarial shape."""
+    from sparktiles.operators.graph import (connected_components,
+                                            connected_components_star)
+
+    for name, pairs in _cc_cases().items():
+        edges = spark.createDataFrame(pairs, "src long, dst long")
+        ref = {r["node"]: r["component"]
+               for r in connected_components(edges).collect()}
+        got = {r["node"]: r["component"]
+               for r in connected_components_star(edges).collect()}
+        assert got == ref, f"case {name}: star != hashmin"
+
+
+def test_connected_components_star_string_ids(spark):
+    from sparktiles.operators.graph import connected_components_star
+
+    edges = spark.createDataFrame(
+        [("b", "c"), ("c", "a"), ("x", "y")], "src string, dst string")
+    got = {r["node"]: r["component"]
+           for r in connected_components_star(edges).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
 def test_remove_boilerplate_lines_hand_example(spark):
     mk = lambda i, dom, *ls: (i, dom, "\n".join(ls))
     rows = [
