@@ -5,8 +5,9 @@ sparktiles/queries.py):
 - exact_dedup          hash-groupBy on content
 - minhash_signatures / lsh_buckets / minhash_dedup
                        shingle -> minhash -> band -> bucket-join;
-                       portable minhash = lexicographic min of seeded
-                       md5 so any engine reproduces the signatures
+                       portable minhash = min of 8-hex slices of a
+                       seeded md5 digest (4 lanes per digest) so any
+                       engine reproduces the signatures
 - simhash              64-bit simhash over token hashes (xxhash64
                        JVM-side; hamming-distance candidate pairs via
                        band buckets)
@@ -86,22 +87,41 @@ def shingles_with_multiplicity(df: DataFrame, text_col: str = "text",
 
 def minhash_signatures(df: DataFrame, n_hashes: int = 8, text_col: str = "text",
                        id_col: str = "doc_id", k: int = 3) -> DataFrame:
-    """Portable minhash: h_i(doc) = min over shingles of md5(i || s).
+    """Portable minhash via digest splitting: one md5 digest per FOUR
+    hash lanes — digest_d(s) = md5(d || s), h_i(doc) = min over
+    shingles of the i-th 8-hex (32-bit) slice of digest_{i//4}.
 
-    One shuffle, and a near-empty one: min over the shingle MULTISET
-    equals min over the distinct set, so the `.distinct()` the first
-    version ran (a full exchange of raw shingle text) is dropped —
-    the md5s are folded by a codegen'd hash aggregate whose map-side
-    partial combine collapses the exchange to one 8-hash row per doc
-    per partition. (A shuffle-free variant folding the mins row-
-    locally with F.aggregate was µbenched and rejected: interpreted
-    HOF + per-element struct allocation lost to whole-stage codegen
-    both in absolute time and in 2v8 scaling, 0.90 vs 0.93.)"""
+    Why slices, not one md5 per lane: the digest is the map-side cost
+    (measured 8→2 md5 calls per shingle ≈ the whole signatures job at
+    corpus scale, BENCH.md session 16), md5's 128 bits are independent
+    lanes by construction (the standard one-permutation/digest-split
+    minhash family), and 32 bits per lane keeps the min-collision
+    probability negligible at per-doc shingle counts. Lexicographic
+    min over lowercase-hex slices == numeric min of the 32-bit lane in
+    BOTH Spark and DuckDB, so the oracle stays expressible as
+    substr(md5(d || s), 1 + 8*lane, 8).
+
+    The digests are computed in a PROJECTION before the groupBy (one
+    md5 per digest per shingle, guaranteed — not left to the
+    aggregate's subexpression elimination), then the slices fold
+    through a codegen'd hash aggregate whose map-side partial combine
+    collapses the exchange to one 8-slice row per doc per partition;
+    min over the shingle MULTISET equals min over the distinct set,
+    so there is still no distinct exchange. (A shuffle-free variant
+    folding the mins row-locally with F.aggregate was µbenched and
+    rejected: interpreted HOF + per-element struct allocation lost to
+    whole-stage codegen both in absolute time and in 2v8 scaling,
+    0.90 vs 0.93.)"""
     sh = shingles_with_multiplicity(df, text_col, id_col, k)
-    return sh.groupBy("doc_id").agg(
-        *[F.min(F.md5(F.concat(F.lit(str(i)), F.col("s")))).alias(f"h{i}")
-          for i in range(n_hashes)]
-    )
+    n_digests = (n_hashes + 3) // 4
+    digests = [F.md5(F.concat(F.lit(str(d)), F.col("s"))).alias(f"_d{d}")
+               for d in range(n_digests)]
+    lanes = sh.select("doc_id", *digests).select(
+        "doc_id",
+        *[F.substring(F.col(f"_d{i // 4}"), 1 + 8 * (i % 4), 8).alias(f"h{i}")
+          for i in range(n_hashes)])
+    return lanes.groupBy("doc_id").agg(
+        *[F.min(f"h{i}").alias(f"h{i}") for i in range(n_hashes)])
 
 
 def lsh_buckets(sigs: DataFrame, band_size: int = 2) -> DataFrame:

@@ -875,8 +875,10 @@ WITH toks AS (
   FROM idx
 ), sigs AS (
   SELECT doc_id,
-         MIN(md5('0' || s)) AS h0, MIN(md5('1' || s)) AS h1,
-         MIN(md5('2' || s)) AS h2, MIN(md5('3' || s)) AS h3
+         MIN(substr(md5('0' || s), 1, 8)) AS h0,
+         MIN(substr(md5('0' || s), 9, 8)) AS h1,
+         MIN(substr(md5('0' || s), 17, 8)) AS h2,
+         MIN(substr(md5('0' || s), 25, 8)) AS h3
   FROM shingles GROUP BY doc_id
 )
 SELECT h0 || h1 AS band0, h2 || h3 AS band1,
@@ -888,7 +890,7 @@ FROM sigs GROUP BY band0, band1
 @q("dedup_minhash_lsh", _MINHASH_SQL)
 def dedup_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-dup buckets: 3-token shingles -> 4 portable
-    minhashes (lexicographic min of seeded md5) -> 2 band signatures ->
+    minhashes (min of 8-hex slices of a seeded md5 digest) -> 2 band signatures ->
     bucket table. Docs sharing a band signature are near-dup candidates
     (the bucket-join side of the classic shingle->minhash->band->bucket
     pipeline). Signature generation is the operator's map-only
@@ -2308,10 +2310,14 @@ WITH toks AS (
   FROM idx
 ), sigs AS (
   SELECT doc_id,
-         MIN(md5('0' || s)) AS h0, MIN(md5('1' || s)) AS h1,
-         MIN(md5('2' || s)) AS h2, MIN(md5('3' || s)) AS h3,
-         MIN(md5('4' || s)) AS h4, MIN(md5('5' || s)) AS h5,
-         MIN(md5('6' || s)) AS h6, MIN(md5('7' || s)) AS h7
+         MIN(substr(md5('0' || s), 1, 8)) AS h0,
+         MIN(substr(md5('0' || s), 9, 8)) AS h1,
+         MIN(substr(md5('0' || s), 17, 8)) AS h2,
+         MIN(substr(md5('0' || s), 25, 8)) AS h3,
+         MIN(substr(md5('1' || s), 1, 8)) AS h4,
+         MIN(substr(md5('1' || s), 9, 8)) AS h5,
+         MIN(substr(md5('1' || s), 17, 8)) AS h6,
+         MIN(substr(md5('1' || s), 25, 8)) AS h7
   FROM shingles GROUP BY doc_id
 ), bands AS (
   SELECT doc_id, 0 AS band, h0 || h1 AS sig FROM sigs
@@ -2356,10 +2362,14 @@ WITH RECURSIVE toks AS (
   FROM idx
 ), sigs AS (
   SELECT doc_id,
-         MIN(md5('0' || s)) AS h0, MIN(md5('1' || s)) AS h1,
-         MIN(md5('2' || s)) AS h2, MIN(md5('3' || s)) AS h3,
-         MIN(md5('4' || s)) AS h4, MIN(md5('5' || s)) AS h5,
-         MIN(md5('6' || s)) AS h6, MIN(md5('7' || s)) AS h7
+         MIN(substr(md5('0' || s), 1, 8)) AS h0,
+         MIN(substr(md5('0' || s), 9, 8)) AS h1,
+         MIN(substr(md5('0' || s), 17, 8)) AS h2,
+         MIN(substr(md5('0' || s), 25, 8)) AS h3,
+         MIN(substr(md5('1' || s), 1, 8)) AS h4,
+         MIN(substr(md5('1' || s), 9, 8)) AS h5,
+         MIN(substr(md5('1' || s), 17, 8)) AS h6,
+         MIN(substr(md5('1' || s), 25, 8)) AS h7
   FROM shingles GROUP BY doc_id
 ), bands AS (
   SELECT doc_id, 0 AS band, h0 || h1 AS sig FROM sigs
@@ -3420,10 +3430,14 @@ WITH toks AS (
   FROM idx
 ), sigs AS (
   SELECT doc_id,
-         MIN(md5('0' || s)) AS h0, MIN(md5('1' || s)) AS h1,
-         MIN(md5('2' || s)) AS h2, MIN(md5('3' || s)) AS h3,
-         MIN(md5('4' || s)) AS h4, MIN(md5('5' || s)) AS h5,
-         MIN(md5('6' || s)) AS h6, MIN(md5('7' || s)) AS h7
+         MIN(substr(md5('0' || s), 1, 8)) AS h0,
+         MIN(substr(md5('0' || s), 9, 8)) AS h1,
+         MIN(substr(md5('0' || s), 17, 8)) AS h2,
+         MIN(substr(md5('0' || s), 25, 8)) AS h3,
+         MIN(substr(md5('1' || s), 1, 8)) AS h4,
+         MIN(substr(md5('1' || s), 9, 8)) AS h5,
+         MIN(substr(md5('1' || s), 17, 8)) AS h6,
+         MIN(substr(md5('1' || s), 25, 8)) AS h7
   FROM shingles GROUP BY doc_id
 ), bands AS (
   SELECT doc_id, 0 AS band, h0 || h1 AS sig FROM sigs
@@ -3481,10 +3495,14 @@ WITH RECURSIVE toks AS (
   FROM idx
 ), sigs AS (
   SELECT doc_id,
-         MIN(md5('0' || s)) AS h0, MIN(md5('1' || s)) AS h1,
-         MIN(md5('2' || s)) AS h2, MIN(md5('3' || s)) AS h3,
-         MIN(md5('4' || s)) AS h4, MIN(md5('5' || s)) AS h5,
-         MIN(md5('6' || s)) AS h6, MIN(md5('7' || s)) AS h7
+         MIN(substr(md5('0' || s), 1, 8)) AS h0,
+         MIN(substr(md5('0' || s), 9, 8)) AS h1,
+         MIN(substr(md5('0' || s), 17, 8)) AS h2,
+         MIN(substr(md5('0' || s), 25, 8)) AS h3,
+         MIN(substr(md5('1' || s), 1, 8)) AS h4,
+         MIN(substr(md5('1' || s), 9, 8)) AS h5,
+         MIN(substr(md5('1' || s), 17, 8)) AS h6,
+         MIN(substr(md5('1' || s), 25, 8)) AS h7
   FROM shingles GROUP BY doc_id
 ), bands AS (
   SELECT doc_id, 0 AS band, h0 || h1 AS sig FROM sigs
