@@ -712,21 +712,19 @@ def normalize_layer_df(features: DataFrame, spec,
     if spec.geometry_kind == "point":
         mvt_buffer = int(spec.extent * spec.buffer_px / 256)
         feats = with_point_tile_coords(features, spec.extent, mvt_buffer)
-        if cap:
+        if cap and _kernel_cap(spec) is None:
             # identical window to _prep_layer_features (pre-normalize,
-            # so ordering columns are still raw). The multi-layer spine
-            # keeps the window for every cap: per-layer sub-groups live
-            # inside one zxy group, so the single-layer paths' group
-            # compaction can't apply (the kernel slice then no-ops)
-            from pyspark.sql.window import Window
-
+            # so ordering columns are still raw). Key-ordered caps
+            # skip this entirely — the spine's grouped pass compacts
+            # per (tile, layer) run (grouped_map_sorted layer_caps) +
+            # kernel slice; only importance/keyless selections, whose
+            # order differs from the encode sort, need the window
+            # (salted two-level for keyed layers, see _capped_window)
             order = []
             if spec.importance_col:
                 order.append(F.desc(spec.importance_col))
             order.append(F.col(key_field or needed[-1]))
-            w = Window.partitionBy("zxy").orderBy(*order)
-            feats = (feats.withColumn("_dr", F.row_number().over(w))
-                     .where(F.col("_dr") <= cap).drop("_dr"))
+            feats = _capped_window(feats, cap, order)
         return _normalize_point_prepped(feats, spec, n_vals)
 
     if fused:
@@ -739,23 +737,51 @@ def normalize_layer_df(features: DataFrame, spec,
     return _normalized_cap(norm, spec)
 
 
-def _normalized_cap(norm: DataFrame, spec) -> DataFrame:
-    """Density cap over already-normalized rows (the fused paths' cap):
-    per-zxy window ordered by importance desc then the tie-break."""
-    cap = spec.max_features_per_tile
-    if cap:
-        from pyspark.sql.window import Window
+def _capped_window(df: DataFrame, cap: int, order) -> DataFrame:
+    """row_number()<=cap per zxy for selection orders the encode sort
+    can't reproduce (importance desc / keyless tie-break).
 
+    Hot-tile skew is already bounded by the physical plan, not by us:
+    Spark 4 rewrites rank<=K filters into `WindowGroupLimit ...
+    Partial` BEFORE the exchange (verified in the formatted plan,
+    tests/test_multilayer_fused.py) — each map task locally keeps at
+    most `cap` rows per tile, so the window task for the z0 tile of a
+    10^10-feature corpus receives <= cap x upstream-partitions rows,
+    never the raw row set. The window's zxy hashpartitioning is then
+    REUSED by the grouped encode when no explicit partition count is
+    forced: one Exchange for cap + encode combined. (A hand-rolled
+    salted two-level window was measured strictly worse: it doubles
+    the exchanges while WindowGroupLimit already prunes map-side.)"""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("zxy").orderBy(*order)
+    return (df.withColumn("_dr", F.row_number().over(w))
+            .where(F.col("_dr") <= cap).drop("_dr"))
+
+
+def _normalized_cap(norm: DataFrame, spec) -> DataFrame:
+    """Density cap over already-normalized rows (the fused paths' cap).
+
+    Key-ordered caps (keyed, no importance) are NOT windowed here at
+    all: the spine's grouped pass applies them via per-(tile, layer)
+    batch compaction + kernel slice (assemble_normalized /
+    grouped_map_sorted layer_caps) — same selection, zero extra
+    exchanges, hot-group memory bounded. Importance and keyless caps
+    need a selection order different from the encode sort, so they
+    keep the pre-exchange window: per-zxy row_number ordered by
+    importance desc then the tie-break; salted two-level for keyed
+    layers (see _capped_window)."""
+    cap = spec.max_features_per_tile
+    if cap and _kernel_cap(spec) is None:
         order = []
         if spec.importance_col:
             order.append(F.desc("_imp"))
         # keyed layers: _sk IS the key column; keyless: _sk is constant
         # 0, so order by the carried raw tie-break column instead
         # (mirrors _prep_layer_features' `key_field or needed[-1]`)
-        order.append(F.col("_ord" if "_ord" in norm.columns else "_sk"))
-        w = Window.partitionBy("zxy").orderBy(*order)
-        norm = (norm.withColumn("_dr", F.row_number().over(w))
-                .where(F.col("_dr") <= cap).drop("_dr"))
+        keyed = "_ord" not in norm.columns
+        order.append(F.col("_sk" if keyed else "_ord"))
+        norm = _capped_window(norm, cap, order)
     for aux in ("_imp", "_ord"):
         if aux in norm.columns:
             norm = norm.drop(aux)
@@ -841,10 +867,19 @@ def assemble_normalized(norm: DataFrame, specs,
             blob = C.gzip_blob(blob, gzip_level)
         return [(z, tx, ty, blob, hashlib.md5(blob).hexdigest())]
 
+    # key-ordered density caps run entirely in this pass: per-(tile,
+    # layer) batch compaction inside grouped_map_sorted bounds Arrow +
+    # held-group memory for hot tiles (the z0 group = the whole
+    # corpus), and the kernel's je slice above is the final authority.
+    # No cap window, no extra exchange — the build keeps ONE Exchange
+    # (plan-asserted) capped or not.
+    layer_caps = {spec.index: _kernel_cap(spec) for spec in specs
+                  if _kernel_cap(spec) is not None}
     return grouped_map_sorted(
         norm, ["zxy"], tile,
         "z int, x long, y long, mvt binary, tile_id string",
         sort_extra=["_li", "_sk"],
+        layer_caps=layer_caps or None,
     )
 
 
@@ -859,6 +894,7 @@ def grouped_map_sorted(
     sort_extra: list[str] | None = None,
     prep=None,
     group_cap: int | None = None,
+    layer_caps: dict[int, int] | None = None,
 ):
     """applyInPandas-equivalent with per-BATCH (not per-group) Python
     overhead: repartition on the keys, sort within partitions, then
@@ -885,6 +921,15 @@ def grouped_map_sorted(
     millions of rows it then slices away. The held-back partial group
     is capped too (its continuation rows sort later, so the first N of
     the partial prefix are final).
+
+    `layer_caps`: the multi-layer twin of group_cap — {_li value:
+    cap}. Rows are sorted (key, _li, _sk), so each (group, layer) run
+    is contiguous and its first `cap` rows ARE the key-ordered cap's
+    selection; runs of layers absent from the dict are kept whole.
+    Complete groups compact per-run before prep; the held partial
+    group is re-compacted after every appended batch, so a capped hot
+    group spanning B batches holds O(sum(caps)) rows, not O(rows).
+    Mutually exclusive with group_cap.
     """
     import pandas as pd
 
@@ -932,6 +977,56 @@ def grouped_map_sorted(
         new_starts = np.concatenate([[0], new_ends[:-1]])
         return arrs, new_starts, new_ends
 
+    if group_cap is not None and layer_caps is not None:
+        raise ValueError("group_cap and layer_caps are mutually exclusive")
+    if layer_caps:
+        # O(1) per-run cap lookup: _li values index a lut whose
+        # sentinel tail (uncapped layers) is "infinite"
+        _max_li = max(layer_caps)
+        _cap_lut = np.full(_max_li + 2, np.iinfo(np.int64).max,
+                           dtype=np.int64)
+        for _lv, _lc in layer_caps.items():
+            _cap_lut[_lv] = _lc
+
+        def _compact_single_group(arrs):
+            """Per-layer cap inside ONE group (the held partial group:
+            key constant, rows sorted by (_li, _sk))."""
+            li = arrs["_li"]
+            n = len(li)
+            chg = np.flatnonzero(li[1:] != li[:-1]) + 1
+            rs = np.concatenate([[0], chg])
+            re_ = np.concatenate([chg, [n]])
+            caps = _cap_lut[np.minimum(li[rs].astype(np.int64),
+                                       _max_li + 1)]
+            lens = np.minimum(re_ - rs, caps)
+            if int(lens.sum()) == n:
+                return arrs
+            sel = np.repeat(rs, lens) + _ragged_arange(lens)
+            return {c: arrs[c][sel] for c in in_cols}
+
+        def _cap_layer_runs(arrs, k, starts, ends, cols):
+            """Compact every (group, layer) run inside the complete-
+            groups region to its layer cap; recompute GROUP bounds."""
+            s0, e0 = int(starts[0]), int(ends[-1])
+            li = arrs["_li"]
+            kk, ll = k[s0:e0], li[s0:e0]
+            chg = np.flatnonzero((kk[1:] != kk[:-1])
+                                 | (ll[1:] != ll[:-1])) + 1
+            rs = np.concatenate([[0], chg]) + s0
+            re_ = np.concatenate([chg, [e0 - s0]]) + s0
+            caps = _cap_lut[np.minimum(li[rs].astype(np.int64),
+                                       _max_li + 1)]
+            lens = np.minimum(re_ - rs, caps)
+            if int(lens.sum()) == e0 - s0 and s0 == 0:
+                return arrs, starts, ends
+            sel = np.repeat(rs, lens) + _ragged_arange(lens)
+            arrs = {c: arrs[c][sel] for c in cols}
+            nk = k[sel]
+            cuts = np.flatnonzero(nk[1:] != nk[:-1]) + 1
+            new_starts = np.concatenate([[0], cuts])
+            new_ends = np.concatenate([cuts, [len(nk)]])
+            return arrs, new_starts, new_ends
+
     def run(batches):
         # trailing-group carry: a CHUNK LIST (one slice per batch the
         # group spans), concatenated exactly once when the group
@@ -965,7 +1060,19 @@ def grouped_map_sorted(
                 if int(k[0]) == held_key:
                     diff = np.flatnonzero(k != k[0])
                     cut0 = int(diff[0]) if len(diff) else len(k)
-                    if group_cap is None or held_n < group_cap:
+                    if layer_caps:
+                        # append then re-compact to one chunk: the
+                        # held prefix sorts before its continuation,
+                        # so per-(layer) first-cap rows stay final and
+                        # held stays O(sum(caps)) however many batches
+                        # the hot group spans
+                        held.append({c: arrs[c][:cut0] for c in in_cols})
+                        merged = (held[0] if len(held) == 1 else
+                                  {c: np.concatenate([ch[c] for ch in held])
+                                   for c in in_cols})
+                        held = [_compact_single_group(merged)]
+                        held_n = len(held[0][in_cols[0]])
+                    elif group_cap is None or held_n < group_cap:
                         take = cut0 if group_cap is None else min(
                             cut0, group_cap - held_n)
                         held.append({c: arrs[c][:take] for c in in_cols})
@@ -984,14 +1091,20 @@ def grouped_map_sorted(
             hold = int(starts[-1])
             he = min(int(ends[-1]), hold + group_cap) if group_cap \
                 else int(ends[-1])
-            held = [{c: arrs[c][hold:he] for c in in_cols}]
-            held_n = he - hold
+            tail = {c: arrs[c][hold:he] for c in in_cols}
+            if layer_caps:
+                tail = _compact_single_group(tail)
+            held = [tail]
+            held_n = len(tail[in_cols[0]])
             held_key = int(k[hold])
             starts, ends = starts[:-1], ends[:-1]
             if len(starts):
                 if group_cap is not None:
                     arrs, starts, ends = _cap_groups(
                         arrs, starts, ends, group_cap, in_cols)
+                elif layer_caps:
+                    arrs, starts, ends = _cap_layer_runs(
+                        arrs, k, starts, ends, in_cols)
                 if prep is not None:
                     arrs = {**arrs, **prep(arrs)}
                 for s, e in zip(starts, ends):

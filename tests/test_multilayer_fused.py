@@ -113,6 +113,19 @@ def test_fused_multilayer_single_exchange(spark):
 
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
 
+    # key-ordered density caps keep the single-exchange plan: the cap
+    # runs inside the grouped pass (layer_caps compaction + kernel
+    # slice), not as a pre-exchange window
+    capped = [(LayerSpec(**{**spec.__dict__, "max_features_per_tile": 9,
+                            "post_assign": spec.post_assign}), df)
+              for spec, df in frames]
+    tiles_c = _fused(spark, capped, None)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        tiles_c.explain("formatted")
+    plan_c = buf.getvalue()
+    assert len(re.findall(r"\(\d+\) Exchange", plan_c)) == 1, plan_c
+
 
 def test_fused_multilayer_attr_types_and_cap(spark):
     """Parity under: number/bool attrs with nulls, a no-key layer, and
@@ -394,6 +407,99 @@ def test_batch_spanning_groups_chunked_carry(spark):
             assert got == want, f"cap={cap}"
             assert (0, 0, 0) in got  # the whole-corpus z0 group
             assert len(want) == 21   # z0-z2 full universe
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+
+
+def test_importance_cap_plan_windowgrouplimit(spark):
+    """Importance-ordered density caps must stay skew-safe in the
+    PHYSICAL plan: Spark 4 rewrites the row_number()<=K filter into a
+    map-side `WindowGroupLimit` BEFORE the exchange (each upstream
+    task keeps at most K rows per tile locally, so a hot tile's window
+    task never receives the raw row set), and the window's zxy
+    hashpartitioning is reused by the grouped encode — ONE Exchange
+    for cap + encode combined. A regression here (e.g. an order the
+    rewrite can't see through) would silently reintroduce the
+    full-fan-in hot-tile window."""
+    import re
+
+    feats = build_features(generate_pages(spark, 200)).select(
+        "feature_id", "px", "py", "name",
+        (F.col("feature_id") % 100).cast("double").alias("imp"))
+    spec = LayerSpec(layer_id="poi", index=0,
+                     attr_fields={"name": "string"}, buffer_px=8,
+                     max_features_per_tile=6, importance_col="imp")
+    nf = normalize_layer_df(feats, spec, zoom_range=(0, 3), n_vals=1)
+    tiles = assemble_normalized(nf, [spec], None)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        tiles.explain("formatted")
+    plan = buf.getvalue()
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    tree = plan[:plan.index("(1)")]
+    wgl = [ln for ln in tree.splitlines() if "WindowGroupLimit" in ln]
+    exch = [ln for ln in tree.splitlines() if "Exchange" in ln]
+    assert wgl and exch, plan
+    # at least one WindowGroupLimit sits BELOW the exchange in the
+    # tree rendering (deeper indentation, printed after it)
+    assert tree.index(exch[0]) < tree.index(wgl[-1]), tree
+def test_layer_caps_batch_spanning_parity(spark):
+    """Per-layer kernel caps in the SPINE (grouped_map_sorted
+    layer_caps): a capped 3-layer build must emit bytes identical to
+    (a) the same build with huge Arrow batches and (b) the two-phase
+    window path, including when the z0 hot group spans ~dozens of
+    batches — the held-group re-compaction path."""
+    frames = _three_layer_frames(spark)
+    capped = [(LayerSpec(**{**spec.__dict__, "max_features_per_tile": c,
+                            "post_assign": spec.post_assign}), df)
+              for (spec, df), c in zip(frames, (11, 5, 3))]
+
+    def fused():
+        nfs = [normalize_layer_df(df, spec, zoom_range=(0, ZMAX), n_vals=2)
+               for spec, df in capped]
+        u = nfs[0]
+        for nf in nfs[1:]:
+            u = u.unionByName(nf)
+        return _tiles_dict(assemble_normalized(
+            u, [s for s, _ in capped], None))
+
+    def two_phase():
+        from pyspark.sql.window import Window
+
+        encs = []
+        for spec, df in capped:
+            if spec.geometry_kind == "point":
+                assigned = assign_point_tiles_multi(
+                    df, 0, ZMAX, buffer_px=spec.buffer_px)
+            else:
+                assigned = assign_supercover_tiles_multi(
+                    df, 0, ZMAX, buffer_px=spec.buffer_px)
+            encs.append(encode_layer_df(assigned, spec))
+        u = encs[0]
+        for e in encs[1:]:
+            u = u.unionByName(e)
+        return _tiles_dict(assemble_tiles(u, None))
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key, None)
+    try:
+        spark.conf.set(key, "20000")
+        want = fused()
+        spark.conf.set(key, "41")
+        got = fused()
+        assert got == want
+        assert got == two_phase()
+        assert (0, 0, 0) in got
+        # caps bind: decode z0 and check per-layer feature counts
+        from sparktiles.functions.mvtcodec import decode_tile
+
+        dec = decode_tile(got[(0, 0, 0)][0])
+        assert len(dec["place"]["features"]) == 11
+        assert len(dec["transportation"]["features"]) == 5
+        assert len(dec["boundary"]["features"]) == 3
     finally:
         if old is None:
             spark.conf.unset(key)

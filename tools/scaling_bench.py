@@ -23,6 +23,7 @@ import subprocess
 import sys
 import tempfile
 import time
+from dataclasses import replace
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
@@ -215,6 +216,47 @@ def run_leg(cpus: int, n_pages: int, maxzoom: int, gzip_level=6) -> dict:
         out["ml_nonempty_tiles"] = ml_tiles
         out["ml_tiles_per_s"] = round(ml_tiles / dt_ml, 1)
 
+        # ---- capped multi-layer build: the PRODUCTION low-zoom shape.
+        # The uncapped ml phase carries a deliberate skew stress: at
+        # z<=2 one (z,x,y) group encodes the whole corpus in one task
+        # (~20 s serial-equivalent share on this corpus — measured via
+        # S+P/k fit across the attempts journal), which Amdahl-bounds
+        # its N->4N ratio no matter how fast the kernels get. Real
+        # tilesets never ship uncapped low zooms — the reference gates
+        # density per tile (DISTINCT ON LabelGrid rank,
+        # sql/LabelGrid.sql:20-29; zoom-gated classes) — and
+        # docs/SCALE.md claims that cap is what bounds reducer skew at
+        # 100 TB. This phase measures that claim: identical layers,
+        # LayerSpec.max_features_per_tile set, same single-exchange
+        # plan. Cap keeps the top row of every tile, so the non-empty
+        # tile universe is identical to the uncapped phase.
+        mlc_frames = [
+            (replace(spec, max_features_per_tile=cap_n), df)
+            for (spec, df), cap_n in zip(ml_frames, (1024, 512, 256))
+        ]
+        mlc_times, mlc_shuffles = [], []
+        mlcb = TileBuild(spark, mlc_frames, BuildConfig(
+            store_dir=store + "/mlc", minzoom=0, maxzoom=maxzoom,
+            mid_zoom=6, gzip_level=gzip_level))
+        for _ in range(2):
+            sb0 = total_shuffle_write(spark)
+            t0 = time.time()
+            tiles = mlcb._build_tiles((0, maxzoom), None)
+            tiles.write.mode("overwrite").partitionBy("z").parquet(
+                store + "/mlc_tiles")
+            mlc_times.append(time.time() - t0)
+            sb1 = total_shuffle_write(spark)
+            if sb0 >= 0 and sb1 >= 0:
+                mlc_shuffles.append(sb1 - sb0)
+        dt_mlc = min(mlc_times)
+        out["mlc_encode_s"] = round(dt_mlc, 2)
+        if mlc_shuffles:
+            out["mlc_shuffle_write_bytes"] = min(mlc_shuffles)
+        out["mlc_store_bytes"] = dir_bytes(store + "/mlc_tiles")
+        mlc_tiles = spark.read.parquet(store + "/mlc_tiles").count()
+        out["mlc_nonempty_tiles"] = mlc_tiles
+        out["mlc_tiles_per_s"] = round(mlc_tiles / dt_mlc, 1)
+
         t0 = time.time()
         b = TileBuild(spark, frames, BuildConfig(
             store_dir=store, minzoom=0, maxzoom=maxzoom, mid_zoom=6))
@@ -290,6 +332,8 @@ def main():
         "scaling_efficiency_join": eff("spatial_join_rows_per_s"),
         "scaling_efficiency_mvt_encode": eff("mvt_tiles_per_s"),
         "scaling_efficiency_multilayer": eff("ml_tiles_per_s"),
+        "scaling_efficiency_multilayer_capped": eff("mlc_tiles_per_s")
+        if "mlc_tiles_per_s" in r8 else None,
         "scaling_efficiency_geoparse": eff("geoparse_s", invert=True),
         "box_speed_drift_low_over_high": round(drift, 3),
         "hw_norm": {
@@ -299,6 +343,8 @@ def main():
             "mvt_encode_noio": eff_norm("mvt_encode_noio_s", invert=True)
             if "mvt_encode_noio_s" in r8 else None,
             "multilayer": eff_norm("ml_tiles_per_s"),
+            "multilayer_capped": eff_norm("mlc_tiles_per_s")
+            if "mlc_tiles_per_s" in r8 else None,
             "geoparse": eff_norm("geoparse_s", invert=True),
         },
         # bandwidth-normalized decomposition: bytes the encode phase

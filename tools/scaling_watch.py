@@ -151,20 +151,24 @@ def main():
             f.write(json.dumps(rec) + "\n")
         te = run.get("scaling_efficiency_tiles")
         ml = run.get("scaling_efficiency_multilayer")
+        mlc = run.get("scaling_efficiency_multilayer_capped")
         norm = run.get("hw_norm", {})
-        print(f"[watch] fired: tiles={te} ml={ml} norm={norm} "
+        print(f"[watch] fired: tiles={te} ml={ml} mlc={mlc} norm={norm} "
               f"join={run.get('scaling_efficiency_join')} "
               f"clean={rec['clean']} bus_healthy={rec['bus_healthy']}",
               flush=True)
-        # round-5 target: the multi-layer leg (now the single-shuffle
-        # spine) at raw >= 0.8 on a clean draw
-        best_ml = max(ml or 0, norm.get("multilayer") or 0)
-        if (ml or 0) >= 0.8 and rec["clean"]:
-            print("[watch] ml target met raw on a clean draw, stopping",
-                  flush=True)
+        # session-18 target: the CAPPED multi-layer leg (the production
+        # low-zoom shape — kernel layer_caps bound the serial hot-tile
+        # tail the uncapped leg deliberately stresses) at raw >= 0.8 on
+        # a clean draw; the uncapped ml reading is recorded alongside
+        # as the skew-stress bracket
+        best_ml = max(mlc or 0, norm.get("multilayer_capped") or 0)
+        if (mlc or 0) >= 0.8 and rec["clean"]:
+            print("[watch] capped-ml target met raw on a clean draw, "
+                  "stopping", flush=True)
             return
         if best_ml >= 0.8 and rec["clean"]:
-            print("[watch] ml target met normalized; continuing for a raw pass",
+            print("[watch] capped-ml met normalized; continuing for raw",
                   flush=True)
         time.sleep(600)
     print("[watch] deadline reached", flush=True)
