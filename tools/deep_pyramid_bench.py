@@ -24,7 +24,17 @@ rows/s and generated-tiles/s; equality verdict.
 
 env: DEEP_PAGES (default 400000), DEEP_MAXZ (default 14),
      DEEP_MIDZ (default 8), SPARK_GRAFT_CPUS (default 32),
-     DEEP_GZIP (default 6)
+     DEEP_GZIP (default 6),
+     DEEP_CAP (default 0 = uncapped): LayerSpec.max_features_per_tile.
+     The uncapped run carries the honest skew floor of the faithful
+     per-zoom loop — z0 is one tile = one task encoding the whole
+     corpus (~87 s at 400k pages, r5 session 1). Real tilesets bound
+     low-zoom density (the reference's DISTINCT ON LabelGrid rank);
+     DEEP_CAP measures that production shape: the kernel-level cap
+     (grouped_map_sorted group_cap/layer_caps) bounds every tile's
+     encode, so the low-zoom serial tail should collapse while
+     impute ≡ direct equality still holds (both paths capped
+     identically).
 """
 
 from __future__ import annotations
@@ -48,6 +58,7 @@ MAXZ = int(os.environ.get("DEEP_MAXZ", "14"))
 MIDZ = int(os.environ.get("DEEP_MIDZ", "8"))
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 GZIP = int(os.environ.get("DEEP_GZIP", "6"))
+CAP = int(os.environ.get("DEEP_CAP", "0"))
 
 
 def main():
@@ -77,7 +88,9 @@ def main():
         feats = build_features(pages).cache()
         out["n_features"] = feats.count()
         spec = LayerSpec(layer_id="place", index=0,
-                         attr_fields={"name": "string"}, buffer_px=8)
+                         attr_fields={"name": "string"}, buffer_px=8,
+                         max_features_per_tile=CAP or None)
+        out["cap"] = CAP or None
 
         # ---- faithful per-zoom MID_ZOOM impute loop, timed
         b = TileBuild(spark, [(spec, feats)], BuildConfig(
