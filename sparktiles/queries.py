@@ -2040,6 +2040,94 @@ def mvt_gzip_roundtrip_q(spark, sf_dir):
         tiles.select("z", "x", "y", magic.alias("gzipped")), ["z", "x", "y"])
 
 
+_MVT_CAP_SQL = f"""
+WITH pts AS (
+  SELECT doc_id, (doc_id * 7 + 1) % 10000 AS pid FROM documents
+), parsed AS (
+  SELECT doc_id, 'Name_' || CAST(pid AS VARCHAR) AS name,
+         CAST(printf('%.5f', CAST((pid * 37) % 344 AS DOUBLE) - 172.0 + 0.1234567) AS DOUBLE) AS lon,
+         CAST(printf('%.5f', CAST((pid * 13) % 136 AS DOUBLE) - 68.0 + 0.0891011) AS DOUBLE) AS lat
+  FROM pts
+), m AS (
+  SELECT doc_id, name, lon / 180.0 * {HALF!r} AS mx,
+         {_MERCY_SQL.format(lat='lat', pi=PI, half=HALF)} AS my
+  FROM parsed
+), zf AS (
+  SELECT doc_id, name, z,
+         (mx + {HALF!r}) / {WORLD_MERC_WIDTH!r} * POW(2.0, z) AS fx,
+         ({HALF!r} - my) / {WORLD_MERC_WIDTH!r} * POW(2.0, z) AS fy,
+         CAST(POW(2.0, z) AS BIGINT) - 1 AS top
+  FROM m, (SELECT UNNEST([0, 1, 2, 3, 4]) AS z)
+), tl AS (
+  SELECT doc_id, name, z, fx, fy, top,
+         CAST(FLOOR(fx) AS BIGINT) AS tx, CAST(FLOOR(fy) AS BIGINT) AS ty
+  FROM zf
+), cand AS (
+  SELECT doc_id, name, z, tx + dx AS x, ty + dy AS y
+  FROM tl, (VALUES (0, 0), (-1, 0), (1, 0), (0, -1), (0, 1),
+                   (-1, -1), (1, -1), (-1, 1), (1, 1)) AS o(dx, dy)
+  WHERE (dx = 0 OR (dx = -1 AND fx - tx < 0.03125 AND tx > 0)
+               OR (dx = 1 AND tx + 1 - fx < 0.03125 AND tx < top))
+    AND (dy = 0 OR (dy = -1 AND fy - ty < 0.03125 AND ty > 0)
+               OR (dy = 1 AND ty + 1 - fy < 0.03125 AND ty < top))
+), capped AS (
+  SELECT doc_id, name, z, x, y,
+         ROW_NUMBER() OVER (PARTITION BY z, x, y ORDER BY doc_id) AS rn
+  FROM cand
+)
+SELECT CAST(z AS INT) AS z, x, y, 'place' AS layer,
+       CAST(COUNT(*) AS BIGINT) AS n_features,
+       md5(string_agg(name, ',' ORDER BY name)) AS names_md5
+FROM capped WHERE rn <= 4
+GROUP BY z, x, y
+"""
+
+
+@q("tile_density_cap", _MVT_CAP_SQL)
+def tile_density_cap_q(spark, sf_dir):
+    """W1/J1 — the kernel-level density cap, content-checked cross-
+    engine: a z0-4 pyramid where every tile keeps only its 4 smallest
+    feature keys (LayerSpec.max_features_per_tile=4, key-ordered — the
+    reference's bounded-label-density pattern, sql/LabelGrid.sql:20-29,
+    applied per tile). The cap runs INSIDE the grouped encode pass
+    (grouped_map_sorted layer_caps per-(tile, layer) compaction + the
+    kernel slice — no cap window, single Exchange); every built tile is
+    then decoded back out of its MVT bytes and DuckDB recomputes the
+    capped selection with ROW_NUMBER() OVER (PARTITION BY tile ORDER BY
+    key) <= 4 over pure-SQL tile math. feature_id here is doc_id (not
+    the xxhash64 geoparse id) so both engines order by the same key."""
+    from sparktiles.operators.mvt import (
+        LayerSpec,
+        assemble_normalized,
+        normalize_layer_df,
+    )
+    from sparktiles.operators.pyramid import assign_point_tiles_multi
+    from sparktiles.operators.stats import tile_contents
+
+    docs = _t(spark, sf_dir, "documents")
+    pid = (F.col("doc_id") * 7 + 1) % 10000
+    lon = F.format_string(
+        "%.5f", ((pid * 37).cast("double") % 344) - 172.0 + 0.1234567
+    ).cast("double")
+    lat = F.format_string(
+        "%.5f", ((pid * 13).cast("double") % 136) - 68.0 + 0.0891011
+    ).cast("double")
+    feats = docs.select(
+        F.col("doc_id").alias("feature_id"),
+        F.format_string("Name_%d", pid).alias("name"),
+        _merc_x(lon).alias("px"),
+        _merc_y(lat).alias("py"),
+    )
+    spec = LayerSpec(layer_id="place", index=0,
+                     attr_fields={"name": "string"}, buffer_px=8,
+                     max_features_per_tile=4)
+    assigned = assign_point_tiles_multi(feats, 0, 4, buffer_px=8)
+    norm = normalize_layer_df(assigned, spec, n_vals=1)
+    tiles = assemble_normalized(norm, [spec], None).select(
+        F.col("z").cast("int").alias("z"), "x", "y", "mvt")
+    return tile_contents(tiles, attr="name")
+
+
 _MVT_ATTR_TYPES_SQL = f"""
 WITH pts AS (
   SELECT c_custkey AS key,
