@@ -164,6 +164,31 @@ def main():
     extra["tiles_3layer"] = ml_tiles
     extra["tiles_3layer_per_s"] = round(ml_tiles / dt, 1)
 
+    # ---- capped 3-layer build: the PRODUCTION low-zoom shape — per-
+    # layer density caps (the reference's bounded-label-density rule)
+    # applied by the kernel-level per-(tile, layer) compaction inside
+    # the single-exchange spine; bounds hot-tile encode and removes
+    # the z0 serial tail the uncapped leg deliberately carries
+    from dataclasses import replace as _dc_replace
+
+    mlc_frames = [(_dc_replace(spec, max_features_per_tile=cap_n), df)
+                  for (spec, df), cap_n in zip(ml_frames, (1024, 512, 256))]
+
+    def build_multilayer_capped():
+        store = tempfile.mkdtemp(prefix="sparktiles_mlc_", dir=tmp_base)
+        try:
+            b = TileBuild(spark, mlc_frames, BuildConfig(
+                store_dir=store, minzoom=0, maxzoom=MAXZOOM,
+                mid_zoom=min(5, MAXZOOM), gzip_level=GZIP_LEVEL))
+            return b.build_fast()["tiles"]
+        finally:
+            shutil.rmtree(store, ignore_errors=True)
+
+    dt, mlc_tiles = min_of(build_multilayer_capped)
+    timings["tile_pyramid_3layer_capped"] = round(dt, 3)
+    extra["tiles_3layer_capped"] = mlc_tiles
+    extra["tiles_3layer_capped_per_s"] = round(mlc_tiles / dt, 1)
+
     # ---- attribute-heavy leg: 8 declared fields (the reference's real
     # layers carry 5-15, e.g. tests/testlayers/mountain_peak/
     # mountain_peak.yaml) — exercises the batch attribute-conversion
