@@ -372,6 +372,7 @@ def with_wkb_supercover_encoded_fields(features: DataFrame, spec,
     layer_index = spec.index
     imp_col = spec.importance_col
     add_imp = normalized and spec.max_features_per_tile and imp_col
+    mkcap = _kernel_cap(spec) if normalized else None
     passthru = list(spec.attr_fields)
     if key_field:
         passthru = [key_field] + [c for c in passthru if c != key_field]
@@ -416,8 +417,21 @@ def with_wkb_supercover_encoded_fields(features: DataFrame, spec,
                 keep = np.array([f is not None for f in gf], dtype=bool)
                 if not keep.any():
                     return None
-                ki = idx[keep]
-                out = {"zxy": (zs[keep] << 58) ^ (xs[keep] << 29) ^ ys[keep]}
+                kpos = np.flatnonzero(keep)
+                ki = idx[kpos]
+                zxyv = (zs[kpos] << 58) ^ (xs[kpos] << 29) ^ ys[kpos]
+                if (normalized and mkcap is not None
+                        and sk_all.dtype.kind in "iu"):
+                    # map-side partial cap for key-ordered caps: this
+                    # flush keeps only its mkcap smallest keys per tile
+                    # (clip already ran — the cap counts survivors);
+                    # the reduce-side compaction finalizes the exact
+                    # selection. Numeric keys only: numpy's order is
+                    # Spark's there; string collation could differ.
+                    sel = _partial_cap_sel(zxyv, sk_all[ki], mkcap)
+                    if len(sel) < len(kpos):
+                        kpos, ki, zxyv = kpos[sel], ki[sel], zxyv[sel]
+                out = {"zxy": zxyv}
                 if normalized:
                     nk = len(ki)
                     out["_li"] = np.full(nk, layer_index, dtype=np.int32)
@@ -427,8 +441,8 @@ def with_wkb_supercover_encoded_fields(features: DataFrame, spec,
                     else:
                         out["_sk"] = np.zeros(nk, dtype=np.int64)
                         out["_fidf"] = [None] * nk
-                    out["_gt"] = gt[keep]
-                    out["_geomf"] = [f for f in gf if f is not None]
+                    out["_gt"] = gt[kpos]
+                    out["_geomf"] = [gf[i] for i in kpos.tolist()]
                     _vals_columns(out, col_blobs, ki, nv)
                     if add_imp:
                         out["_imp"] = imp_all[ki]
@@ -441,8 +455,8 @@ def with_wkb_supercover_encoded_fields(features: DataFrame, spec,
                         out["_fidf"] = fid_fields_vec(out[key_field])
                     else:
                         out["_fidf"] = [None] * len(ki)
-                    out["_gt"] = gt[keep]
-                    out["_geomf"] = [f for f in gf if f is not None]
+                    out["_gt"] = gt[kpos]
+                    out["_geomf"] = [gf[i] for i in kpos.tolist()]
                 return pd.DataFrame(out)
 
             pend, pend_n = [], 0
@@ -579,6 +593,7 @@ def _normalize_point_fused(features: DataFrame, spec, minz: int, maxz: int,
     imp_col = spec.importance_col
     cap = spec.max_features_per_tile
     add_imp = bool(cap and imp_col)
+    kcap = _kernel_cap(spec)
     # cap tie-break parity with the two-phase path's window ordering
     # (`key_field or needed[-1]`, see normalize_layer_df): keyless
     # capped layers carry the raw tie-break column as _ord
@@ -656,6 +671,22 @@ def _normalize_point_fused(features: DataFrame, spec, minz: int, maxz: int,
             zxy = np.concatenate([p[1] for p in parts])
             ixc = np.concatenate([p[2] for p in parts])
             iyc = np.concatenate([p[3] for p in parts])
+            if kcap is not None and fids.dtype.kind in "iu":
+                # map-side partial cap (key-ordered caps only): keep
+                # this batch's kcap smallest keys per tile BEFORE
+                # building wire pieces — an exact superset of the
+                # global selection (any row of the global per-tile
+                # top-k ranks <= k within its own batch), which the
+                # reduce-side layer_caps compaction then finalizes.
+                # Bounds what a hot tile ships: cap x batches, not its
+                # full fan-out (the z0 group = every feature, every
+                # batch). Clip already ran above, so the cap counts
+                # clip survivors — same as the window semantics.
+                # Numeric keys only (numpy order == Spark order).
+                sel = _partial_cap_sel(zxy, fids[idx], kcap)
+                if len(sel) < len(idx):
+                    idx, zxy = idx[sel], zxy[sel]
+                    ixc, iyc = ixc[sel], iyc[sel]
             m = len(idx)
             fid_c = fids[idx] if fids is not None else None
             ff, gf = C.point_row_fields_vec(fid_c, ixc, iyc)
@@ -1216,6 +1247,27 @@ def _attr_convert_batch(vals: np.ndarray, kind: str) -> np.ndarray:
             return out
     out[:] = [_attr_value(v, kind) for v in vals.tolist()]
     return out
+
+
+def _partial_cap_sel(zxy: np.ndarray, keys: np.ndarray,
+                     cap: int) -> np.ndarray:
+    """Positions of the `cap` smallest `keys` per distinct zxy — the
+    MAP-SIDE partial density cap for key-ordered caps. Each producer
+    batch keeps at most `cap` rows per tile, an exact SUPERSET of the
+    global per-tile top-k (any row of the global top-k has, within its
+    own batch, at most k-1 tile-mates with smaller keys), so the
+    reduce-side compaction (grouped_map_sorted layer_caps / kernel
+    slice) finalizes the identical selection while a hot tile ships
+    cap x batches rows across the exchange instead of its full
+    fan-out. Returns ascending positions; O(n log n) numpy."""
+    order = np.lexsort((keys, zxy))
+    sz = zxy[order]
+    new = np.concatenate([[0], np.flatnonzero(sz[1:] != sz[:-1]) + 1])
+    starts = np.repeat(new, np.diff(np.concatenate([new, [len(sz)]])))
+    rank = np.arange(len(sz), dtype=np.int64) - starts
+    sel = order[rank < cap]
+    sel.sort()
+    return sel
 
 
 def _kernel_cap(spec) -> int | None:
