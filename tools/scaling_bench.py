@@ -256,6 +256,20 @@ def run_leg(cpus: int, n_pages: int, maxzoom: int, gzip_level=6) -> dict:
         mlc_tiles = spark.read.parquet(store + "/mlc_tiles").count()
         out["mlc_nonempty_tiles"] = mlc_tiles
         out["mlc_tiles_per_s"] = round(mlc_tiles / dt_mlc, 1)
+        # engine-only twin (same pattern as mvt_encode_noio_s): identical
+        # single-exchange capped plan, noop sink. Separates kernel+shuffle
+        # scaling from the partitioned-parquet commit tail — file count
+        # grows with partitions (anti-scaling on one local tmpfs: ~4x the
+        # files at 4N), whereas a cluster commits per-executor shards.
+        mlc_noio_times = []
+        for _ in range(2):
+            t0 = time.time()
+            mlcb._build_tiles((0, maxzoom), None) \
+                .write.format("noop").mode("overwrite").save()
+            mlc_noio_times.append(time.time() - t0)
+        out["mlc_encode_noio_s"] = round(min(mlc_noio_times), 2)
+        out["mlc_noio_tiles_per_s"] = round(
+            mlc_tiles / min(mlc_noio_times), 1)
 
         t0 = time.time()
         b = TileBuild(spark, frames, BuildConfig(
@@ -334,6 +348,9 @@ def main():
         "scaling_efficiency_multilayer": eff("ml_tiles_per_s"),
         "scaling_efficiency_multilayer_capped": eff("mlc_tiles_per_s")
         if "mlc_tiles_per_s" in r8 else None,
+        "scaling_efficiency_multilayer_capped_noio":
+        eff("mlc_encode_noio_s", invert=True)
+        if "mlc_encode_noio_s" in r8 else None,
         "scaling_efficiency_geoparse": eff("geoparse_s", invert=True),
         "box_speed_drift_low_over_high": round(drift, 3),
         "hw_norm": {
@@ -345,6 +362,9 @@ def main():
             "multilayer": eff_norm("ml_tiles_per_s"),
             "multilayer_capped": eff_norm("mlc_tiles_per_s")
             if "mlc_tiles_per_s" in r8 else None,
+            "multilayer_capped_noio": eff_norm(
+                "mlc_encode_noio_s", invert=True)
+            if "mlc_encode_noio_s" in r8 else None,
             "geoparse": eff_norm("geoparse_s", invert=True),
         },
         # bandwidth-normalized decomposition: bytes the encode phase

@@ -152,8 +152,10 @@ def main():
         te = run.get("scaling_efficiency_tiles")
         ml = run.get("scaling_efficiency_multilayer")
         mlc = run.get("scaling_efficiency_multilayer_capped")
+        mlc_noio = run.get("scaling_efficiency_multilayer_capped_noio")
         norm = run.get("hw_norm", {})
-        print(f"[watch] fired: tiles={te} ml={ml} mlc={mlc} norm={norm} "
+        print(f"[watch] fired: tiles={te} ml={ml} mlc={mlc} "
+              f"mlc_noio={mlc_noio} norm={norm} "
               f"join={run.get('scaling_efficiency_join')} "
               f"clean={rec['clean']} bus_healthy={rec['bus_healthy']}",
               flush=True)
