@@ -54,8 +54,9 @@ def stage_metrics(spark) -> list[dict]:
 
 
 def run_leg(cpus: int, maxzoom: int, feats_dir: str, n_pages: int,
-            single: bool = False) -> dict:
+            single: bool = False, capped: bool = False) -> dict:
     os.environ["SPARK_DRIVER_MEM"] = "24g"
+    from dataclasses import replace
     from sparktiles.operators.mvt import LayerSpec
     from sparktiles.plans.config import FieldDef, LayerDef, TilesetDef
     from sparktiles.plans.pipeline import (BuildConfig, TileBuild,
@@ -96,6 +97,13 @@ def run_leg(cpus: int, maxzoom: int, feats_dir: str, n_pages: int,
                    attr_fields={"admin_class": "string", "name": "string"},
                    buffer_px=4, geometry_kind="wkb"), polys),
     ]
+    if capped:
+        # the production low-zoom shape measured by scaling_bench's mlc
+        # phase: per-layer kernel density caps
+        ml_frames = [
+            (replace(spec, max_features_per_tile=cap_n), df)
+            for (spec, df), cap_n in zip(ml_frames, (1024, 512, 256))
+        ]
     base = "/dev/shm" if Path("/dev/shm").exists() else None
     store = tempfile.mkdtemp(prefix=f"sparktiles_decomp_{cpus}_", dir=base)
     try:
@@ -156,11 +164,13 @@ def main() -> None:
     if sys.argv[1:2] == ["--leg"]:
         print("LEGRESULT " + json.dumps(run_leg(
             int(sys.argv[2]), int(sys.argv[3]), sys.argv[4],
-            int(sys.argv[5]), single=bool(int(sys.argv[6])))))
+            int(sys.argv[5]), single=bool(int(sys.argv[6])),
+            capped=bool(int(sys.argv[7])) if len(sys.argv) > 7 else False)))
         return
     args = sys.argv[1:]
     single = "--single" in args
-    args = [a for a in args if a != "--single"]
+    capped = "--capped" in args
+    args = [a for a in args if a not in ("--single", "--capped")]
     n_pages = int(args[0]) if args else 400_000
     maxzoom = int(args[1]) if len(args) > 1 else 10
 
@@ -175,7 +185,7 @@ def main() -> None:
         for cpus in (2, 8):
             cmd = [sys.executable, __file__, "--leg", str(cpus),
                    str(maxzoom), feats_dir, str(n_pages),
-                   str(int(single))]
+                   str(int(single)), str(int(capped))]
             if shutil.which("taskset"):
                 cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
             proc = subprocess.run(cmd, capture_output=True, text=True,
@@ -194,7 +204,8 @@ def main() -> None:
 
     r2, r8 = legs[2], legs[8]
     result = {
-        "workload": "single_layer_fused_encode" if single else "multilayer",
+        "workload": ("single_layer_fused_encode" if single
+                     else "multilayer_capped" if capped else "multilayer"),
         "n_pages": n_pages, "maxzoom": maxzoom,
         "leg_2c": r2, "leg_8c": r8,
         "raw_eff": round(r2["wall_s"] / r8["wall_s"] / 4, 3),
@@ -208,6 +219,7 @@ def main() -> None:
     }
     print(json.dumps(result, indent=1))
     out_name = ("BENCH_SINGLE_STAGEDECOMP.json" if single
+                else "BENCH_MLC_STAGEDECOMP.json" if capped
                 else "BENCH_ML_STAGEDECOMP.json")
     (ROOT / out_name).write_text(json.dumps(result, indent=1))
 

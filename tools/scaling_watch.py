@@ -38,7 +38,12 @@ LOCK = Path("/tmp/sparktiles_scaling.lock")
 ILOCK = Path("/tmp/sparktiles_interactive.lock")
 OUT = ROOT / "BENCH_SCALING_R5_ATTEMPTS.jsonl"
 GATE = 0.85
-BE_GATE = 0.6
+# raised 0.6 -> 0.72 after the session-18 clean draw: capped-spine
+# 2v8 decomposition (BENCH_MLC_STAGEDECOMP.json) shows idle_share
+# 0.008 -> 0.101 and busy inflation 1.49x — the residual under 0.8 is
+# bus contention, so only healthier-bus windows can read >=0.8 raw
+# (the be-1.117 window read uncapped ml 0.864; be-0.723 read mlc 0.765)
+BE_GATE = 0.72
 CI_FLOOR = 470
 
 
