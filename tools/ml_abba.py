@@ -69,8 +69,9 @@ def prep(n_pages: int, feats_dir: str) -> None:
 
 
 def run_rep(cpus: int, maxzoom: int, feats_dir: str, n_pages: int,
-            single: bool = False) -> dict:
+            single: bool = False, capped: bool = False) -> dict:
     os.environ["SPARK_DRIVER_MEM"] = "24g"
+    from dataclasses import replace
     from sparktiles.operators.mvt import LayerSpec
     from sparktiles.plans.config import FieldDef, LayerDef, TilesetDef
     from sparktiles.plans.pipeline import (BuildConfig, TileBuild,
@@ -116,6 +117,12 @@ def run_rep(cpus: int, maxzoom: int, feats_dir: str, n_pages: int,
                    attr_fields={"admin_class": "string", "name": "string"},
                    buffer_px=4, geometry_kind="wkb"), polys),
     ]
+    if capped:
+        # the production low-zoom shape (scaling_bench mlc phase)
+        ml_frames = [
+            (replace(spec, max_features_per_tile=cap_n), df)
+            for (spec, df), cap_n in zip(ml_frames, (1024, 512, 256))
+        ]
     base = "/dev/shm" if Path("/dev/shm").exists() else None
     store = tempfile.mkdtemp(prefix=f"sparktiles_abba_{cpus}_", dir=base)
     try:
@@ -159,18 +166,20 @@ def main() -> None:
     if sys.argv[1:2] == ["--rep"]:
         cpus, maxzoom, feats_dir, n_pages = (
             int(sys.argv[2]), int(sys.argv[3]), sys.argv[4], int(sys.argv[5]))
-        single = sys.argv[6:7] == ["single"]
+        single = "single" in sys.argv[6:]
+        capped = "capped" in sys.argv[6:]
         print("REPRESULT " + json.dumps(run_rep(cpus, maxzoom, feats_dir,
-                                                n_pages, single=single)))
+                                                n_pages, single=single,
+                                                capped=capped)))
         return
     if sys.argv[1:2] == ["--prep"]:
         prep(int(sys.argv[2]), sys.argv[3])
         return
 
     argv = sys.argv[1:]
-    single = argv[:1] == ["--single"]
-    if single:
-        argv = argv[1:]
+    single = "--single" in argv
+    capped = "--capped" in argv
+    argv = [a for a in argv if a not in ("--single", "--capped")]
     n_pages = int(argv[0]) if len(argv) > 0 else 400_000
     maxzoom = int(argv[1]) if len(argv) > 1 else 10
     low = int(argv[2]) if len(argv) > 2 else 2
@@ -186,7 +195,8 @@ def main() -> None:
         for i, cpus in enumerate((low, high, high, low)):
             cmd = [sys.executable, __file__, "--rep", str(cpus),
                    str(maxzoom), feats_dir, str(n_pages)] \
-                + (["single"] if single else [])
+                + (["single"] if single else []) \
+                + (["capped"] if capped else [])
             if shutil.which("taskset"):
                 cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
             proc = subprocess.run(cmd, capture_output=True, text=True,
@@ -221,7 +231,8 @@ def main() -> None:
     p1, p2 = pair(a1, b1), pair(a2, b2)
     cis = [x for r in reps
            for x in (r["core_index_before"], r["core_index_after"])]
-    phase_name = "single-layer fused encode" if single else "ml"
+    phase_name = ("single-layer fused encode" if single
+                  else "mlc (capped)" if capped else "ml")
     result = {
         "protocol": f"ABBA {phase_name} phase only, A=local[{low}] "
                     f"B=local[{high}] pinned, min-of-2 per rep, "
@@ -236,8 +247,9 @@ def main() -> None:
             {r["ml_nonempty_tiles"] for r in reps}) == 1,
     }
     print(json.dumps(result, indent=1))
-    out_name = "BENCH_SINGLE_ABBA.json" if single \
-        else "BENCH_SCALING_R5_ABBA.json"
+    out_name = ("BENCH_SINGLE_ABBA.json" if single
+                else "BENCH_MLC_ABBA.json" if capped
+                else "BENCH_SCALING_R5_ABBA.json")
     (ROOT / out_name).write_text(json.dumps(result, indent=1))
 
 
