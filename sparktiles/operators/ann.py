@@ -224,6 +224,59 @@ def ivf_topk(
     )
 
 
+def _fold_gram_pairs(threshold: float, row_block: int = 512):
+    """applyInPandas kernel: near-dup pairs (id_a < id_b, cos >=
+    threshold) within ONE cluster block, with the cosine computed in
+    EXACTLY the fold order of the SQL expression
+    ``aggregate(zip_with(a, b, *), 0.0, +) / (sqrt(aggregate(a^2)) *
+    sqrt(aggregate(b^2)))`` — the Gram matrix is accumulated one
+    component at a time (``G += v[:, j] ⊗ v[:, j]``), which performs
+    the same left-associated double additions per pair as the JVM
+    fold, so the >= threshold decision is bit-identical to the old
+    join-condition evaluation (oracle-parity preserved; verified by
+    value digest at sf0.001..sf1.0).
+
+    Memory is bounded by ``row_block^2`` doubles regardless of block
+    size: rows are processed in (bi, bj) tile pairs."""
+    import numpy as np
+
+    def kernel(pdf):
+        pdf = pdf.sort_values("id", kind="mergesort")
+        ids = pdf["id"].to_numpy()
+        n = len(ids)
+        if n < 2:
+            import pandas as _pd
+            return _pd.DataFrame({"id_a": ids[:0], "id_b": ids[:0]})
+        V = np.asarray(
+            [np.asarray(x, dtype=np.float64) for x in pdf["_v"]])
+        dim = V.shape[1]
+        # norms with the same fold order: acc = (acc + x*x) per component
+        nn = np.zeros(n)
+        for j in range(dim):
+            nn += V[:, j] * V[:, j]
+        nrm = np.sqrt(nn)
+        out_a, out_b = [], []
+        with np.errstate(divide="ignore", invalid="ignore"):
+            for bi in range(0, n, row_block):
+                ai = slice(bi, min(bi + row_block, n))
+                for bj in range(bi, n, row_block):
+                    aj = slice(bj, min(bj + row_block, n))
+                    G = np.zeros((ai.stop - ai.start, aj.stop - aj.start))
+                    for j in range(dim):
+                        G += V[ai, j][:, None] * V[aj, j][None, :]
+                    cos = G / (nrm[ai][:, None] * nrm[aj][None, :])
+                    ii, jj = np.nonzero(cos >= threshold)
+                    ii, jj = ii + ai.start, jj + aj.start
+                    keep = ii < jj
+                    out_a.append(ids[ii[keep]])
+                    out_b.append(ids[jj[keep]])
+        import pandas as _pd
+        return _pd.DataFrame({"id_a": np.concatenate(out_a),
+                              "id_b": np.concatenate(out_b)})
+
+    return kernel
+
+
 def semdedup(base: DataFrame, threshold: float, cluster_col: str,
              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
@@ -236,26 +289,28 @@ def semdedup(base: DataFrame, threshold: float, cluster_col: str,
     The cluster assignment comes from upstream — the paper uses
     k-means; here any label column works, including ivf_topk's
     centroid assignment. Blocking is the whole point at scale: the
-    self-join shuffles only on the cluster key, turning O(n^2)
-    all-pairs into sum-over-clusters O(|c|^2) with |c| ~ n/k, and a
-    skewed giant cluster is an AQE skew-join case, not a plan change.
-    """
-    v = _as_double(F.col(vec_col))
-    left = base.select(F.col(cluster_col).alias("_c"),
-                       F.col(id_col).alias("id_a"), v.alias("_va"))
-    right = base.select(F.col(cluster_col).alias("_c"),
-                        F.col(id_col).alias("id_b"), v.alias("_vb"))
+    pair search shuffles each vector ONCE on the cluster key (n rows,
+    never the O(|c|^2) pair set), and within a block the pairwise
+    cosines come from a fold-exact vectorized Gram kernel
+    (_fold_gram_pairs) instead of a per-pair zip_with/aggregate
+    expression — the r05 plan evaluated that per-pair fold TWICE
+    (once per direction of the neighbor union); here the pair set is
+    computed once and both directions come from one explode. Cluster
+    sizes are bounded by the upstream k (|c| ~ n/k by construction —
+    the paper sizes k for exactly this); kernel memory is tiled to
+    row_block^2 doubles independent of cluster size."""
+    id_type = base.schema[id_col].dataType.simpleString()
     pairs = (
-        left.join(right, "_c")
-        .where(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos_sim",
-                    _dot(F.col("_va"), F.col("_vb"))
-                    / (_norm(F.col("_va")) * _norm(F.col("_vb"))))
-        .where(F.col("cos_sim") >= threshold)
-        .select("id_a", "id_b")
+        base.select(F.col(cluster_col).alias("_c"),
+                    F.col(id_col).alias("id"), F.col(vec_col).alias("_v"))
+        .groupBy("_c")
+        .applyInPandas(_fold_gram_pairs(threshold),
+                       f"id_a {id_type}, id_b {id_type}")
     )
-    nbr = pairs.select(F.col("id_a").alias("id"), F.col("id_b").alias("n")).unionByName(
-        pairs.select(F.col("id_b").alias("id"), F.col("id_a").alias("n")))
+    nbr = pairs.select(F.explode(F.array(
+        F.struct(F.col("id_a").alias("id"), F.col("id_b").alias("n")),
+        F.struct(F.col("id_b").alias("id"), F.col("id_a").alias("n")),
+    )).alias("e")).select("e.id", "e.n")
     best = nbr.groupBy("id").agg(F.min("n").alias("_minn"))
     return (
         base.select(F.col(id_col).alias("id"), F.col(cluster_col).alias("cluster"))

@@ -1,0 +1,33 @@
+"""Scale-adaptive input spread for map-heavy kernel stages.
+
+Local-mode parquet inputs of a few MB plan as ONE scan split
+(`spark.sql.files.maxPartitionBytes` = 128 MB), which serializes every
+map-side kernel — winnowing, gram hashing, vectorized cosine — onto a
+single core while the other 31 idle. At production scale the same scan
+has >= cores splits and needs nothing.
+
+`spread()` is the adaptive middle ground the optimization guide asks
+for (§2: derive partitioning from input size, not a constant tuned for
+one deployment): it round-robins the frame up to one task wave ONLY
+when the planned scan has fewer partitions than the session's
+parallelism, and is a plan no-op otherwise. The repartition is
+deterministic (Spark sorts before round-robin, SPARK-23207) and every
+consumer here is either per-row/per-doc map work or an
+order-insensitive aggregation (min / integer counts / per-doc-local
+sums), so results are bit-identical with or without it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def spread(df: DataFrame, target: int | None = None) -> DataFrame:
+    """Round-robin `df` up to `target` partitions (default: the
+    session's defaultParallelism) when it currently plans fewer;
+    returns `df` unchanged otherwise — a no-op at cluster scale."""
+    sc = df.sparkSession.sparkContext
+    n = target or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df

@@ -1356,18 +1356,67 @@ def minhash_jaccard_verify(df: DataFrame, n_hashes: int = 8,
 
 # --------------------------------------------- winnowing fingerprints
 
-def _winnow_packed_hashes(text_col: str, k: int):
-    """Array of packed gram keys for gram i (1-based in SQL):
-    md5hex || lpad(10^9 - (i-1)). The 32-hex md5 compares first;
-    among equal hashes the smaller (10^9 - pos) wins, i.e. the
-    RIGHTMOST position — the MOSS tie-break, integer-exact with no
-    floats. Kept as its own projection column (`_hs`) so Catalyst's
-    CollapseProject cheap-expression rule never duplicates the md5
-    transform into each window read."""
-    return F.expr(
-        f"transform(sequence(1, length({text_col}) - {k} + 1), "
-        f"i -> concat(md5(substr({text_col}, i, {k})), "
-        f"lpad(cast(1000000001 - i AS string), 10, '0')))")
+def _winnow_kernel(k: int, window: int, with_pos: bool):
+    """mapInArrow kernel for winnowing selection: per document, md5
+    every char k-gram, slide a `window` over consecutive digests, and
+    keep each window's minimum — ties on the digest broken by the
+    RIGHTMOST position (the MOSS rule). Selection compares the raw
+    16-byte digests as (hi, lo) big-endian uint64 pairs, which orders
+    identically to the lowercase-hex string MIN the r05 SQL expression
+    used (`md5hex || lpad(10^9 - pos)`), and the ascending candidate
+    scan makes `<=` the rightmost-tie update — so the selected set is
+    exactly the old one. with_pos=False deduplicates to the distinct
+    digest set (what the overlap join consumes)."""
+    import numpy as np
+
+    def gen(batches):
+        import hashlib
+
+        import pyarrow as pa
+
+        md5 = hashlib.md5
+        for batch in batches:
+            id_type = batch.column(0).type
+            ids_py = batch.column(0).to_pylist()
+            texts = batch.column(1).to_pylist()
+            out_ids, out_pos, out_fp = [], [], []
+            for rid, s in zip(ids_py, texts):
+                L = len(s) - k + 1
+                if L < window:
+                    continue
+                digs = [md5(s[i:i + k].encode()).digest() for i in range(L)]
+                arr = (np.frombuffer(b"".join(digs), dtype=">u8")
+                       .reshape(L, 2).astype(np.uint64))
+                hi, lo = arr[:, 0], arr[:, 1]
+                nwin = L - window + 1
+                best = np.arange(nwin)
+                bh, bl = hi[:nwin].copy(), lo[:nwin].copy()
+                for j in range(1, window):
+                    ch, cl = hi[j:j + nwin], lo[j:j + nwin]
+                    # later index wins digest ties -> <= on the low word
+                    lt = (ch < bh) | ((ch == bh) & (cl <= bl))
+                    best = np.where(lt, np.arange(j, j + nwin), best)
+                    bh = np.where(lt, ch, bh)
+                    bl = np.where(lt, cl, bl)
+                sel = np.unique(best)
+                if with_pos:
+                    out_ids.extend([rid] * len(sel))
+                    out_pos.extend(sel.tolist())
+                    out_fp.extend(digs[i].hex() for i in sel)
+                else:
+                    fps = sorted({digs[i] for i in sel})
+                    out_ids.extend([rid] * len(fps))
+                    out_fp.extend(d.hex() for d in fps)
+            cols = [pa.array(out_ids, type=id_type)]
+            names = ["doc_id"]
+            if with_pos:
+                cols.append(pa.array(out_pos, type=pa.int32()))
+                names.append("pos")
+            cols.append(pa.array(out_fp, type=pa.string()))
+            names.append("fp")
+            yield pa.RecordBatch.from_arrays(cols, names=names)
+
+    return gen
 
 
 def winnowing_fingerprints(df: DataFrame, k: int = 8, window: int = 4,
@@ -1383,37 +1432,27 @@ def winnowing_fingerprints(df: DataFrame, k: int = 8, window: int = 4,
     the real fingerprint SET with positions, which is what plagiarism
     / overlap detection joins on.
 
-    Engine parity: the per-window argmin-with-rightmost-tie is done
-    with one string MIN over `md5hash || lpad(10^9 - pos)` — the
-    32-hex md5 compares first, and among equal hashes the smaller
-    (2^20 - pos) wins, i.e. the largest pos. Integer-exact in any
-    engine with lpad/substr; no floats anywhere.
-
-    Scale shape: ZERO exchanges — the whole selection is one map-side
-    projection. Per doc, the packed gram hashes land in one array
-    column; each window's argmin is `array_min(slice(...))` (string
-    compare on ASCII hex+digits == the engine MIN); the per-doc
-    selected set is deduped with array_distinct before the explode.
-    Earlier revisions exploded every (gram, window) pair — n*window
-    rows of 42-byte strings — into a groupBy; at 100 TB that shuffle
-    write is the whole job, here nothing ever leaves its scan task.
-    Contract: `id_col` identifies the document (unique per row, as an
-    id is) — per-doc (pos, fp) sets are exact-distinct.
+    Scale shape: ZERO exchanges — the whole selection happens inside
+    the scan task's mapInArrow kernel (_winnow_kernel). The r05
+    revision built the same selection from JVM expressions — one
+    md5-hex || lpad(10^9-pos) string per gram, then array_min over
+    every window slice and array_distinct: ~4 string allocations plus
+    window*42-byte comparisons per gram (43.6s at sf1.0, BENCH_r05).
+    The kernel hashes each gram once, compares raw 16-byte digests as
+    two uint64 lanes (identical order to the hex-string MIN), and
+    runs the window scan vectorized — same output, no JVM string
+    churn. Contract: `id_col` identifies the document (unique per
+    row, as an id is) — per-doc (pos, fp) sets are exact-distinct.
     Returns (doc_id, pos, fp); pos is the 0-based k-gram start
     offset, fp the md5 hex of the k-gram."""
+    from sparktiles.operators.spread import spread
+
     n = F.length(F.col(text_col)) - F.lit(k - 1)
-    hs = _winnow_packed_hashes(text_col, k)
-    sel = F.expr(
-        f"array_distinct(transform(sequence(1, size(_hs) - {window} + 1), "
-        f"s -> array_min(slice(_hs, s, {window}))))")
-    return (df.where(n >= window)
-            .select(F.col(id_col).alias("doc_id"), hs.alias("_hs"))
-            .select("doc_id", F.explode(sel).alias("_m"))
-            .select(
-                "doc_id",
-                (F.lit(1_000_000_000) - F.substring("_m", 33, 10)
-                 .cast("int")).alias("pos"),
-                F.substring("_m", 1, 32).alias("fp")))
+    idt = df.schema[id_col].dataType.simpleString()
+    src = spread(df.where(n >= window)
+                 .select(F.col(id_col).alias("doc_id"), F.col(text_col)))
+    return src.mapInArrow(_winnow_kernel(k, window, True),
+                          f"doc_id {idt}, pos int, fp string")
 
 
 # ------------------------------------------ DSIR importance weights
@@ -1437,19 +1476,26 @@ def dsir_logweights(df: DataFrame, target_col: str = "lang",
     portable hash idiom); both LN terms are computed as the same
     quotient expression; the per-doc sum is rounded to 4 dp.
 
-    Scale shape: gram rows are doc-local so both count groupBys are
+    Scale shape: gram rows are doc-local so the model groupBy is
     map-side-combined down to <= n_buckets rows per partition; the
     lambda table (n_buckets rows) broadcasts back; the per-doc sum is
     ONE corpus-wide exchange (groupBy doc with partial agg). The
     target/raw models are corpus aggregates, not samples — at 100 TB
-    the bucket tables are still n_buckets rows.
+    the bucket tables are still n_buckets rows. r06: the bucketed
+    gram frame is localCheckpointed — it used to be a lazy subtree
+    referenced three times (cr, ct, final rejoin), replaying the
+    md5-gram scan 3x (27.8s at sf1.0, BENCH_r05) — and cr/ct are now
+    ONE aggregation (count + count_if, integer-identical to the old
+    count/count/left-join).
 
     Returns (doc_id, n_feats, log_weight)."""
-    t0 = df.select(
+    from sparktiles.operators.spread import spread
+
+    t0 = spread(df.select(
         F.col(id_col).alias("doc_id"),
         (F.col(target_col) == target_value).alias("_is_t"),
         F.filter(F.split(F.col(text_col), " "),
-                 lambda t: t != "").alias("_ts"))
+                 lambda t: t != "").alias("_ts")))
     grams = F.concat(
         F.col("_ts"),
         F.expr("CASE WHEN size(_ts) < 2 THEN array()::array<string> "
@@ -1459,11 +1505,9 @@ def dsir_logweights(df: DataFrame, target_col: str = "lang",
     b = base.select(
         "doc_id", "_is_t",
         (F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("long")
-         % n_buckets).alias("b"))
-    cr = b.groupBy("b").agg(F.count("*").alias("cr"))
-    ct = (b.where("_is_t").groupBy("b").agg(F.count("*").alias("ct")))
-    lam_rows = (cr.join(ct, "b", "left")
-                .select("b", "cr", F.coalesce("ct", F.lit(0)).alias("ct")))
+         % n_buckets).alias("b")).localCheckpoint()
+    lam_rows = b.groupBy("b").agg(
+        F.count("*").alias("cr"), F.count_if("_is_t").alias("ct"))
     tots = lam_rows.agg(F.sum("cr").alias("_tr"),
                         F.sum("ct").alias("_tt"))
     lam = (lam_rows.crossJoin(F.broadcast(tots)).select(
@@ -1528,11 +1572,13 @@ def winnowing_overlap_pairs(df: DataFrame, k: int = 8, window: int = 4,
     document similarity) and ExactSubstr (span removal).
 
     Scale shape: the per-doc fingerprint SETS are built map-side in
-    one projection (the winnowing argmin plus an array_distinct over
-    the 32-hex prefixes — no global DISTINCT exchange, since doc ids
-    are unique), then localCheckpointed: three lazy references follow
-    (the hot-fp count, and both sides of the self-join), and without
-    the checkpoint each would replay the full md5 scan — the same
+    the _winnow_kernel mapInArrow (raw-digest winnowing selection +
+    per-doc dedup — no global DISTINCT exchange, since doc ids are
+    unique; the r05 JVM-expression variant of the same selection was
+    the leg's whole cost, 43.6s of md5-hex string churn at sf1.0),
+    then localCheckpointed: three lazy references follow (the hot-fp
+    count, and both sides of the self-join), and without the
+    checkpoint each would replay the full md5 scan — the same
     lazy-subtree trap kn_bigram_scores documents. Boilerplate
     fingerprints appearing in more than `max_df` documents are cut
     BEFORE the self-join (the same Zipf-head guard as
@@ -1542,16 +1588,14 @@ def winnowing_overlap_pairs(df: DataFrame, k: int = 8, window: int = 4,
     aggregation is map-side-combined on (doc_a, doc_b).
 
     Returns (doc_a, doc_b, shared_fps), doc_a < doc_b."""
+    from sparktiles.operators.spread import spread
+
     n = F.length(F.col(text_col)) - F.lit(k - 1)
-    hs = _winnow_packed_hashes(text_col, k)
-    fp_set = F.expr(
-        f"array_distinct(transform("
-        f"transform(sequence(1, size(_hs) - {window} + 1), "
-        f"s -> array_min(slice(_hs, s, {window}))), "
-        f"m -> substring(m, 1, 32)))")
-    fps = (df.where(n >= window)
-           .select(F.col(id_col).alias("doc_id"), hs.alias("_hs"))
-           .select("doc_id", F.explode(fp_set).alias("fp"))
+    idt = df.schema[id_col].dataType.simpleString()
+    fps = (spread(df.where(n >= window)
+                  .select(F.col(id_col).alias("doc_id"), F.col(text_col)))
+           .mapInArrow(_winnow_kernel(k, window, False),
+                       f"doc_id {idt}, fp string")
            .localCheckpoint())
     hot = (fps.groupBy("fp").agg(F.count("*").alias("_df"))
            .where(F.col("_df") > max_df).select("fp"))

@@ -439,24 +439,62 @@ FROM d WHERE rn <= 3
 
 @q("knn_join", _KNN_SQL)
 def knn_join(spark, sf_dir):
+    """3-NN per sampled customer against formula-placed suppliers.
+
+    r06 shape: the r05 plan generated the full 30M-row cross product
+    (BroadcastNestedLoopJoin) and sorted it for WindowGroupLimit —
+    21.6s at sf1.0 in BENCH_r05. Now a mapInArrow kernel derives both
+    coordinate sets from the key formulas with the identical double-op
+    sequence ((cast - 172.0) + offset, then (dx*dx) + (dy*dy)), so raw
+    dist2 is bit-equal, and emits only rows with raw dist2 <=
+    (3rd-smallest raw) + 1.001e-4 — a provable superset of every row
+    whose ROUND(.,4) can reach rank <= 3. ROUND and the rank window
+    stay in Spark; oracle unchanged."""
+    import numpy as np
+    import pyarrow as pa
+
+    from sparktiles.operators.spread import spread
+
+    spath = f"{sf_dir}/supplier.parquet"
     cust = _t(spark, sf_dir, "customer").where(F.col("c_custkey") % 50 == 0)
-    supp = _t(spark, sf_dir, "supplier")
-    qdf = cust.select(
-        F.col("c_custkey").alias("qid"),
-        _lon(F.col("c_custkey")).alias("qx"),
-        _lat(F.col("c_custkey")).alias("qy"),
-    )
-    skey = F.col("s_suppkey") * 7 + 3
-    sdf = supp.select(
-        F.col("s_suppkey").alias("sid"),
-        _lon(skey).alias("sx"),
-        _lat(skey).alias("sy"),
-    )
-    d2 = F.round(
-        (F.col("qx") - F.col("sx")) * (F.col("qx") - F.col("sx"))
-        + (F.col("qy") - F.col("sy")) * (F.col("qy") - F.col("sy")), 4
-    )
-    j = qdf.crossJoin(F.broadcast(sdf)).withColumn("dist2", d2)
+    qkeys = spread(cust.select(F.col("c_custkey").alias("qid")))
+
+    def knn_cand(batches):
+        import pyarrow.parquet as pq
+
+        st = pq.read_table(spath, columns=["s_suppkey"])
+        sids = st.column("s_suppkey").to_numpy()
+        skey = sids * 7 + 3
+        sx = ((skey * 37) % 344).astype(np.float64) - 172.0 + 0.1234567
+        sy = ((skey * 13) % 136).astype(np.float64) - 68.0 + 0.0891011
+        for batch in batches:
+            qids = batch.column("qid").to_numpy()
+            qx = ((qids * 37) % 344).astype(np.float64) - 172.0 + 0.1234567
+            qy = ((qids * 13) % 136).astype(np.float64) - 68.0 + 0.0891011
+            oq, os_, od = [], [], []
+            for c0 in range(0, len(qids), 512):
+                c1 = min(c0 + 512, len(qids))
+                dx = qx[c0:c1][:, None] - sx[None, :]
+                dy = qy[c0:c1][:, None] - sy[None, :]
+                d2 = (dx * dx) + (dy * dy)
+                for i in range(c1 - c0):
+                    row = d2[i]
+                    if row.size > 3:
+                        thr = np.partition(row, 2)[2] + 1.001e-4
+                        sel = row <= thr
+                    else:
+                        sel = np.ones(row.size, dtype=bool)
+                    oq.append(np.full(int(sel.sum()), qids[c0 + i],
+                                      dtype=np.int64))
+                    os_.append(sids[sel])
+                    od.append(row[sel])
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(np.concatenate(oq)), pa.array(np.concatenate(os_)),
+                 pa.array(np.concatenate(od), type=pa.float64())],
+                names=["qid", "sid", "d2"])
+
+    cand = qkeys.mapInArrow(knn_cand, "qid long, sid long, d2 double")
+    j = cand.withColumn("dist2", F.round(F.col("d2"), 4)).drop("d2")
     w = Window.partitionBy("qid").orderBy(F.col("dist2"), F.col("sid"))
     return (
         j.withColumn("rank", F.row_number().over(w).cast("int"))
@@ -1142,18 +1180,84 @@ def dedup_embedding_cosine(spark, sf_dir):
 
 @q("ann_cosine_topk", _ANN_SQL)
 def ann_cosine_topk(spark, sf_dir):
+    """Exact cosine top-5 per query (vec_id % 100 == 0) over the
+    embeddings table.
+
+    r06 shape: the r05 plan evaluated a per-pair zip_with/aggregate
+    fold inside a 4M-row crossJoin (one 64-element array allocation
+    per pair, 58.9s at sf1.0 in BENCH_r05). Now a mapInArrow kernel
+    holds the base matrix once per task (read from the same parquet
+    input — the broadcast-side pattern of guide §3.1/§4.5) and
+    accumulates dot products one component at a time, which performs
+    the identical left-associated double additions as the SQL fold,
+    so every cosine is bit-equal. The kernel emits only the rows that
+    can reach the top-5 after ROUND(.,4): raw cos >= (5th-largest raw)
+    - 1.001e-4 is a provable superset (round moves a value by at most
+    5e-5 + ulp, so any row whose rounded value ties or beats the
+    rounded 5th must sit within 1e-4 of it raw). ROUND and the rank
+    window stay in Spark, so published cos_sim/rank are the engine's
+    own HALF_UP values and the oracle is untouched."""
+    import numpy as np
+    import pyarrow as pa
+
+    from sparktiles.operators.spread import spread
+
+    path = f"{sf_dir}/embeddings.parquet"
     emb = _t(spark, sf_dir, "embeddings")
-    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    base = emb.select(F.col("vec_id").alias("bid"), v.alias("bv"))
-    qs = emb.where(F.col("vec_id") % 100 == 0).select(
-        F.col("vec_id").alias("qid"), v.alias("qv"))
-    pairs = qs.crossJoin(F.broadcast(base)).where(F.col("qid") != F.col("bid"))
-    dot = F.aggregate(
-        F.zip_with(F.col("qv"), F.col("bv"), lambda a, b: a * b),
-        F.lit(0.0), lambda acc, x: acc + x)
-    nq = F.sqrt(F.aggregate(F.col("qv"), F.lit(0.0), lambda a, x: a + x * x))
-    nb = F.sqrt(F.aggregate(F.col("bv"), F.lit(0.0), lambda a, x: a + x * x))
-    p = pairs.withColumn("cos_sim", F.round(dot / (nq * nb), 4))
+    qs = spread(emb.where(F.col("vec_id") % 100 == 0)
+                .select("vec_id", "embedding"))
+
+    def _mat(col):
+        col = col.combine_chunks()
+        off = np.diff(col.offsets.to_numpy())
+        assert off.size == 0 or (off == off[0]).all()
+        d = int(off[0]) if off.size else 0
+        return (col.values.to_numpy(zero_copy_only=False)
+                .astype(np.float64).reshape(-1, d))
+
+    def topk_cand(batches):
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(path, columns=["vec_id", "embedding"])
+        bids = t.column("vec_id").to_numpy()
+        B = _mat(t.column("embedding"))
+        dim = B.shape[1]
+        nnb = np.zeros(len(bids))
+        for j in range(dim):
+            nnb += B[:, j] * B[:, j]
+        nb = np.sqrt(nnb)
+        for batch in batches:
+            qids = batch.column("vec_id").to_numpy()
+            Q = _mat(pa.chunked_array([batch.column("embedding")]))
+            nnq = np.zeros(len(qids))
+            acc = np.zeros((len(qids), len(bids)))
+            for j in range(dim):
+                nnq += Q[:, j] * Q[:, j]
+                acc += Q[:, j][:, None] * B[:, j][None, :]
+            nq = np.sqrt(nnq)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = acc / (nq[:, None] * nb[None, :])
+            oq, ob, oc = [], [], []
+            for i in range(len(qids)):
+                c = cos[i]
+                valid = bids != qids[i]
+                cc = np.where(np.isnan(c), np.inf, c)
+                vals = cc[valid]
+                if vals.size > 5:
+                    thr = np.partition(vals, -5)[-5] - 1.001e-4
+                    sel = valid & (cc >= thr)
+                else:
+                    sel = valid
+                oq.append(np.full(int(sel.sum()), qids[i], dtype=np.int64))
+                ob.append(bids[sel])
+                oc.append(c[sel])
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(np.concatenate(oq)), pa.array(np.concatenate(ob)),
+                 pa.array(np.concatenate(oc), type=pa.float64())],
+                names=["qid", "bid", "cos"])
+
+    cand = qs.mapInArrow(topk_cand, "qid long, bid long, cos double")
+    p = cand.withColumn("cos_sim", F.round(F.col("cos"), 4))
     w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.col("bid"))
     return (
         p.withColumn("rank", F.row_number().over(w).cast("int"))
