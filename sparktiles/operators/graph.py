@@ -99,9 +99,52 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
         f"connected_components did not converge in {max_iter} rounds")
 
 
+def _local_union_find(cur: DataFrame) -> DataFrame:
+    """Single-task union-find finish over a SMALL edge frame (a, b):
+    returns (node, component) with component = min node id of the
+    connected component — the exact contract of the star fixpoint.
+    Runs as ONE mapInArrow task (not on the driver); callers gate it
+    on the edge count, so the task holds O(|edges|) dict entries."""
+    node_t = cur.schema["a"].dataType.simpleString()
+
+    def k(batches):
+        import pyarrow as pa
+
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        arrays = []
+        for batch in batches:
+            arrays.append((batch.column(0), batch.column(1)))
+            for a, b in zip(batch.column(0).to_pylist(),
+                            batch.column(1).to_pylist()):
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                    parent[hi] = lo
+        nset = {n for ab in arrays for col in ab for n in col.to_pylist()}
+        if nset:
+            out_n = sorted(nset)
+            out_c = [find(n) for n in out_n]
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(out_n), pa.array(out_c)],
+                names=["node", "component"])
+
+    return cur.repartition(1).mapInArrow(
+        k, f"node {node_t}, component {node_t}")
+
+
 def connected_components_star(edges: DataFrame, src: str = "src",
                               dst: str = "dst", max_iter: int = 50,
-                              reliable: bool = False) -> DataFrame:
+                              reliable: bool = False,
+                              local_finish_rows: int = 2_000_000) -> DataFrame:
     """(node, component) via large-star/small-star alternation
     (Kiveris et al. 2014, "Connected Components in MapReduce and
     Beyond", Algorithm 2 "two-phase") — same output contract as
@@ -158,6 +201,24 @@ def connected_components_star(edges: DataFrame, src: str = "src",
 
     prev = _checksum(cur)
     for _ in range(max_iter):
+        # -------- scale-adaptive local finish (guide §2: derive the
+        # execution shape from the data size, not a constant): star
+        # rounds CONTRACT the edge set toward the n-1 star edges, and
+        # once it fits one task there is no reason to pay 4 exchanges
+        # + a checksum job per remaining diameter hop — a single-task
+        # union-find emits the identical min-id labels in one job.
+        # At 100 TB the first rounds run distributed and this branch
+        # takes over only below the row gate (r06: the sf1.0 LSH edge
+        # set enters at 12k rows and the old loop spent 7 rounds /
+        # ~4.5s of tiny-shuffle scheduling on it).
+        if prev[0] <= local_finish_rows:
+            comp = _local_union_find(cur)
+            return (
+                nodes.join(comp, "node", "left")
+                .select("node",
+                        F.coalesce("component", F.col("node"))
+                        .alias("component"))
+            )
         # -------- large-star: min over the SYMMETRIC neighborhood
         sym = cur.union(cur.select(F.col("b").alias("a"), F.col("a").alias("b")))
         m = F.least(F.min("b").over(Window.partitionBy("a")), F.col("a"))
@@ -206,8 +267,13 @@ def minhash_dedup_cc(df: DataFrame, n_hashes: int = 8, band_size: int = 2,
 
     sigs = minhash_signatures(df, n_hashes, text_col, id_col)
     buckets = lsh_buckets(sigs, band_size)
+    # localCheckpoint: the closure references the edge set twice (the
+    # iterated frame AND the node set for the final left join) — a
+    # lazy edge frame would replay the full signatures+buckets scan a
+    # second time (r06: ~5s of the 16.8s BENCH_r05 leg at sf1.0)
     edges = buckets.where(F.col("bucket_size") > 1).select(
-        F.explode("members").alias("src"), F.col("canonical_id").alias("dst"))
+        F.explode("members").alias("src"),
+        F.col("canonical_id").alias("dst")).localCheckpoint()
     close = (connected_components_star if algorithm == "star"
              else connected_components)
     cc = close(edges)

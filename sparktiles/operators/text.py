@@ -67,9 +67,12 @@ def shingles_with_multiplicity(df: DataFrame, text_col: str = "text",
     """All k-token shingles per doc WITH multiplicity — no distinct, so
     no exchange: feeds aggregations (like minhash's min) for which
     dedup is a no-op and the distinct's shuffle would be pure waste."""
+    from sparktiles.operators.spread import spread
+
     toks = F.split(F.col(text_col), " ")
-    base = df.select(F.col(id_col).alias("doc_id"), toks.alias("t")).where(
-        F.size("t") >= k)
+    base = spread(
+        df.select(F.col(id_col).alias("doc_id"), toks.alias("t")).where(
+            F.size("t") >= k))
 
     def shingle(i):
         out = F.element_at(F.col("t"), i)
@@ -412,8 +415,10 @@ def repetition_signals(df: DataFrame, text_col: str = "text",
     keeps the column materialized there). No rewrite rule inlines
     through a lambda binding, so this shape is safe in ANY context.
     """
+    from sparktiles.operators.spread import spread
+
     toks = F.split(F.col(text_col), " ")
-    base = df.select(F.col(id_col).alias("doc_id"), toks.alias("_ts"))
+    base = spread(df.select(F.col(id_col).alias("doc_id"), toks.alias("_ts")))
 
     def add_stats(frame: DataFrame, n: int, prefix: str) -> DataFrame:
         # element_at is 1-based; CASE guards keep every element_at
@@ -487,8 +492,10 @@ def _token_windows(df: DataFrame, text_col: str, id_col: str,
     md5-string version moved 4x the shuffle key bytes for identical
     results (absent 2^-64 collisions — the same risk every
     hash-partitioned dedup already accepts)."""
+    from sparktiles.operators.spread import spread
+
     toks = F.split(F.col(text_col), " ")
-    base = df.select(F.col(id_col).alias("doc_id"), toks.alias("_ts"))
+    base = spread(df.select(F.col(id_col).alias("doc_id"), toks.alias("_ts")))
     parts = ", ".join(f"element_at(_ts, i + {j})" for j in range(n))
     grams = F.expr(
         f"CASE WHEN size(_ts) < {n} THEN array() "
@@ -1025,8 +1032,10 @@ def exactsubstr_cut(df: DataFrame, text_col: str = "text",
     -> filter the token array by position. Nothing is O(corpus^2) and
     no Python runs per row.
     """
+    from sparktiles.operators.spread import spread
+
     toks = F.split(F.col(text_col), " ")
-    base = df.select(F.col(id_col).alias("doc_id"), toks.alias("_ts"))
+    base = spread(df.select(F.col(id_col).alias("doc_id"), toks.alias("_ts")))
     parts = ", ".join(f"element_at(_ts, i + {j})" for j in range(window))
     grams = F.expr(
         f"CASE WHEN size(_ts) < {window} THEN "
@@ -1326,7 +1335,11 @@ def minhash_jaccard_verify(df: DataFrame, n_hashes: int = 8,
 
     Returns (doc_a, doc_b, est_jaccard), doc_a < doc_b, est rounded
     to 4 dp for cross-engine parity."""
-    sigs = minhash_signatures(df, n_hashes, text_col, id_col)
+    # localCheckpoint: THREE lazy references follow (the bucket build
+    # and both signature-lookup sides of the pair join) — without it
+    # each replays the shingle+md5 corpus scan (r06: the replays were
+    # ~2/3 of the 10.1s BENCH_r05 leg at sf1.0)
+    sigs = minhash_signatures(df, n_hashes, text_col, id_col).localCheckpoint()
     buckets = lsh_buckets(sigs, band_size)
     # canonical_id = min(members), so (canonical, member) is already
     # (smaller, larger) — ordered pairs come free of least/greatest.
@@ -1544,7 +1557,9 @@ def bpe_pair_counts(df: DataFrame, top_k: int = 20,
 
     Returns the top_k (left_sym, right_sym, cnt) by count desc, then
     pair asc for determinism."""
-    w = df.select(
+    from sparktiles.operators.spread import spread
+
+    w = spread(df.select(F.col(text_col))).select(
         F.explode(F.filter(F.split(F.col(text_col), " "),
                            lambda t: F.length(t) >= 2)).alias("w"))
     pairs = w.select(
@@ -1664,8 +1679,11 @@ def kn_bigram_scores(df: DataFrame, vocab_size: int = 1024,
     assumed control-character-free (the reference's extracted text
     is). Returns (doc_id, n_tokens, bits_per_token) rounded to 4 dp.
     """
+    from sparktiles.operators.spread import spread
+
     bos, unk = "\x02", "\x01"
     arr = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    df = spread(df.select(F.col(id_col), F.col(text_col)))
 
     # -- scan A: vocab by corpus frequency (sort-limit, bounded rows;
     # localCheckpoint because FOUR lazy references follow — the two
