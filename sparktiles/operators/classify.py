@@ -144,8 +144,12 @@ def lr_score(feat: DataFrame, weights: list[float] | None = None,
 def quality_classifier(df: DataFrame, text_col: str = "text",
                        weights: list[float] | None = None,
                        threshold: float = 0.0) -> DataFrame:
-    """features + score in one shot (the deployed pipeline stage)."""
-    return lr_score(quality_features(df, text_col), weights,
+    """features + score in one shot (the deployed pipeline stage).
+    The input is spread() first: both stages are per-row map work and
+    a one-split local scan would serialize the regex feature pass."""
+    from sparktiles.operators.spread import spread
+
+    return lr_score(quality_features(spread(df), text_col), weights,
                     threshold=threshold)
 
 

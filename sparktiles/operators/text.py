@@ -640,8 +640,10 @@ def pii_scrub(df: DataFrame, text_col: str = "text",
     pre-replacement text so overlapping categories are counted on the
     original bytes.
     """
+    from sparktiles.operators.spread import spread
+
     t = F.col(text_col)
-    out = df.select(
+    out = spread(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col).alias("doc_id"),
         t.alias("_t"),
         *[F.size(F.regexp_extract_all(t, F.lit(pat), F.lit(0)))
@@ -833,10 +835,12 @@ def paragraph_dedup(df: DataFrame, k_words: int = 16, max_docs: int = 2,
     paragraph text; the common set (paragraphs over the bar) is tiny
     and broadcast for the anti-join; the rebuild is one groupBy with
     an order-stable sort_array over (idx, paragraph) structs."""
+    from sparktiles.operators.spread import spread
+
     k = F.lit(k_words)
-    base = df.select(
+    base = spread(df.select(
         F.col(id_col).alias("doc_id"),
-        F.split(F.col(text_col), " ").alias("_w"))
+        F.split(F.col(text_col), " ").alias("_w")))
     paras = base.select(
         "doc_id",
         F.posexplode(
@@ -918,6 +922,10 @@ def unigram_lm_scores(df: DataFrame, vocab_size: int = 1024,
     caught by the cross-engine oracle. Returns
     (doc_id, n_tokens, bits_per_token)."""
     spark = df.sparkSession
+    # NOTE: deliberately NOT spread() — the heavy work here sits
+    # behind the token groupBy exchange (already wide), and the A/B
+    # at sf1.0 measured the extra round-robin exchange as a net loss
+    # (1.69s -> 2.09s); see OPTIMIZATION_r06.md.
     toks = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.col(text_col), " ")).alias("tok"),
@@ -1155,7 +1163,9 @@ def inverted_index(df: DataFrame, max_df: int | None = None,
     broadcasts as an anti-join filter on the tf stream before the
     posting-list aggregation, so no collected list can exceed max_df
     entries."""
-    toks = df.select(
+    from sparktiles.operators.spread import spread
+
+    toks = spread(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.col(text_col), " ")).alias("token"),
     ).where(F.col("token") != "")
@@ -1194,7 +1204,9 @@ def ngram_count_table(df: DataFrame, n: int = 2, min_count: int = 2,
         f"CASE WHEN size(_ts) < {n} THEN array()::array<string> "
         f"ELSE transform(sequence(1, size(_ts) - {n - 1}), "
         f"i -> concat_ws(' ', {parts})) END")
-    g = (df.select(F.split(F.col(text_col), " ").alias("_ts"))
+    from sparktiles.operators.spread import spread
+
+    g = (spread(df.select(F.split(F.col(text_col), " ").alias("_ts")))
          .select(F.explode(grams).alias("gram")))
     return (g.groupBy("gram").agg(F.count("*").alias("cnt"))
             .where(F.col("cnt") >= min_count))
@@ -1831,7 +1843,9 @@ def normalize_text(df: DataFrame, text_col: str = "text",
     c = F.regexp_replace(c, "…", "...")
     c = F.regexp_replace(c, "[\\x00-\\x08\\x0b-\\x1f\\x7f]", "")
     c = F.trim(F.regexp_replace(c, "[ \\t]+", " "))
-    return df.select(
+    from sparktiles.operators.spread import spread
+
+    return spread(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col).alias("doc_id"),
         c.alias("norm_text"),
         (c != F.col(text_col)).alias("changed"),
