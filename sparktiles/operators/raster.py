@@ -63,10 +63,12 @@ def rasterize_point_tiles(df: DataFrame, zoom: int, grid: int = 16,
     clipped at 255). Returns one row per nonempty tile with the raster
     plus summary columns (n_points is the pre-clip feature count).
     """
+    from sparktiles.operators.spread import spread
+
     gx, gy = pixel_coords(F.col(x_col), F.col(y_col), zoom, grid)
     g = F.lit(grid)
     pix = (
-        df.select((gx / g).cast("bigint").alias("tx"),
+        spread(df).select((gx / g).cast("bigint").alias("tx"),
                   (gy / g).cast("bigint").alias("ty"),
                   (gx % g).cast("int").alias("px"),
                   (gy % g).cast("int").alias("py"))

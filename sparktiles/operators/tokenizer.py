@@ -125,7 +125,9 @@ def bpe_encode(df: DataFrame, merges: list, text_col: str = "text",
                 "n_bpe_tokens": [len(t) for t in toks_col],
             })
 
-    return df.mapInPandas(
+    from sparktiles.operators.spread import spread
+
+    return spread(df.select(F.col(icol), F.col(tcol))).mapInPandas(
         run, "doc_id long, bpe_tokens array<string>, n_bpe_tokens long")
 
 

@@ -101,7 +101,14 @@ def build_features(pages: DataFrame) -> DataFrame:
     features_point(feature_id, url, lon, lat, x, y, name, class_src,
     tags, ele, rank_src). feature_id = xxhash64(url, mention_idx)
     (FIXTURES.md §2: deterministic hash(url, mention_idx))."""
-    m = extract_mentions(pages)
+    from sparktiles.operators.spread import spread
+
+    # spread(): a few-MB local page corpus plans as 1-2 scan splits,
+    # serializing the regex extraction AND pinning every downstream
+    # cached-feature consumer (spatial join, tile assign fan-out) to
+    # the same 2 partitions; no-op when the scan already has >= cores
+    # splits (cluster scale).
+    m = extract_mentions(spread(pages))
     pid = F.col("place_id")
 
     # dirty elevation strings exercising CleanNumeric branches
