@@ -1101,14 +1101,20 @@ def pack_sequences(df: DataFrame, budget: int = 256, block: int = 64,
 
     Scale path: a naive cumulative sum is `SUM OVER (ORDER BY ...)` —
     a single-partition window, the classic distributed-scan trap. This
-    runs the textbook two-pass scan instead: docs are range-blocked on
+    runs a THREE-level blocked scan: docs are range-blocked on
     `floor(doc_id / block)`, pass 1 computes per-block local prefix
-    sums (windows partitioned BY BLOCK — parallel) plus one tiny
-    per-block total table, pass 2 turns block totals into cumulative
-    block offsets (a window over #blocks rows, trivially small) and
-    broadcast-joins them back. No stage touches more than one block's
-    rows per task; the only full-width exchange is the block hash
-    partition itself.
+    sums (windows partitioned BY BLOCK — parallel); pass 2 rolls block
+    totals up per SUPER-block of 65536 blocks (windows partitioned by
+    super-block — still parallel, <= 65536 rows each); only the
+    super-block totals — N / (block * 65536) rows, e.g. 2.4e5 rows at
+    a 10^12-doc corpus with the default block=64 — ever meet a global
+    ordered window, and those land on one task as a bounded tiny
+    table (the r05 two-level version put N/block rows — 1.6e10 at
+    that corpus — through that single task, contradicting its own
+    100 TB contract; r06 fix, outputs integer-identical since block
+    boundaries never change the global prefix sum). Everything else
+    is broadcast-joined back; the only full-width exchange is the
+    block hash partition itself.
     """
     lens = df.select(
         F.col(id_col).alias("doc_id"),
@@ -1121,12 +1127,21 @@ def pack_sequences(df: DataFrame, budget: int = 256, block: int = 64,
               .rowsBetween(Window.unboundedPreceding, -1))
     local = lens.withColumn(
         "_loc", F.coalesce(F.sum("n_tokens").over(in_blk), F.lit(0)))
-    blk_tot = lens.groupBy("_blk").agg(F.sum("n_tokens").alias("_tot"))
-    blk_w = (Window.orderBy("_blk")
+    blk_tot = (lens.groupBy("_blk").agg(F.sum("n_tokens").alias("_tot"))
+               .withColumn("_sb", F.expr("_blk div 65536")))
+    in_sb = (Window.partitionBy("_sb").orderBy("_blk")
              .rowsBetween(Window.unboundedPreceding, -1))
-    blk_off = blk_tot.withColumn(
-        "_off", F.coalesce(F.sum("_tot").over(blk_w), F.lit(0))
-    ).select("_blk", "_off")
+    blk_local = blk_tot.withColumn(
+        "_locb", F.coalesce(F.sum("_tot").over(in_sb), F.lit(0)))
+    sb_tot = blk_tot.groupBy("_sb").agg(F.sum("_tot").alias("_stot"))
+    sb_w = (Window.orderBy("_sb")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    sb_off = sb_tot.withColumn(
+        "_soff", F.coalesce(F.sum("_stot").over(sb_w), F.lit(0))
+    ).select("_sb", "_soff")
+    blk_off = (blk_local.join(F.broadcast(sb_off), "_sb")
+               .select("_blk",
+                       (F.col("_soff") + F.col("_locb")).alias("_off")))
     packed = (
         local.join(F.broadcast(blk_off), "_blk")
         .withColumn("token_offset", F.col("_off") + F.col("_loc"))
