@@ -750,7 +750,8 @@ def normalize_layer_df(features: DataFrame, spec,
             # per (tile, layer) run (grouped_map_sorted layer_caps) +
             # kernel slice; only importance/keyless selections, whose
             # order differs from the encode sort, need the window
-            # (salted two-level for keyed layers, see _capped_window)
+            # (single window + WindowGroupLimit pruning, see
+            # _capped_window)
             order = []
             if spec.importance_col:
                 order.append(F.desc(spec.importance_col))
@@ -800,8 +801,9 @@ def _normalized_cap(norm: DataFrame, spec) -> DataFrame:
     exchanges, hot-group memory bounded. Importance and keyless caps
     need a selection order different from the encode sort, so they
     keep the pre-exchange window: per-zxy row_number ordered by
-    importance desc then the tie-break; salted two-level for keyed
-    layers (see _capped_window)."""
+    importance desc then the tie-break, relying on Spark 4's
+    WindowGroupLimit map-side pruning (see _capped_window — the
+    salted two-level variant was tried and rejected there)."""
     cap = spec.max_features_per_tile
     if cap and _kernel_cap(spec) is None:
         order = []

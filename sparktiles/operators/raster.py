@@ -63,12 +63,14 @@ def rasterize_point_tiles(df: DataFrame, zoom: int, grid: int = 16,
     clipped at 255). Returns one row per nonempty tile with the raster
     plus summary columns (n_points is the pre-clip feature count).
     """
-    from sparktiles.operators.spread import spread
-
+    # NOTE: deliberately NOT spread() — the per-row work is floor
+    # arithmetic and the (tile, pixel) groupBy already parallelizes;
+    # the r06 A/B measured the extra round-robin exchange of the raw
+    # point stream as a net loss at both sf0.1 and sf1.0.
     gx, gy = pixel_coords(F.col(x_col), F.col(y_col), zoom, grid)
     g = F.lit(grid)
     pix = (
-        spread(df).select((gx / g).cast("bigint").alias("tx"),
+        df.select((gx / g).cast("bigint").alias("tx"),
                   (gy / g).cast("bigint").alias("ty"),
                   (gx % g).cast("int").alias("px"),
                   (gy % g).cast("int").alias("py"))

@@ -446,6 +446,8 @@ def test_importance_cap_plan_windowgrouplimit(spark):
     # at least one WindowGroupLimit sits BELOW the exchange in the
     # tree rendering (deeper indentation, printed after it)
     assert tree.index(exch[0]) < tree.index(wgl[-1]), tree
+
+
 def test_layer_caps_batch_spanning_parity(spark):
     """Per-layer kernel caps in the SPINE (grouped_map_sorted
     layer_caps): a capped 3-layer build must emit bytes identical to
