@@ -263,17 +263,25 @@ def minhash_dedup_cc(df: DataFrame, n_hashes: int = 8, band_size: int = 2,
     algorithm: "star" (default — large-star/small-star, measured 1.35×
     faster than hash-min on the 800k-doc funnel dup structure with
     label-identical output, BENCH_CC_AB.json) or "hashmin"."""
-    from sparktiles.operators.text import lsh_buckets, minhash_signatures
+    from pyspark.sql.window import Window
+
+    from sparktiles.operators.text import band_rows, minhash_signatures
 
     sigs = minhash_signatures(df, n_hashes, text_col, id_col)
-    buckets = lsh_buckets(sigs, band_size)
-    # localCheckpoint: the closure references the edge set twice (the
-    # iterated frame AND the node set for the final left join) — a
-    # lazy edge frame would replay the full signatures+buckets scan a
-    # second time (r06: ~5s of the 16.8s BENCH_r05 leg at sf1.0)
-    edges = buckets.where(F.col("bucket_size") > 1).select(
-        F.explode("members").alias("src"),
-        F.col("canonical_id").alias("dst")).localCheckpoint()
+    # Star edges straight off a window over the band rows: one
+    # exchange, no collect_list array materialization, no explode —
+    # the lsh_buckets members-array path cost ~1s more per leg at
+    # sf1.0 (r06 A/B, identical edge set). localCheckpoint: the
+    # closure references the edge set twice (the iterated frame AND
+    # the node set for the final left join) — a lazy edge frame would
+    # replay the full signatures scan a second time.
+    w = Window.partitionBy("band", "signature")
+    edges = (band_rows(sigs, band_size)
+             .withColumn("dst", F.min(id_col).over(w))
+             .withColumn("_n", F.count("*").over(w))
+             .where(F.col("_n") > 1)
+             .select(F.col(id_col).alias("src"), "dst")
+             .localCheckpoint())
     close = (connected_components_star if algorithm == "star"
              else connected_components)
     cc = close(edges)
