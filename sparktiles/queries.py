@@ -468,6 +468,8 @@ def knn_join(spark, sf_dir):
         sx = ((skey * 37) % 344).astype(np.float64) - 172.0 + 0.1234567
         sy = ((skey * 13) % 136).astype(np.float64) - 68.0 + 0.0891011
         for batch in batches:
+            if batch.num_rows == 0:
+                continue
             qids = batch.column("qid").to_numpy()
             qx = ((qids * 37) % 344).astype(np.float64) - 172.0 + 0.1234567
             qy = ((qids * 13) % 136).astype(np.float64) - 68.0 + 0.0891011
@@ -1227,6 +1229,8 @@ def ann_cosine_topk(spark, sf_dir):
             nnb += B[:, j] * B[:, j]
         nb = np.sqrt(nnb)
         for batch in batches:
+            if batch.num_rows == 0:
+                continue
             qids = batch.column("vec_id").to_numpy()
             Q = _mat(pa.chunked_array([batch.column("embedding")]))
             nnq = np.zeros(len(qids))
