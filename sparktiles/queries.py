@@ -474,8 +474,11 @@ def knn_join(spark, sf_dir):
             qx = ((qids * 37) % 344).astype(np.float64) - 172.0 + 0.1234567
             qy = ((qids * 13) % 136).astype(np.float64) - 68.0 + 0.0891011
             oq, os_, od = [], [], []
-            for c0 in range(0, len(qids), 512):
-                c1 = min(c0 + 512, len(qids))
+            # block size bounds the (block x |suppliers|) distance
+            # matrix at ~64M doubles however large the supplier side
+            qb = max(1, (64 << 20) // max(1, len(sids)))
+            for c0 in range(0, len(qids), qb):
+                c1 = min(c0 + qb, len(qids))
                 dx = qx[c0:c1][:, None] - sx[None, :]
                 dy = qy[c0:c1][:, None] - sy[None, :]
                 d2 = (dx * dx) + (dy * dy)
@@ -1228,33 +1231,42 @@ def ann_cosine_topk(spark, sf_dir):
         for j in range(dim):
             nnb += B[:, j] * B[:, j]
         nb = np.sqrt(nnb)
+        # query-block size keeps the (qb x |base|) accumulator under
+        # ~512 MB at ANY base size (scale-adaptive, guide §5) — the
+        # per-pair fold order is per-row, so blocking cannot change a
+        # single cosine bit
+        qb = max(1, (64 << 20) // max(1, len(bids)))
         for batch in batches:
             if batch.num_rows == 0:
                 continue
-            qids = batch.column("vec_id").to_numpy()
-            Q = _mat(pa.chunked_array([batch.column("embedding")]))
-            nnq = np.zeros(len(qids))
-            acc = np.zeros((len(qids), len(bids)))
-            for j in range(dim):
-                nnq += Q[:, j] * Q[:, j]
-                acc += Q[:, j][:, None] * B[:, j][None, :]
-            nq = np.sqrt(nnq)
-            with np.errstate(divide="ignore", invalid="ignore"):
-                cos = acc / (nq[:, None] * nb[None, :])
+            all_qids = batch.column("vec_id").to_numpy()
+            Qall = _mat(pa.chunked_array([batch.column("embedding")]))
             oq, ob, oc = [], [], []
-            for i in range(len(qids)):
-                c = cos[i]
-                valid = bids != qids[i]
-                cc = np.where(np.isnan(c), np.inf, c)
-                vals = cc[valid]
-                if vals.size > 5:
-                    thr = np.partition(vals, -5)[-5] - 1.001e-4
-                    sel = valid & (cc >= thr)
-                else:
-                    sel = valid
-                oq.append(np.full(int(sel.sum()), qids[i], dtype=np.int64))
-                ob.append(bids[sel])
-                oc.append(c[sel])
+            for q0 in range(0, len(all_qids), qb):
+                qids = all_qids[q0:q0 + qb]
+                Q = Qall[q0:q0 + qb]
+                nnq = np.zeros(len(qids))
+                acc = np.zeros((len(qids), len(bids)))
+                for j in range(dim):
+                    nnq += Q[:, j] * Q[:, j]
+                    acc += Q[:, j][:, None] * B[:, j][None, :]
+                nq = np.sqrt(nnq)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = acc / (nq[:, None] * nb[None, :])
+                for i in range(len(qids)):
+                    c = cos[i]
+                    valid = bids != qids[i]
+                    cc = np.where(np.isnan(c), np.inf, c)
+                    vals = cc[valid]
+                    if vals.size > 5:
+                        thr = np.partition(vals, -5)[-5] - 1.001e-4
+                        sel = valid & (cc >= thr)
+                    else:
+                        sel = valid
+                    oq.append(np.full(int(sel.sum()), qids[i],
+                                      dtype=np.int64))
+                    ob.append(bids[sel])
+                    oc.append(c[sel])
             yield pa.RecordBatch.from_arrays(
                 [pa.array(np.concatenate(oq)), pa.array(np.concatenate(ob)),
                  pa.array(np.concatenate(oc), type=pa.float64())],
