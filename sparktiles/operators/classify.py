@@ -149,7 +149,7 @@ def quality_classifier(df: DataFrame, text_col: str = "text",
     a one-split local scan would serialize the regex feature pass."""
     from sparktiles.operators.spread import spread
 
-    return lr_score(quality_features(spread(df), text_col), weights,
+    return lr_score(quality_features(spread(df, min_bytes=1 << 17), text_col), weights,
                     threshold=threshold)
 
 

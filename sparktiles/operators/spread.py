@@ -22,10 +22,24 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
-def spread(df: DataFrame, target: int | None = None) -> DataFrame:
+def spread(df: DataFrame, target: int | None = None,
+           min_bytes: int = 1 << 20) -> DataFrame:
     """Round-robin `df` up to `target` partitions (default: the
     session's defaultParallelism) when it currently plans fewer;
-    returns `df` unchanged otherwise — a no-op at cluster scale."""
+    returns `df` unchanged otherwise — a no-op at cluster scale.
+
+    `min_bytes` is the other guard rail: below it the map work a
+    single core does is cheaper than the exchange, so the frame is
+    returned untouched (measured at sf0.1: spreading ~255 KB inputs
+    cost +0.4-0.8s on kn_bigram/paragraph/inverted/ngram while buying
+    nothing). Callers whose per-row work is independent of input
+    bytes (the ann/knn kernels scan the whole base per row) pass
+    min_bytes=0."""
+    if min_bytes:
+        est = int(str(df._jdf.queryExecution().optimizedPlan()
+                      .stats().sizeInBytes()))
+        if est < min_bytes:
+            return df
     sc = df.sparkSession.sparkContext
     n = target or sc.defaultParallelism
     if df.rdd.getNumPartitions() < n:

@@ -424,7 +424,8 @@ def repetition_signals(df: DataFrame, text_col: str = "text",
     from sparktiles.operators.spread import spread
 
     toks = F.split(F.col(text_col), " ")
-    base = spread(df.select(F.col(id_col).alias("doc_id"), toks.alias("_ts")))
+    base = spread(df.select(F.col(id_col).alias("doc_id"),
+                            toks.alias("_ts")), min_bytes=1 << 17)
 
     def add_stats(frame: DataFrame, n: int, prefix: str) -> DataFrame:
         # element_at is 1-based; CASE guards keep every element_at
@@ -649,7 +650,8 @@ def pii_scrub(df: DataFrame, text_col: str = "text",
     from sparktiles.operators.spread import spread
 
     t = F.col(text_col)
-    out = spread(df.select(F.col(id_col), F.col(text_col))).select(
+    out = spread(df.select(F.col(id_col), F.col(text_col)),
+                 min_bytes=1 << 17).select(
         F.col(id_col).alias("doc_id"),
         t.alias("_t"),
         *[F.size(F.regexp_extract_all(t, F.lit(pat), F.lit(0)))
@@ -1500,7 +1502,8 @@ def winnowing_fingerprints(df: DataFrame, k: int = 8, window: int = 4,
     n = F.length(F.col(text_col)) - F.lit(k - 1)
     idt = df.schema[id_col].dataType.simpleString()
     src = spread(df.where(n >= window)
-                 .select(F.col(id_col).alias("doc_id"), F.col(text_col)))
+                 .select(F.col(id_col).alias("doc_id"), F.col(text_col)),
+                 min_bytes=1 << 17)
     return src.mapInArrow(_winnow_kernel(k, window, True),
                           f"doc_id {idt}, pos int, fp string")
 
@@ -1545,7 +1548,7 @@ def dsir_logweights(df: DataFrame, target_col: str = "lang",
         F.col(id_col).alias("doc_id"),
         (F.col(target_col) == target_value).alias("_is_t"),
         F.filter(F.split(F.col(text_col), " "),
-                 lambda t: t != "").alias("_ts")))
+                 lambda t: t != "").alias("_ts")), min_bytes=1 << 17)
     grams = F.concat(
         F.col("_ts"),
         F.expr("CASE WHEN size(_ts) < 2 THEN array()::array<string> "
@@ -1596,7 +1599,7 @@ def bpe_pair_counts(df: DataFrame, top_k: int = 20,
     pair asc for determinism."""
     from sparktiles.operators.spread import spread
 
-    w = spread(df.select(F.col(text_col))).select(
+    w = spread(df.select(F.col(text_col)), min_bytes=1 << 17).select(
         F.explode(F.filter(F.split(F.col(text_col), " "),
                            lambda t: F.length(t) >= 2)).alias("w"))
     pairs = w.select(
@@ -1645,7 +1648,8 @@ def winnowing_overlap_pairs(df: DataFrame, k: int = 8, window: int = 4,
     n = F.length(F.col(text_col)) - F.lit(k - 1)
     idt = df.schema[id_col].dataType.simpleString()
     fps = (spread(df.where(n >= window)
-                  .select(F.col(id_col).alias("doc_id"), F.col(text_col)))
+                  .select(F.col(id_col).alias("doc_id"), F.col(text_col)),
+                  min_bytes=1 << 17)
            .mapInArrow(_winnow_kernel(k, window, False),
                        f"doc_id {idt}, fp string")
            .localCheckpoint())
@@ -1870,7 +1874,8 @@ def normalize_text(df: DataFrame, text_col: str = "text",
     c = F.trim(F.regexp_replace(c, "[ \\t]+", " "))
     from sparktiles.operators.spread import spread
 
-    return spread(df.select(F.col(id_col), F.col(text_col))).select(
+    return spread(df.select(F.col(id_col), F.col(text_col)),
+                  min_bytes=1 << 17).select(
         F.col(id_col).alias("doc_id"),
         c.alias("norm_text"),
         (c != F.col(text_col)).alias("changed"),

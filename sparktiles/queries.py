@@ -457,7 +457,8 @@ def knn_join(spark, sf_dir):
 
     spath = f"{sf_dir}/supplier.parquet"
     cust = _t(spark, sf_dir, "customer").where(F.col("c_custkey") % 50 == 0)
-    qkeys = spread(cust.select(F.col("c_custkey").alias("qid")))
+    qkeys = spread(cust.select(F.col("c_custkey").alias("qid")),
+                   min_bytes=0)
 
     def knn_cand(batches):
         import pyarrow.parquet as pq
@@ -1210,7 +1211,7 @@ def ann_cosine_topk(spark, sf_dir):
     path = f"{sf_dir}/embeddings.parquet"
     emb = _t(spark, sf_dir, "embeddings")
     qs = spread(emb.where(F.col("vec_id") % 100 == 0)
-                .select("vec_id", "embedding"))
+                .select("vec_id", "embedding"), min_bytes=0)
 
     def _mat(col):
         col = col.combine_chunks()

@@ -108,7 +108,7 @@ def build_features(pages: DataFrame) -> DataFrame:
     # cached-feature consumer (spatial join, tile assign fan-out) to
     # the same 2 partitions; no-op when the scan already has >= cores
     # splits (cluster scale).
-    m = extract_mentions(spread(pages))
+    m = extract_mentions(spread(pages, min_bytes=1 << 17))
     pid = F.col("place_id")
 
     # dirty elevation strings exercising CleanNumeric branches
